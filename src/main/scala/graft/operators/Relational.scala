@@ -1,0 +1,411 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.{sql, rowsOnly}
+
+/** Relational operator inventory — the SURVEY.md §2 surface re-expressed as
+  * declarative Spark queries over the driver's synthetic tables.
+  *
+  * Every operator family the reference exercises (projections P1-P12, joins
+  * J1-J2 + semi/anti, aggregations A1-A7, top-k/sort T1-T4, sinks' formatting
+  * K1-K2, union) appears here as at least one oracle-checked query.
+  *
+  * Scale notes (100 TB target):
+  *  - fact-table scans only touch the columns/rows they need (Catalyst pushes
+  *    filters + projections into the parquet scan);
+  *  - dimension sides of joins are explicitly `broadcast()` — no shuffle of
+  *    the fact table for lookups (reference J1 is the same shape:
+  *    dl_k_to_ss.py:370-395 closes a 1,169-row pandas table over executors);
+  *  - all aggregations are partial-aggregable built-ins (map-side combine);
+  *  - window top-k (T1/T2) shuffles once on the partition key, no global sort.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- P-family
+
+  /** P1+P12: value projection + string formatting (ml_k_to_ss.py:64, :51). */
+  val p1Project = sql(
+    "p1_project",
+    """SELECT event_id, printf('%s,%.2f', event_type, value) AS msg
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        format_string("%s,%.2f", col("event_type"), col("value")).as("msg"))
+      .orderBy("event_id")
+  }
+
+  /** P2+P3+K1: CSV format -> split -> typed re-extraction round trip
+    * (ml_k_to_ss.py:65-66, col_mapping :9-14). Ints only in the line so the
+    * string rendering is engine-independent. */
+  val p2CsvRoundtrip = sql(
+    "p2_csv_roundtrip",
+    """SELECT CAST(parts[1] AS BIGINT) AS l_orderkey,
+      |       CAST(parts[2] AS INT)    AS l_linenumber,
+      |       CAST(parts[3] AS INT)    AS qty_int
+      |FROM (SELECT string_split(
+      |        concat_ws(',', l_orderkey, l_linenumber, CAST(l_quantity AS INT)),
+      |        ',') AS parts
+      |      FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(concat_ws(",", col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int")).as("line"))
+      .select(split(col("line"), ",").as("parts"))
+      .select(
+        element_at(col("parts"), 1).cast("long").as("l_orderkey"),
+        element_at(col("parts"), 2).cast("int").as("l_linenumber"),
+        element_at(col("parts"), 3).cast("int").as("qty_int"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P6: probability-of-predicted-class — element_at into an array by a
+    * row-dependent index (ml_k_to_ss.py:45-49). */
+  val p6ElementAt = sql(
+    "p6_element_at",
+    """SELECT event_id,
+      |       ([value, -value])[CAST(event_id % 2 AS INT) + 1] AS picked
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        element_at(array(col("value"), -col("value")),
+          (col("event_id") % 2).cast("int") + 1).as("picked"))
+      .orderBy("event_id")
+  }
+
+  /** P8: threshold filter pushed to the scan (detect.py:160-168). */
+  val p8Filter = sql(
+    "p8_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P2 (JSON flavor): parse events.props JSON and type the field. */
+  val pJsonParse = sql(
+    "p_json_parse",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- J-family
+
+  /** J1: stream-static lookup as a broadcast left-outer equi-join with an
+    * explicit miss sentinel (dl_k_to_ss.py:370-395; quirk Q4 fixed — the
+    * reference crashes on a miss, we emit 'not found'). The dimension is
+    * filtered to force ~10% misses so the sentinel path is exercised. */
+  val j1LookupJoin = sql(
+    "j1_lookup_join",
+    """SELECT o.o_orderkey,
+      |       coalesce(c.c_name, 'not found') AS cust_name,
+      |       o.o_totalprice
+      |FROM orders o
+      |LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 10 <> 0) c
+      |  ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+    val dim = Tables.customer(s, d).filter(col("c_custkey") % 10 =!= 0)
+    Tables.orders(s, d)
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("c_name"), lit("not found")).as("cust_name"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J2: nearest-centroid theta-join (dl_k_to_ss.py:337-344) generalized to
+    * k centroids: per-nation supplier acctbal centroids (tiny, broadcast),
+    * every customer assigned the centroid minimizing L1 distance.
+    * Deterministic tie-break on the centroid key. */
+  val j2NearestCentroid = sql(
+    "j2_nearest_centroid",
+    """WITH cent AS (
+      |  SELECT s_nationkey, round(avg(s_acctbal), 4) AS cent
+      |  FROM supplier GROUP BY s_nationkey
+      |), scored AS (
+      |  SELECT c.c_custkey, ct.s_nationkey AS near_nation,
+      |         row_number() OVER (PARTITION BY c.c_custkey
+      |                            ORDER BY abs(c.c_acctbal - ct.cent), ct.s_nationkey) AS rn
+      |  FROM customer c CROSS JOIN cent ct
+      |)
+      |SELECT c_custkey, near_nation FROM scored WHERE rn = 1
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cent = Tables.supplier(s, d)
+      .groupBy("s_nationkey").agg(round(avg("s_acctbal"), 4).as("cent"))
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(abs(col("c_acctbal") - col("cent")), col("s_nationkey"))
+    Tables.customer(s, d)
+      .crossJoin(broadcast(cent))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("s_nationkey").as("near_nation"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi: orders having any heavy lineitem (EXISTS). */
+  val j4Semi = sql(
+    "j4_semi_join",
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val heavy = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+    Tables.orders(s, d)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-anti: orders with no heavy lineitem (NOT EXISTS). */
+  val j5Anti = sql(
+    "j5_anti_join",
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val heavy = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+    Tables.orders(s, d)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- A-family
+
+  /** A1: exact group-by median (dl_k_to_ss.py:67-69 — pandas
+    * groupby().median(); Spark `median` and DuckDB `median` both interpolate
+    * (lo+hi)/2 for even counts, so raw doubles hash-match). */
+  val a1Median = sql(
+    "a1_median",
+    """SELECT c_mktsegment, median(c_acctbal) AS med_bal, count(*) AS n
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(median(col("c_acctbal")).as("med_bal"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** A2: histogram + normalize-to-1 (color/utils.py:6-17). */
+  val a2Histogram = sql(
+    "a2_histogram",
+    """SELECT event_type, count(*) AS cnt,
+      |       round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS share
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("share",
+        round(col("cnt") * lit(1.0) / sum("cnt").over(Window.partitionBy()), 4))
+      .orderBy("event_type")
+  }
+
+  /** A3: arg-max of a grouped aggregate (dl_k_to_ss.py:332-336) — per user,
+    * the event_type with the highest total value. Ties broken on type. */
+  val a3Argmax = sql(
+    "a3_argmax",
+    """WITH g AS (
+      |  SELECT user_id, event_type, round(sum(value), 4) AS tot
+      |  FROM events GROUP BY user_id, event_type
+      |), r AS (
+      |  SELECT user_id, event_type, tot,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY tot DESC, event_type) AS rn
+      |  FROM g
+      |)
+      |SELECT user_id, event_type AS top_type, tot FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val g = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(round(sum("value"), 4).as("tot"))
+    val w = Window.partitionBy("user_id").orderBy(col("tot").desc, col("event_type"))
+    g.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"), col("tot"))
+      .orderBy("user_id")
+  }
+
+  /** A6: global mean (preprocess.py:71-75). Non-terminating decimal → round4
+    * on a division of a 2-dp-sum by a count; boundary probability ~0. */
+  val a6GlobalMean = sql(
+    "a6_global_mean",
+    """SELECT round(sum(l_quantity), 2)                AS sum_qty,
+      |       count(*)                                 AS n,
+      |       round(sum(l_quantity) / count(*), 4)     AS mean_qty
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      count(lit(1)).as("n"),
+      round(sum("l_quantity") / count(lit(1)), 4).as("mean_qty"))
+  }
+
+  /** A7: precision/recall/F1-style conditional-count aggregate
+    * (evaluate.py:33-61): "detected" = qty>25, "truth" = discount>0.03. */
+  val a7Metrics = sql(
+    "a7_metrics",
+    """SELECT sum(CASE WHEN l_quantity > 25 AND l_discount > 0.03 THEN 1 ELSE 0 END) AS tp,
+      |       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)  AS detected,
+      |       sum(CASE WHEN l_discount > 0.03 THEN 1 ELSE 0 END) AS truth,
+      |       round(sum(CASE WHEN l_quantity > 25 AND l_discount > 0.03 THEN 1 ELSE 0 END) * 1.0
+      |             / sum(CASE WHEN l_discount > 0.03 THEN 1 ELSE 0 END), 4) AS recall
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val tp = sum(when(col("l_quantity") > 25 && col("l_discount") > 0.03, 1).otherwise(0))
+    val det = sum(when(col("l_quantity") > 25, 1).otherwise(0))
+    val tru = sum(when(col("l_discount") > 0.03, 1).otherwise(0))
+    li.agg(tp.as("tp"), det.as("detected"), tru.as("truth"),
+      round(tp * lit(1.0) / tru, 4).as("recall"))
+  }
+
+  /** Headline pricing summary (TPC-H Q1 shape): full A-family partial-agg
+    * pipeline — map-side combine on 4 running sums + counts, one shuffle on
+    * the tiny (flag,status) key space. */
+  val q1Agg = sql(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2)                               AS sum_qty,
+      |       round(sum(l_extendedprice), 2)                          AS sum_base,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4)       AS sum_disc,
+      |       round(sum(l_quantity) / count(*), 4)                    AS avg_qty,
+      |       count(*)                                                AS n
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+        round(sum("l_quantity") / count(lit(1)), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Headline join-aggregate (TPC-H Q5 shape): revenue per nation through a
+    * customer->orders->lineitem chain with broadcast dimensions. */
+  val q3RevenueByNation = sql(
+    "q3_revenue_by_nation",
+    """SELECT n.n_name,
+      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------- T-family
+
+  /** T1/T2-style top-k per group: top 3 customers by acctbal per segment —
+    * one shuffle on the group key, rank inside the partition (no global
+    * sort; at 100 TB this is the only scalable top-k shape). */
+  val t1TopK = sql(
+    "t1_topk_per_group",
+    """SELECT c_mktsegment, c_custkey, c_acctbal
+      |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+      |             row_number() OVER (PARTITION BY c_mktsegment
+      |                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |      FROM customer)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** T2/T4: max-by per key with deterministic tie-break (detect.py:114-138 —
+    * max-area box selection): per order, the heaviest lineitem. */
+  val t2MaxBy = sql(
+    "t2_maxby",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+      |             row_number() OVER (PARTITION BY l_orderkey
+      |                                ORDER BY l_quantity DESC, l_linenumber) AS rn
+      |      FROM lineitem)
+      |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_quantity").desc, col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey")
+  }
+
+  /** Windowed running aggregate (beyond-reference analytics): per-user
+    * running total of event values in time order. */
+  val w1Running = sql(
+    "w1_running_sum",
+    """SELECT event_id, user_id,
+      |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING), 4) AS running
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 4).as("running"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ------------------------------------------------------------ set ops / K
+
+  /** Union of filtered subsets (extractor.py:70-78 concat pattern). */
+  val u1Union = sql(
+    "u1_union",
+    """SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 300000
+      |UNION ALL
+      |SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 30000
+      |ORDER BY o_orderkey, bucket""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), lit("hi").as("bucket"))
+      .unionAll(
+        o.filter(col("o_totalprice") < 30000)
+          .select(col("o_orderkey"), lit("lo").as("bucket")))
+      .orderBy("o_orderkey", "bucket")
+  }
+
+  /** K2: group-to-array then explode (flatten) round trip
+    * (dl_k_to_ss.py:397-415 flattens per-image player lists). */
+  val k2Explode = sql(
+    "k2_explode",
+    """SELECT user_id, unnest(l) AS et
+      |FROM (SELECT user_id, list_sort(list(event_type)) AS l
+      |      FROM events GROUP BY user_id)
+      |ORDER BY user_id, et""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list("event_type")).as("l"))
+      .select(col("user_id"), explode(col("l")).as("et"))
+      .orderBy("user_id", "et")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    p1Project, p2CsvRoundtrip, p6ElementAt, p8Filter, pJsonParse,
+    j1LookupJoin, j2NearestCentroid, j4Semi, j5Anti,
+    a1Median, a2Histogram, a3Argmax, a6GlobalMean, a7Metrics,
+    q1Agg, q3RevenueByNation,
+    t1TopK, t2MaxBy, w1Running,
+    u1Union, k2Explode)
+}
