@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.sql
+
+/** Text-analysis + deduplication operators over the `documents` table — the
+  * training-data-pipeline surface (builder prompt): token counting, quality
+  * scoring, language-ID heuristics, fingerprinting, exact dedup,
+  * n-gram-Jaccard near-dup, MinHash+LSH, SimHash.
+  *
+  * Cross-engine determinism: every hash primitive is `md5` (bit-identical in
+  * Spark and DuckDB); MinHash is the lexicographic MIN of seeded md5 hex
+  * strings; SimHash bits come from md5 hex-digit arithmetic — no engine
+  * hash functions (Spark murmur3 vs DuckDB hash would never match).
+  *
+  * Scale notes (100 TB): all dedup is expressed as explode → shuffle on the
+  * shingle/band/hash key → aggregate. Nothing is O(n²) over documents:
+  * n-gram Jaccard joins on the inverted shingle index, MinHash-LSH joins on
+  * band buckets. These are the standard linear-in-corpus patterns.
+  */
+object TextOps {
+
+  /** Token counting + quality scoring (length/distinct/word-length ratios).
+    * All ratios are exact same-double divisions on both engines. */
+  val textStats = sql(
+    "text_stats",
+    """SELECT doc_id,
+      |       length(text) AS n_chars_obs,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |       round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |             / len(string_split(text, ' ')), 4) AS distinct_ratio,
+      |       round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+      |             / len(string_split(text, ' ')), 4) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = split(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_obs"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      round(size(array_distinct(t)) * lit(1.0) / size(t), 4).as("distinct_ratio"),
+      round((length(col("text")) - size(t) + 1) * lit(1.0) / size(t), 4).as("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: stopword-frequency scoring (the classic n-gram /
+    * stopword-profile approach, degenerate here because the synthetic corpus
+    * shares one vocabulary — the *operator* is what's exercised). */
+  val textLangId = sql(
+    "text_langid",
+    """SELECT doc_id, lang,
+      |       len(list_filter(string_split(text, ' '), x -> x = 'the')) AS n_the,
+      |       len(list_filter(string_split(text, ' '), x -> x = 'a'))   AS n_a,
+      |       CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'the'))
+      |                 > len(list_filter(string_split(text, ' '), x -> x = 'a'))
+      |            THEN 'en' ELSE 'other' END AS pred_lang
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = split(col("text"), " ")
+    val nThe = size(filter(t, _ === "the"))
+    val nA = size(filter(t, _ === "a"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      nThe.as("n_the"), nA.as("n_a"),
+      when(nThe > nA, "en").otherwise("other").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct-token set — the
+    * canonical "same bag of words" key for fuzzy-exact dedup. */
+  val textFingerprint = sql(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |         AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup: hash-groupBy keeping the smallest doc_id per content hash.
+    * The corpus has no literal dupes, so we union it with itself to force
+    * every group to size 2 — the keep/drop logic is what's verified. */
+  val dedupExact = sql(
+    "dedup_exact",
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      |GROUP BY md5(text) ORDER BY keep_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    docs.unionAll(docs)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  /** Word-3-gram shingle set per document (distinct), as an inverted index:
+    * (doc_id, shingle). Shared building block for Jaccard + MinHash. */
+  private def shingles(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val t = split(col("text"), " ")
+    Tables.documents(s, d)
+      .filter(size(t) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(split(text, ' ')) - 3), " +
+            "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))")))
+          .as("sh"))
+  }
+
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS sh
+      |       FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs via the inverted shingle index: join on
+    * shingle → count common → |A∪B| from per-doc sizes. Linear in corpus
+    * size + output pairs; never materializes the n² pair space. */
+  val dedupNgramJaccard = sql(
+    "dedup_ngram_jaccard",
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT da, db, common,
+       |       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("da", "sh")
+    val b = sh.toDF("db", "sh")
+    val pairs = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+    pairs
+      .join(sizes.toDF("doc_id", "na"), col("da") === col("doc_id")).drop("doc_id")
+      .join(sizes.toDF("doc_id", "nb"), col("db") === col("doc_id")).drop("doc_id")
+      .filter(jac >= 0.8)
+      .select(col("da"), col("db"), col("common"), round(jac, 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.8
+
+  /** MinHash signatures: mh_j = lexicographic min of md5("j:" ++ shingle)
+    * over the doc's shingle set; bands are md5 over consecutive signature
+    * pairs. Pure SQL-portable (string-min over md5 hex). */
+  val dedupMinhashSig = sql(
+    "dedup_minhash_sig", {
+      val mhs = (0 until NumHashes)
+        .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(",\n       ")
+      val bands = (0 until NumHashes / BandSize)
+        .map(b => s"md5(mh${2 * b} || mh${2 * b + 1}) AS band$b").mkString(", ")
+      s"""WITH $shinglesSql,
+         |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id)
+         |SELECT doc_id, $bands FROM sig ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val sig = shingles(s, d)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0:"), col("sh")))).as("mh0"),
+        (1 until NumHashes).map(j =>
+          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"mh$j")): _*)
+    val bandCols = (0 until NumHashes / BandSize).map(b =>
+      md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as(s"band$b"))
+    sig.select(col("doc_id") +: bandCols: _*).orderBy("doc_id")
+  }
+
+  /** MinHash-LSH candidate pairs: long-format (band_idx, band_val) → bucket
+    * self-join → distinct pairs. The shuffle key is the band bucket — the
+    * standard linear-scale LSH join. */
+  val dedupMinhashPairs = sql(
+    "dedup_minhash_pairs", {
+      val mhs = (0 until NumHashes)
+        .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(",\n       ")
+      val bandRows = (0 until NumHashes / BandSize)
+        .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS v FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $shinglesSql,
+         |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows
+         |)
+         |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.v = b.v AND a.doc_id < b.doc_id
+         |ORDER BY da, db""".stripMargin
+    }) { (s, d) =>
+    val sig = shingles(s, d)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0:"), col("sh")))).as("mh0"),
+        (1 until NumHashes).map(j =>
+          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"mh$j")): _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until NumHashes / BandSize).map(b =>
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*))
+        .as(Seq("band_idx", "v")))
+    val a = bands.toDF("da", "band_idx", "v")
+    val b = bands.toDF("db", "band_idx", "v")
+    a.join(b, Seq("band_idx", "v")).filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+      .orderBy("da", "db")
+  }
+
+  private val SimhashBits = 16
+
+  /** SimHash (16-bit): per-token hash bits from the first 4 md5 hex digits;
+    * signature bit j is the sign of Σ_tokens (2·bit_j − 1). At scale the
+    * near-dup search over signatures is banded exactly like MinHash-LSH;
+    * here the signature computation itself is the oracle-checked operator.
+    * The hex→int arithmetic uses only position/substr/floor/% so the same
+    * formula runs on both engines.
+    */
+  val dedupSimhash = sql(
+    "dedup_simhash", {
+      val sums = (0 until SimhashBits)
+        .map(j => s"sum(CASE WHEN CAST(floor(v16 / ${1 << j}) AS INT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n         ")
+      val bits = (0 until SimhashBits)
+        .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |vals AS (SELECT doc_id,
+         |    (position(substr(md5(tok), 1, 1) IN '0123456789abcdef') - 1) * 4096
+         |  + (position(substr(md5(tok), 2, 1) IN '0123456789abcdef') - 1) * 256
+         |  + (position(substr(md5(tok), 3, 1) IN '0123456789abcdef') - 1) * 16
+         |  + (position(substr(md5(tok), 4, 1) IN '0123456789abcdef') - 1) AS v16
+         |  FROM toks),
+         |sums AS (SELECT doc_id,
+         |         $sums
+         |         FROM vals GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val hexVal = (i: Int) =>
+      (expr(s"position(substr(md5(tok), $i, 1) IN '0123456789abcdef')") - 1)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vals = toks.select(col("doc_id"),
+      (hexVal(1) * 4096 + hexVal(2) * 256 + hexVal(3) * 16 + hexVal(4)).as("v16"))
+    val sums = vals.groupBy("doc_id").agg(
+      sum(when(floor(col("v16") / (1 << 0)).cast("int") % 2 === 1, 1).otherwise(-1)).as("s0"),
+      (1 until SimhashBits).map(j =>
+        sum(when(floor(col("v16") / (1 << j)).cast("int") % 2 === 1, 1).otherwise(-1)).as(s"s$j")): _*)
+    val simhash = (0 until SimhashBits)
+      .map(j => when(col(s"s$j") > 0, 1 << j).otherwise(0))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    textStats, textLangId, textFingerprint,
+    dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs, dedupSimhash)
+}
