@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.sql
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Cross-engine float discipline: dot products are sequential left folds in
+  * index order on BOTH engines — Spark `aggregate(zip_with(a,b,*), 0.0, +)`
+  * and DuckDB `list_reduce(list_transform(list_zip(a,b), *), +)` perform the
+  * identical IEEE op sequence (fold of double products, ascending index), so
+  * cosines are bit-identical and safe to sort on and round.
+  *
+  * Scale notes (100 TB): brute-force top-k is one broadcast of the query
+  * vector + a map-side partial top-k (TakeOrderedAndProject — no full sort).
+  * The scale path is IVF: assign every vector to its nearest coarse-centroid
+  * cell (here the label-centroids double as the codebook), then restrict
+  * search/near-dup joins to within-cell candidates, turning the O(n²) pair
+  * space into per-bucket blocks exactly like MinHash-LSH does for text.
+  */
+object Similarity {
+
+  /** dot(a,b) as a strictly-sequential double fold — Spark side. */
+  private def dotCol(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** dot(a,b) — DuckDB side, same op order. */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+
+  /** Brute-force cosine top-k against a fixed query vector (vec_id = 0). */
+  val simTopK = sql(
+    "sim_topk_cosine",
+    s"""WITH qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id,
+       |       round(${dotSql("embedding", "qv")}
+       |             / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |FROM embeddings, qr
+       |WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotCol("embedding", "qv")
+          / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("qv", "qv"))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF assignment: nearest label-centroid per vector by squared-L2.
+    * Centroids are per-(label, dim) means rounded to 4 dp BEFORE the
+    * distance step, so downstream arithmetic is identical on both engines
+    * regardless of each engine's mean-accumulation order. */
+  val simIvfAssign = sql(
+    "sim_ivf_assign",
+    """WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+      |                   generate_subscripts(embedding, 1) AS pos
+      |            FROM embeddings),
+      |cex AS (SELECT label, unnest(embedding) AS x,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings),
+      |cent AS (SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c
+      |         FROM cex GROUP BY label, pos),
+      |dists AS (SELECT e.vec_id, ct.label,
+      |                 sum((CAST(e.x AS DOUBLE) - ct.c) * (CAST(e.x AS DOUBLE) - ct.c)) AS dist
+      |          FROM ex e JOIN cent ct ON e.pos = ct.pos
+      |          GROUP BY e.vec_id, ct.label),
+      |ranked AS (SELECT vec_id, label,
+      |                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
+      |           FROM dists)
+      |SELECT vec_id, label AS cell FROM ranked WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val ex = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+    val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .groupBy("label", "pos0")
+      .agg(round(avg(col("x").cast("double")), 4).as("c"))
+    val diff = col("x").cast("double") - col("c")
+    val dists = ex.join(broadcast(cent), "pos0")
+      .groupBy("vec_id", "label")
+      .agg(sum(diff * diff).as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("label"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("cell"))
+      .orderBy("vec_id")
+  }
+
+  /** Embedding-cosine near-dup pairs, bucket-bounded: candidate pairs only
+    * within the same label cell (the IVF bucket), cosine >= 0.35. This is
+    * the within-bucket block join — linear in Σ bucket², not corpus². */
+  val simNearDup = sql(
+    "sim_neardup_pairs",
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+       |                  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings)
+       |SELECT a.vec_id AS da, b.vec_id AS db,
+       |       round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val n = emb.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(dotCol("embedding", "embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("da"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("db"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val cos = dotCol("ea", "eb") / (col("na") * col("nb"))
+    a.join(b, Seq("label")).filter(col("da") < col("db"))
+      .filter(cos >= 0.35)
+      .select(col("da"), col("db"), round(cos, 4).as("cos"))
+      .orderBy("da", "db")
+  }
+
+  val defs: Seq[QueryDef] = Seq(simTopK, simIvfAssign, simNearDup)
+}
