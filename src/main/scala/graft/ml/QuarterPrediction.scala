@@ -1,0 +1,117 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.{OneHotEncoder, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Quarter-prediction ML pipeline — the Spark-native rebuild of the
+  * reference's `quarter_prediction/ml_model.py` (train) and
+  * `ml_k_to_ss.py` (score).
+  *
+  * Capability parity, Spark-first:
+  *  - same stage chain: one-hot encode the categorical `enemyStyle`
+  *    (ml_model.py:10-13) → assemble features (ml_model.py:19-23) →
+  *    RandomForest maxDepth=6, numTrees=14, entropy (ml_model.py:25);
+  *  - quirks fixed with documented divergence (SURVEY §2.8): Q1/Q2 — the
+  *    reference re-loads and re-FITS the encoder on every micro-batch; we
+  *    fit once and persist the fitted `PipelineModel` (MLWritable), loaded
+  *    once per process;
+  *  - Q3/Q5 — output is the probability OF the predicted class
+  *    (ml_k_to_ss.py:45-49) in the `"{pred},{prob}"` message format
+  *    (ml_k_to_ss.py:51), probability rounded to 2 dp at the notifier edge
+  *    (ml_IFTTT.py:15).
+  *
+  * Scale: training is MLlib's distributed RF; scoring is a single
+  * narrow-map model transform — no shuffle, streams through 100 TB.
+  */
+object QuarterPrediction {
+
+  val featureCols: Seq[String] = Seq(
+    "teamNumber", "enemyNumber", "fastBreak", "restrictedNumber",
+    "perimeterNumber", "threeNumber", "freethrowNumber", "assist",
+    "steal", "block", "foul", "turnover", "enemyPeriodScore")
+  val categoricalCol = "enemyStyle"
+  val labelCol = "winPeriod"
+  val Seed = 42L
+
+  /** The reference's 15-int stream schema (FIXTURES.md A1), derived here
+    * deterministically from the synthetic `lineitem`/`orders` tables so the
+    * pipeline runs on driver-provided inputs at any scale factor. */
+  def trainingFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    li.groupBy("l_orderkey").agg(
+      (max("l_partkey") % 3).cast("int").as(categoricalCol),
+      sum("l_quantity").cast("int").as("teamNumber"),
+      (sum("l_quantity") % 19).cast("int").as("enemyNumber"),
+      count(lit(1)).cast("int").as("fastBreak"),
+      (sum("l_linenumber") % 7).cast("int").as("restrictedNumber"),
+      (max("l_suppkey") % 11).cast("int").as("perimeterNumber"),
+      (min("l_partkey") % 5).cast("int").as("threeNumber"),
+      (sum("l_partkey") % 6).cast("int").as("freethrowNumber"),
+      (max("l_linenumber")).cast("int").as("assist"),
+      (min("l_suppkey") % 4).cast("int").as("steal"),
+      (sum("l_suppkey") % 3).cast("int").as("block"),
+      (max("l_quantity") % 8).cast("int").as("foul"),
+      (min("l_quantity") % 9).cast("int").as("turnover"),
+      (sum("l_extendedprice") % 30).cast("int").as("enemyPeriodScore"))
+      .join(o.select(col("o_orderkey"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn(labelCol, (col("o_totalprice") > 150000).cast("int"))
+      .drop("o_orderkey", "o_totalprice")
+      .withColumnRenamed("l_orderkey", "rowId")
+  }
+
+  /** Fit the full pipeline (fitted encoder persisted — Q1 fixed). */
+  def train(df: DataFrame): PipelineModel = {
+    val ohe = new OneHotEncoder()
+      .setInputCols(Array(categoricalCol))
+      .setOutputCols(Array(s"${categoricalCol}_classVec"))
+    val assembler = new VectorAssembler()
+      .setInputCols((featureCols :+ s"${categoricalCol}_classVec").toArray)
+      .setOutputCol("features")
+    val rf = new RandomForestClassifier()
+      .setLabelCol(labelCol)
+      .setFeaturesCol("features")
+      .setMaxDepth(6)
+      .setNumTrees(14)
+      .setImpurity("entropy")
+      .setSeed(Seed)
+    new Pipeline().setStages(Array(ohe, assembler, rf)).fit(df)
+  }
+
+  /** Score and project the reference's observable output: prediction,
+    * probability-of-predicted-class (Q3), and the "{pred},{prob}" message
+    * (Q5), prob rounded 2 dp as at the notifier edge. */
+  def score(model: PipelineModel, df: DataFrame): DataFrame = {
+    val probOfPred = element_at(
+      vector_to_array(col("probability")), col("prediction").cast("int") + 1)
+    model.transform(df)
+      .withColumn("prob", probOfPred)
+      .withColumn("msg",
+        concat_ws(",", col("prediction").cast("int"), round(col("prob"), 2)))
+      .drop("features", s"${categoricalCol}_classVec", "rawPrediction", "probability")
+  }
+
+  /** AUC on a scored frame (ml_model.py:31-33, the intended metric). */
+  def auc(scored: DataFrame): Double =
+    new BinaryClassificationEvaluator()
+      .setLabelCol(labelCol)
+      .setRawPredictionCol("prediction")
+      .evaluate(scored)
+
+  /** End-to-end: train on the sfDir tables, score the same frame, emit the
+    * observable columns. Deterministic under the fixed seed. */
+  def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = trainingFrame(spark, sfDir)
+    val model = train(df)
+    score(model, df)
+      .select("rowId", "winPeriod", "prediction", "prob", "msg")
+      .orderBy("rowId")
+  }
+}
