@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.rowsOnly
+import graft.cv.PlayerIdent.{Image, StubDecoder}
+
+/** Multimodal-column operators: image/audio/video as opaque `binary`
+  * columns + typed metadata structs, with decode / feature-extract /
+  * resize / frame-sample as batch-shaped partition transforms.
+  *
+  * The Spark-side plumbing — schema, partition batching, column shapes — is
+  * real and tested; the codec inner step is STUBBED (deterministic fake
+  * decode, clearly marked) because no image/audio library exists in this
+  * zero-egress container. A production deployment swaps `StubDecoder` for a
+  * JNI/javax.imageio decoder without touching any plan shape.
+  *
+  * Scale notes: every op is a narrow map (no shuffle); `mapPartitions`
+  * amortizes per-batch setup (model/codec init) exactly like Python's
+  * mapInPandas batches would — the idiomatic Scala equivalent.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, nBytes: Long, format: String)
+  final case class MediaRow(id: Long, content: Array[Byte])
+  final case class MetaOut(id: Long, width: Int, height: Int, nBytes: Long, format: String)
+  final case class FeatureOut(id: Long, dim: Int, features: Array[Float])
+  final case class FrameOut(id: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** Decode + metadata extraction, batched per partition (codec init happens
+    * once per partition, not per row — the mapInPandas batch-shape). */
+  def imageMeta(media: Dataset[MediaRow]): Dataset[MetaOut] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = StubDecoder // per-partition codec init seam
+      rows.flatMap { r =>
+        decoder.decode(r.content).map(img =>
+          MetaOut(r.id, img.w, img.h,
+            if (r.content == null) 0L else r.content.length.toLong, "stub-rgb"))
+      }
+    }
+  }
+
+  /** Feature extraction: binary → fixed-dim float embedding. The embedding
+    * math is a deterministic stub (mean-pooled pixel statistics); the
+    * output column shape (`array<float>` of fixed dim) is the real contract
+    * feeding the Similarity operators. */
+  def imageFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureOut] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = StubDecoder
+      rows.flatMap { r =>
+        decoder.decode(r.content).map { img =>
+          val f = new Array[Float](dim)
+          var i = 0
+          while (i < img.pixels.length) {
+            f(i % dim) += (img.pixels(i) & 0xff) / 255.0f
+            i += 1
+          }
+          var j = 0
+          while (j < dim) { f(j) /= (img.pixels.length / dim.toFloat); j += 1 }
+          FeatureOut(r.id, dim, f)
+        }
+      }
+    }
+  }
+
+  /** Resize: real box-filter downsample over the (stub-)decoded pixels —
+    * the pixel math is genuine; only the byte→pixel codec is the stub. */
+  def resize(img: Image, ow: Int, oh: Int): Image = {
+    val out = new Array[Int](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val x0 = ox * img.w / ow; val x1 = math.max(x0 + 1, (ox + 1) * img.w / ow)
+        val y0 = oy * img.h / oh; val y1 = math.max(y0 + 1, (oy + 1) * img.h / oh)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.pixels(y * img.w + x)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(oy * ow + ox) = (((r / n).toInt & 0xff) << 16) | (((g / n).toInt & 0xff) << 8) | ((b / n).toInt & 0xff)
+        ox += 1
+      }
+      oy += 1
+    }
+    Image(ow, oh, out)
+  }
+
+  /** Frame sampling: treat the binary as an n-frame container and emit k
+    * evenly-spaced frames (video decode is the stub seam; the explode
+    * shape — one row in, k rows out — is the real plumbing). */
+  def sampleFrames(media: Dataset[MediaRow], k: Int = 3): Dataset[FrameOut] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (r.content == null || r.content.isEmpty) Iterator.empty
+      else {
+        val n = math.max(1, r.content.length / 16) // stub: 16 bytes / "frame"
+        (0 until k).iterator.map { i =>
+          val idx = (i.toLong * n / k).toInt
+          val from = idx * 16
+          FrameOut(r.id, idx, r.content.slice(from, math.min(from + 16, r.content.length)))
+        }
+      }
+    }
+  }
+
+  /** Declared query: metadata + 16-dim features for every document payload
+    * (rows-only — stub decode is not SQL-expressible). */
+  val mmImageFeatures = rowsOnly("mm_image_features") { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+    val meta = imageMeta(media).toDF()
+    val feats = imageFeatures(media).toDF()
+      .select(col("id"), col("dim"),
+        round(element_at(col("features"), 1), 4).as("f0"))
+    meta.join(feats, "id").orderBy("id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mmImageFeatures)
+}

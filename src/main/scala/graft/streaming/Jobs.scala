@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.cv.PlayerIdent
+import graft.ml.QuarterPrediction
+
+/** Structured Streaming rebuilds of the reference's two streaming jobs plus
+  * the windowed/stateful semantics the reference lacks (SURVEY §1.3: it is
+  * stateless 1 s micro-batches with no watermarks — Structured Streaming
+  * gives us checkpointed exactly-once, event-time windows and state for
+  * free).
+  *
+  * Each job is a pure `DataFrame => DataFrame` transform: the SAME plan runs
+  * in batch or with `readStream`/`writeStream` — that is the Spark-first
+  * replacement for the reference's hand-rolled per-batch `transform()`
+  * (ml_k_to_ss.py:67). In production the source/sink are Kafka
+  * (`format("kafka")`, topics ml_input/ml_output, dl_input/dl_output as in
+  * ml_k_to_ss.py:63 and dl_k_to_ss.py:429); no Kafka connector ships in
+  * this container, so tests drive the transforms with MemoryStream — the
+  * transform itself is identical either way.
+  */
+object Jobs {
+
+  /** The 15-int CSV schema of the quarter-stats stream (FIXTURES.md A1,
+    * ml_k_to_ss.py:9-14 col_mapping). */
+  val quarterSchema: StructType = StructType(
+    (QuarterPrediction.categoricalCol +:
+      QuarterPrediction.featureCols :+ QuarterPrediction.labelCol)
+      .map(StructField(_, IntegerType)))
+
+  /** Quarter-prediction stream transform: CSV line → typed row (P2/P3) →
+    * load-once model score (Q2 fixed) → "{pred},{prob}" message (Q3/Q5).
+    * Input: a `value: String` column (the Kafka value projection P1). */
+  def quarterPrediction(model: PipelineModel)(lines: DataFrame): DataFrame = {
+    val parsed = lines
+      .select(from_csv(col("value"), quarterSchema,
+        Map.empty[String, String]).as("r"))
+      .select(col("r.*"))
+    QuarterPrediction.score(model, parsed)
+      .select(col("prediction"), col("prob"), col("msg").as("value"))
+  }
+
+  /** Player-identification stream transform: binary image → detections →
+    * broadcast stats lookup → "{team},{num},{score},{reb},{ast}" message
+    * (dl_k_to_ss.py:397-415, K2). Input: `value: Binary` column. */
+  def playerIdentification(stats: DataFrame, cfg: PlayerIdent.Config = PlayerIdent.Config())(
+      images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    PlayerIdent.pipeline(spark, images, "value", stats, cfg)
+      .select(concat_ws(",",
+        col("team"), col("num"),
+        coalesce(col("score").cast("string"), lit("player not found")),
+        col("reb"), col("ast")).as("value"))
+  }
+
+  /** Event-time windowed aggregation with watermark (beyond-reference):
+    * 5-minute tumbling windows of event counts/value sums per type, late
+    * data bounded at 10 minutes. Input needs `ts_micros`/`event_type`/
+    * `value` (Tables.events shape). */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_micros", "10 minutes")
+      .groupBy(window(col("ts_micros"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  final case class Event(userId: Long, tsMicros: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class SessionOut(userId: Long, start: Long, end: Long, n: Int, total: Double)
+
+  /** Custom stateful operator (mapGroupsWithState): per-user session
+    * aggregation with a 30-minute inactivity gap, emitted on timeout.
+    * The reference has no stateful streaming at all; this is the
+    * KeyValueGroupedDataset state surface the prompt requires. */
+  def sessionize(events: Dataset[Event],
+      gapMicros: Long = 30L * 60 * 1000000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(_.tsMicros)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.tsMicros - st.last > gapMicros =>
+                closed += SessionOut(userId, st.start, st.last, st.n, st.total)
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+              case Some(st) =>
+                cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, total = st.total + e.value))
+              case None =>
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+        })
+  }
+
+  /** Run any streaming transform to completion over a bounded source using
+    * the memory sink; returns the collected result. Test/demo harness —
+    * production uses writeStream.format("kafka") + checkpointLocation.
+    * Aggregations under watermark need Complete/Update to observe
+    * still-open windows; stateless transforms use Append. */
+  def runToMemory(spark: SparkSession, out: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.ml.QuarterPrediction
+import graft.streaming.Jobs
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Tables.localSession("streaming-spec", cores = 8)
+  val sf = "/root/testdata/sf0.001"
+
+  test("quarter prediction: identical plan runs batch AND streaming (the Spark-first bridge)") {
+    import spark.implicits._
+    val model = QuarterPrediction.train(QuarterPrediction.trainingFrame(spark, sf))
+    // two reference-shaped CSV lines (FIXTURES.md A1 sample)
+    val lines = Seq(
+      "2,11,7,2,6,2,2,4,2,2,0,2,3,7,1",
+      "0,8,9,0,1,2,3,0,0,0,2,3,2,13,1")
+
+    // batch
+    val batchOut = Jobs.quarterPrediction(model)(lines.toDF("value")).collect()
+    assert(batchOut.length == 2)
+    batchOut.foreach(r => assert(r.getAs[String]("value").matches("""\d+,\d+(\.\d+)?""")))
+
+    // streaming via MemoryStream — same transform function
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(lines: _*)
+    val streamOut = Jobs.runToMemory(spark,
+      Jobs.quarterPrediction(model)(mem.toDF().toDF("value")), "qp_stream")
+    assert(streamOut.count() == 2)
+    // identical results in both execution modes
+    assert(streamOut.select("value").collect().map(_.getString(0)).sorted.toSeq ==
+      batchOut.map(_.getAs[String]("value")).sorted.toSeq)
+  }
+
+  test("player identification stream emits K2-format messages") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stats = Seq(("team_a", 6, 10.0, 5.0, 2.0), ("team_b", 6, 8.0, 4.0, 1.0))
+      .toDF("team", "num", "score", "reb", "ast")
+    val mem = MemoryStream[Array[Byte]]
+    mem.addData((1 to 8).map(i => s"synthetic image payload $i".getBytes): _*)
+    val out = Jobs.runToMemory(spark,
+      Jobs.playerIdentification(stats)(mem.toDF().toDF("value")), "pi_stream")
+    val msgs = out.collect().map(_.getString(0))
+    assert(msgs.nonEmpty)
+    msgs.foreach(m => assert(m.split(",").length == 5 || m.contains("player not found")))
+  }
+
+  test("windowed aggregation with watermark over the events table") {
+    val events = Tables.events(spark, sf)
+    // batch execution of the same windowed plan (streaming parity by construction)
+    val out = Jobs.windowedEventCounts(events)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq == Seq("win_start", "event_type", "n", "total"))
+
+    // and genuinely streaming, file-source driven (the source needs a
+    // directory; raw file schema has ts as nanos long, ts_micros derived)
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("evstream")
+    Files.copy(Path.of(s"$sf/events.parquet"), dir.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(events.drop("ts_micros").schema)
+      .parquet(dir.toString)
+      .withColumn("ts_micros",
+        org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+      .transform(Jobs.windowedEventCounts)
+    val got = Jobs.runToMemory(spark, streamed, "win_stream", OutputMode.Complete)
+    assert(got.count() == out.count())
+  }
+
+  test("stateful sessionization with mapGroupsWithState") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val gap = 30L * 60 * 1000000
+    val mem = MemoryStream[Jobs.Event]
+    mem.addData(
+      Jobs.Event(1, 0, 1.0), Jobs.Event(1, 1000000, 2.0),          // session 1
+      Jobs.Event(1, gap * 2, 5.0),                                  // session 2 (1 closes)
+      Jobs.Event(2, 0, 7.0))                                        // other user, stays open
+    val sessions = Jobs.sessionize(mem.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("sessions").as[Jobs.SessionOut].collect()
+    assert(closed.length == 1)
+    assert(closed.head.userId == 1 && closed.head.n == 2 && closed.head.total == 3.0)
+  }
+}
