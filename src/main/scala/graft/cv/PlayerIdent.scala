@@ -181,10 +181,17 @@ object PlayerIdent {
   /** Dominant jersey color of the torso crop via per-image k-means(5)
     * (dl_k_to_ss.py:323-336) → L1-nearest team (J2, :337-344). */
   def teamByColor(img: Image, crop: Box, cfg: Config): String = {
-    val ys = math.max(0, crop.y1) until math.min(img.h, crop.y2)
-    val xs = math.max(0, crop.x1) until math.min(img.w, crop.x2)
-    val px = (for { y <- ys; x <- xs } yield img.pixels(y * img.w + x)).toArray
-    if (px.isEmpty) return cfg.teams.head._1
+    val y0 = math.max(0, crop.y1); val y1 = math.min(img.h, crop.y2)
+    val x0 = math.max(0, crop.x1); val x1 = math.min(img.w, crop.x2)
+    val n = math.max(0, y1 - y0) * math.max(0, x1 - x0)
+    if (n == 0) return cfg.teams.head._1
+    val px = new Array[Int](n)
+    var i = 0; var y = y0
+    while (y < y1) {
+      var x = x0
+      while (x < x1) { px(i) = img.pixels(y * img.w + x); i += 1; x += 1 }
+      y += 1
+    }
     val (cent, assign) = kmeansRgb(px, 5)
     val dom = cent(dominantLabel(assign, cent.length))
     val rgb = (dom._1.round.toInt, dom._2.round.toInt, dom._3.round.toInt)

@@ -108,7 +108,7 @@ object QuarterPrediction {
   /** End-to-end: train on the sfDir tables, score the same frame, emit the
     * observable columns. Deterministic under the fixed seed. */
   def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = trainingFrame(spark, sfDir)
+    val df = trainingFrame(spark, sfDir).cache() // RF fit passes over it repeatedly
     val model = train(df)
     score(model, df)
       .select("rowId", "winPeriod", "prediction", "prob", "msg")

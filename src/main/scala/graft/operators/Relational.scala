@@ -200,10 +200,14 @@ object Relational {
     """SELECT event_type, count(*) AS cnt,
       |       round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS share
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-    Tables.events(s, d)
+    // global total via broadcast scalar, not an unpartitioned window (which
+    // would single-partition the data at scale)
+    val counts = Tables.events(s, d)
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
-      .withColumn("share",
-        round(col("cnt") * lit(1.0) / sum("cnt").over(Window.partitionBy()), 4))
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt") * lit(1.0) / col("total"), 4))
+      .drop("total")
       .orderBy("event_type")
   }
 

@@ -100,13 +100,14 @@ object TextOps {
   /** Word-3-gram shingle set per document (distinct), as an inverted index:
     * (doc_id, shingle). Shared building block for Jaccard + MinHash. */
   private def shingles(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val t = split(col("text"), " ")
+    // tokenize ONCE per row (a naive transform over split(text) re-runs the
+    // regex split per shingle — ~200 splits/doc), then slide the window.
     Tables.documents(s, d)
-      .filter(size(t) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(expr(
-          "transform(sequence(0, size(split(text, ' ')) - 3), " +
-            "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))")))
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
           .as("sh"))
   }
 
@@ -151,13 +152,15 @@ object TextOps {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.8
 
-  /** MinHash signatures: mh_j = lexicographic min of md5("j:" ++ shingle)
-    * over the doc's shingle set; bands are md5 over consecutive signature
-    * pairs. Pure SQL-portable (string-min over md5 hex). */
+  /** MinHash signatures: one md5 per shingle, sliced into 8 disjoint 4-hex
+    * (16-bit) windows — md5 bits are independent, so the windows act as 8
+    * independent hash permutations at 1/8 the hashing cost. mh_j is the
+    * lexicographic min of window j over the doc's shingle set; bands are
+    * md5 over consecutive signature pairs. */
   val dedupMinhashSig = sql(
     "dedup_minhash_sig", {
       val mhs = (0 until NumHashes)
-        .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(",\n       ")
+        .map(j => s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j").mkString(",\n       ")
       val bands = (0 until NumHashes / BandSize)
         .map(b => s"md5(mh${2 * b} || mh${2 * b + 1}) AS band$b").mkString(", ")
       s"""WITH $shinglesSql,
@@ -165,11 +168,12 @@ object TextOps {
          |SELECT doc_id, $bands FROM sig ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
     val sig = shingles(s, d)
+      .withColumn("h", md5(col("sh")))
       .groupBy("doc_id")
       .agg(
-        min(md5(concat(lit("0:"), col("sh")))).as("mh0"),
+        min(substring(col("h"), 1, 4)).as("mh0"),
         (1 until NumHashes).map(j =>
-          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"mh$j")): _*)
+          min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
     val bandCols = (0 until NumHashes / BandSize).map(b =>
       md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as(s"band$b"))
     sig.select(col("doc_id") +: bandCols: _*).orderBy("doc_id")
@@ -181,7 +185,7 @@ object TextOps {
   val dedupMinhashPairs = sql(
     "dedup_minhash_pairs", {
       val mhs = (0 until NumHashes)
-        .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(",\n       ")
+        .map(j => s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j").mkString(",\n       ")
       val bandRows = (0 until NumHashes / BandSize)
         .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS v FROM sig")
         .mkString("\n  UNION ALL ")
@@ -196,11 +200,12 @@ object TextOps {
          |ORDER BY da, db""".stripMargin
     }) { (s, d) =>
     val sig = shingles(s, d)
+      .withColumn("h", md5(col("sh")))
       .groupBy("doc_id")
       .agg(
-        min(md5(concat(lit("0:"), col("sh")))).as("mh0"),
+        min(substring(col("h"), 1, 4)).as("mh0"),
         (1 until NumHashes).map(j =>
-          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"mh$j")): _*)
+          min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until NumHashes / BandSize).map(b =>
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*))

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.operators.Relational
+
+/** Physical-plan guards: the scale properties the builder prompt demands —
+  * filter/projection pushdown into the parquet scan, broadcast joins for
+  * small dimensions, whole-stage codegen on the hot paths. These assert on
+  * the executed plan so a regression (e.g. a lost broadcast hint or a UDF
+  * blocking pushdown) fails CI, not a 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Tables.localSession("plan-spec", cores = 8)
+  val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p8_filter: predicates reach the parquet scan (PushedFilters)") {
+    val plan = executedPlan("p8_filter")
+    assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(20).mkString("\n"))
+    assert(plan.contains("GreaterThan(l_quantity"), "quantity predicate not pushed")
+  }
+
+  test("q1_agg: shipdate filter pushed down + only needed columns read") {
+    val plan = executedPlan("q1_agg")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // projection pruning: the scan schema must not include unused columns
+    assert(!plan.contains("l_partkey"), "scan reads unused column l_partkey")
+  }
+
+  test("j1_lookup_join: dimension side is broadcast (no fact shuffle)") {
+    val plan = executedPlan("j1_lookup_join")
+    assert(plan.contains("BroadcastHashJoin"), "expected BroadcastHashJoin")
+  }
+
+  test("q3_revenue_by_nation: nation dimension broadcast") {
+    val plan = executedPlan("q3_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q1_agg: aggregation is partial (map-side combine before shuffle)") {
+    val plan = executedPlan("q1_agg")
+    assert(plan.contains("HashAggregate"))
+    // partial + final pair → two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
+  test("whole-stage codegen active on the headline aggregate") {
+    val plan = executedPlan("q1_agg")
+    // executedPlan renders WholeStageCodegen stages as "*(n) "
+    assert(plan.contains("*(1)"), "codegen disabled on hot path")
+  }
+
+  test("a2_histogram avoids unpartitioned window (no single-partition sort)") {
+    val df = SparkEntry.queries("a2_histogram")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "global window would single-partition at scale")
+  }
+}
