@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.sql
+
+/** OLAP surface beyond the reference's own operators (SURVEY §2.5 notes
+  * these as "absent — Catalyst provides them"): multi-dimensional
+  * aggregation (rollup/cube/grouping sets), pivot, set operations,
+  * distinct + approximate-distinct, and a composed as-of join.
+  *
+  * All are single-shuffle partial-aggregable shapes that hold at 100 TB.
+  */
+object Olap {
+
+  /** ROLLUP over (returnflag, linestatus): subtotals + grand total.
+    * grouping_id() disambiguates NULL-as-subtotal from NULL data. */
+  val rollupAgg = sql(
+    "olap_rollup",
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |       coalesce(l_linestatus, '(all)') AS ls,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+  }
+
+  /** CUBE over (orderstatus, orderpriority). */
+  val cubeAgg = sql(
+    "olap_cube",
+    """SELECT coalesce(o_orderstatus, '(all)') AS st,
+      |       coalesce(o_orderpriority, '(all)') AS pri,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY st, pri""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("pri"),
+        col("n"), col("total"))
+      .orderBy("st", "pri")
+  }
+
+  /** PIVOT: event counts per user pivoted by event_type (fixed key set —
+    * the scalable form; dynamic pivot needs a driver-side distinct). */
+  val pivotAgg = sql(
+    "olap_pivot",
+    """SELECT user_id,
+      |       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+      |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .select(col("user_id"), col("click"), col("purchase"), col("error"))
+      .orderBy("user_id")
+  }
+
+  /** INTERSECT: custkeys appearing in both market segments' big-spender
+    * sets (distinct-based set op). */
+  val intersectOp = sql(
+    "olap_intersect",
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_totalprice") > 200000).select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT: customers with orders but none heavy. */
+  val exceptOp = sql(
+    "olap_except",
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.select("o_custkey")
+      .except(o.filter(col("o_totalprice") > 200000).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Exact + approximate distinct counts. HLL is the 100 TB path (fixed
+    * memory, mergeable); the exact count is the oracle anchor. Spark's HLL++
+    * and DuckDB's approx_count_distinct differ by design, so only the exact
+    * value is oracle-compared; the approx column is checked for presence by
+    * a relative-error bound in ScalaTest instead. */
+  val distinctCounts = sql(
+    "olap_distinct",
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+  }
+
+  /** As-of join, composed from built-ins (SURVEY guide preference (a)):
+    * for every order, the most recent event timestamp of its (derived)
+    * user at-or-before the order date. Implemented as the scalable
+    * union + single sort-shuffle + running-max pattern — one shuffle on
+    * the join key, no per-row point lookups, no range cross join.
+    * Oracle: DuckDB correlated max() subquery (its ASOF JOIN drops
+    * no-match rows; the subquery keeps left-outer semantics). */
+  val asofJoin = sql(
+    "olap_asof_join",
+    """SELECT o.o_orderkey,
+      |       (SELECT max(epoch_ns(e.ts)) FROM events e
+      |        WHERE e.user_id = o.o_custkey % 20
+      |          AND epoch_ns(e.ts) <= epoch_ns(o.o_orderdate)) AS last_event_ns
+      |FROM orders o
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("k"),
+      col("ts").as("t_ns"),
+      lit(0).as("side"),           // events sort before orders at equal ts (<=)
+      lit(null).cast("long").as("o_orderkey"))
+    val ord = Tables.orders(s, d).select(
+      (col("o_custkey") % 20).as("k"),
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is the
+      // identity instant, matching DuckDB's epoch_ns on the naive timestamp
+      (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t_ns"),
+      lit(1).as("side"),
+      col("o_orderkey"))
+    val w = Window.partitionBy("k").orderBy("t_ns", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("last_event_ns", max(when(col("side") === 0, col("t_ns"))).over(w))
+      .filter(col("side") === 1)
+      .select(col("o_orderkey"), col("last_event_ns"))
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin)
+}
