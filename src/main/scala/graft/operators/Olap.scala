@@ -89,11 +89,11 @@ object Olap {
     "olap_except",
     """SELECT o_custkey FROM orders
       |EXCEPT
-      |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d)
     o.select("o_custkey")
-      .except(o.filter(col("o_totalprice") > 200000).select("o_custkey"))
+      .except(o.filter(col("o_totalprice") > 300000).select("o_custkey"))
       .orderBy("o_custkey")
   }
 

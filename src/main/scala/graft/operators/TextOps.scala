@@ -219,32 +219,28 @@ object TextOps {
 
   private val SimhashBits = 16
 
-  /** SimHash (16-bit): per-token hash bits from the first 4 md5 hex digits;
-    * signature bit j is the sign of Σ_tokens (2·bit_j − 1). At scale the
-    * near-dup search over signatures is banded exactly like MinHash-LSH;
-    * here the signature computation itself is the oracle-checked operator.
-    * The hex→int arithmetic uses only position/substr/floor/% so the same
-    * formula runs on both engines.
-    */
-  val dedupSimhash = sql(
-    "dedup_simhash", {
-      val sums = (0 until SimhashBits)
-        .map(j => s"sum(CASE WHEN CAST(floor(v16 / ${1 << j}) AS INT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(",\n         ")
-      val bits = (0 until SimhashBits)
-        .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |vals AS (SELECT doc_id,
-         |    (position(substr(md5(tok), 1, 1) IN '0123456789abcdef') - 1) * 4096
-         |  + (position(substr(md5(tok), 2, 1) IN '0123456789abcdef') - 1) * 256
-         |  + (position(substr(md5(tok), 3, 1) IN '0123456789abcdef') - 1) * 16
-         |  + (position(substr(md5(tok), 4, 1) IN '0123456789abcdef') - 1) AS v16
-         |  FROM toks),
-         |sums AS (SELECT doc_id,
-         |         $sums
-         |         FROM vals GROUP BY doc_id)
-         |SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+  /** Shared SQL CTE chain ending in `sig(doc_id, simhash)`. */
+  private val simhashSigSql: String = {
+    val sums = (0 until SimhashBits)
+      .map(j => s"sum(CASE WHEN CAST(floor(v16 / ${1 << j}) AS INT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n         ")
+    val bits = (0 until SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |vals AS (SELECT doc_id,
+       |    (position(substr(md5(tok), 1, 1) IN '0123456789abcdef') - 1) * 4096
+       |  + (position(substr(md5(tok), 2, 1) IN '0123456789abcdef') - 1) * 256
+       |  + (position(substr(md5(tok), 3, 1) IN '0123456789abcdef') - 1) * 16
+       |  + (position(substr(md5(tok), 4, 1) IN '0123456789abcdef') - 1) AS v16
+       |  FROM toks),
+       |sums AS (SELECT doc_id,
+       |         $sums
+       |         FROM vals GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM sums)""".stripMargin
+  }
+
+  /** Spark side of `sig(doc_id, simhash)`. */
+  private def simhashSig(s: org.apache.spark.sql.SparkSession, d: String) = {
     val hexVal = (i: Int) =>
       (expr(s"position(substr(md5(tok), $i, 1) IN '0123456789abcdef')") - 1)
     val toks = Tables.documents(s, d)
@@ -258,10 +254,64 @@ object TextOps {
     val simhash = (0 until SimhashBits)
       .map(j => when(col(s"s$j") > 0, 1 << j).otherwise(0))
       .reduce(_ + _)
-    sums.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    sums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash (16-bit): per-token hash bits from the first 4 md5 hex digits;
+    * signature bit j is the sign of Σ_tokens (2·bit_j − 1). The hex→int
+    * arithmetic uses only position/substr/floor/% so the same formula runs
+    * on both engines. */
+  val dedupSimhash = sql(
+    "dedup_simhash",
+    s"""WITH $simhashSigSql
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+    simhashSig(s, d).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs via Hamming-LSH blocks: the 16-bit signature is
+    * split into 4 blocks of 4 bits; by pigeonhole, any pair at Hamming
+    * distance <= 3 shares at least one identical block, so joining on
+    * (block_idx, block_val) finds ALL pairs at distance <= 1 (the emitted
+    * threshold) without the n² pair space.
+    * Verification uses the native codegen'd `hamming_distance` Catalyst
+    * expression (graft.functions.HammingDistance) — not a Scala UDF. */
+  val dedupSimhashPairs = sql(
+    "dedup_simhash_pairs", {
+      val blockRows = (0 until 4)
+        .map(b => s"SELECT doc_id, simhash, $b AS bi, CAST(floor(simhash / ${1 << (4 * b)}) AS INT) % 16 AS bv FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $simhashSigSql,
+         |blocks AS (
+         |  $blockRows
+         |),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, a.simhash AS sa,
+         |                         b.doc_id AS db, b.simhash AS sb
+         |         FROM blocks a JOIN blocks b
+         |           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT da, db,
+         |       bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) AS dist
+         |FROM cand
+         |WHERE bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) <= 1
+         |ORDER BY da, db""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.HammingDistance.hamming_distance
+    val sig = simhashSig(s, d)
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        floor(col("simhash") / (1 << (4 * b))).cast("int") % 16): _*))
+        .as(Seq("bi", "bv")))
+    val a = blocks.toDF("da", "sa", "bi", "bv")
+    val b = blocks.toDF("db", "sb", "bi", "bv")
+    val dist = hamming_distance(col("sa").cast("long"), col("sb").cast("long"))
+    a.join(b, Seq("bi", "bv")).filter(col("da") < col("db"))
+      .select("da", "sa", "db", "sb").distinct()
+      .filter(dist <= 1)
+      .select(col("da"), col("db"), dist.as("dist"))
+      .orderBy("da", "db")
   }
 
   val defs: Seq[QueryDef] = Seq(
     textStats, textLangId, textFingerprint,
-    dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs, dedupSimhash)
+    dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
+    dedupSimhash, dedupSimhashPairs)
 }
