@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+
+/** Source/sink operator coverage (SURVEY §2.1-2.2): CSV with schema
+  * inference (S3, ml_model.py:8), CSV with fixed headerless schema + CJK
+  * strings (S4, dl_k_to_ss.py:66), JSON (S7), parquet write/read, and the
+  * group-by-median over the reference-shaped jersey-color fixture (A1).
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Tables.localSession("sources-spec", cores = 4)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("S3: CSV read with header + inferSchema types the 15 int columns") {
+    val dir = tmp("csv-inferred")
+    val header = "enemyStyle,teamNumber,enemyNumber,fastBreak,restrictedNumber," +
+      "perimeterNumber,threeNumber,freethrowNumber,assist,steal,block,foul," +
+      "turnover,enemyPeriodScore,winPeriod"
+    // FIXTURES.md A1 sample rows (test_line.csv:2-3)
+    val rows = Seq("2,11,7,2,6,2,2,4,2,2,0,2,3,7,1", "0,8,9,0,1,2,3,0,0,0,2,3,2,13,1")
+    Files.writeString(java.nio.file.Path.of(dir, "data.csv"),
+      (header +: rows).mkString("\n"))
+    val df = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(df.count() == 2)
+    assert(df.schema.fields.forall(_.dataType == IntegerType))
+    assert(df.columns.head == "enemyStyle" && df.columns.last == "winPeriod")
+  }
+
+  test("S4 + A1: fixed headerless schema, CJK strings, exact group-by median") {
+    val dir = tmp("csv-fixed")
+    // FIXTURES.md A2 shape: Team,Num,Name,R,G,B — CJK team names, 2 teams
+    Files.writeString(java.nio.file.Path.of(dir, "player_info.csv"),
+      Seq(
+        "德親設計-進攻犯規,1,John,245,232,230",
+        "德親設計-進攻犯規,5,Mike,235,222,228",
+        "德親設計-進攻犯規,9,Paul,241,230,224",
+        "PENRITE 更好的機油,17,Owen,27,48,157",
+        "PENRITE 更好的機油,23,Dave,31,52,149").mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("Team", StringType), StructField("Num", IntegerType),
+      StructField("Name", StringType), StructField("R", IntegerType),
+      StructField("G", IntegerType), StructField("B", IntegerType)))
+    val df = spark.read.schema(schema).csv(dir)
+    assert(df.count() == 5)
+    // UTF-8 CJK round-trips intact (SURVEY §7.4 risk 6)
+    assert(df.filter(col("Team") === "德親設計-進攻犯規").count() == 3)
+    // dl_k_to_ss.py:67-69: per-team medians; odd count → middle, even → mean
+    val med = df.groupBy("Team")
+      .agg(median(col("R")).as("mr"), median(col("G")).as("mg"), median(col("B")).as("mb"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(med("德親設計-進攻犯規") == ((241.0, 230.0, 228.0)))
+    assert(med("PENRITE 更好的機油") == ((29.0, 50.0, 153.0))) // interpolated
+  }
+
+  test("S7: JSON write/read round trip preserves schema and values") {
+    val dir = tmp("json-rt")
+    val src = Tables.nation(spark, "/root/testdata/sf0.001")
+    src.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == src.count())
+    assert(back.select("n_name").except(src.select("n_name")).isEmpty)
+  }
+
+  test("parquet sink/source round trip is lossless (incl. doubles)") {
+    val dir = tmp("pq-rt")
+    val src = Tables.customer(spark, "/root/testdata/sf0.001")
+    src.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == src.count())
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("K1/P2: message format -> parse round trip is the identity") {
+    // the Kafka value contract: format as '{a},{b}' then split back
+    val src = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val rt = src
+      .select(concat_ws(",", col("o_orderkey"), col("o_orderstatus")).as("value"))
+      .select(split(col("value"), ",").as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("o_orderkey"),
+        element_at(col("p"), 2).as("o_orderstatus"))
+    assert(rt.except(src).isEmpty && src.except(rt).isEmpty)
+  }
+}
