@@ -145,6 +145,7 @@ object PlayerIdent {
       classifier: PatchClassifier = StubClassifier,
       detectThreshold: Double = 0.5, // dl_k_to_ss.py:48-63
       nmsThreshold: Double = 0.1,
+      denoise: Boolean = true, // M12: box denoise before digit spotting (dl_k_to_ss.py:320)
       teams: Seq[(String, (Int, Int, Int))] = Seq(
         ("team_a", (245, 232, 230)), ("team_b", (27, 48, 157))))
 
@@ -202,7 +203,9 @@ object PlayerIdent {
     * 71-357 `process`). Team from color, number from the recognizer (Q8);
     * persons failing the posture gate or digit spotting are skipped. */
   def identifyPlayers(bytes: Array[Byte], cfg: Config): Seq[(String, Int)] =
-    cfg.decoder.decode(bytes).toSeq.flatMap { img =>
+    cfg.decoder.decode(bytes).toSeq.flatMap { raw =>
+      // M12: denoise once per image before the per-person digit/color stages
+      val img = if (cfg.denoise) Heatmaps.boxDenoise(raw) else raw
       cfg.pose.estimate(img).flatMap { person =>
         val gateOk = (for {
           neck <- person.keypoints(1)
