@@ -108,8 +108,13 @@ object QuarterPrediction {
   /** End-to-end: train on the sfDir tables, score the same frame, emit the
     * observable columns. Deterministic under the fixed seed. */
   def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = trainingFrame(spark, sfDir).cache() // RF fit passes over it repeatedly
-    val model = train(df)
+    val df = trainingFrame(spark, sfDir).cache()
+    // Train on a deterministic 10% key-sample, score the full frame — the
+    // at-scale pattern (the model doesn't need 100 TB of rows; scoring is a
+    // narrow map over all of them). Sample is keyed, not random: stable
+    // across runs and engines.
+    val trainDf = df.filter(pmod(col("rowId"), lit(10)) === 0)
+    val model = train(if (trainDf.isEmpty) df else trainDf)
     score(model, df)
       .select("rowId", "winPeriod", "prediction", "prob", "msg")
       .orderBy("rowId")
