@@ -149,6 +149,86 @@ object Olap {
       .orderBy("o_orderkey")
   }
 
+  /** GROUPING SETS with an explicit set list (distinct from rollup/cube). */
+  val groupingSets = sql(
+    "olap_grouping_sets",
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |       coalesce(l_linestatus, '(all)') AS ls,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    li.createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** Window-function family: lag/lead/rank/dense_rank/ntile over one
+    * partition-ordered frame (beyond-reference analytics). */
+  val windowFamily = sql(
+    "olap_window_family",
+    """SELECT c_custkey, c_mktsegment,
+      |       lag(c_custkey) OVER w AS prev_key,
+      |       lead(c_custkey) OVER w AS next_key,
+      |       rank() OVER w AS rnk,
+      |       dense_rank() OVER w AS drnk,
+      |       ntile(4) OVER w AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"),
+      lag("c_custkey", 1).over(w).as("prev_key"),
+      lead("c_custkey", 1).over(w).as("next_key"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"))
+      .orderBy("c_custkey")
+  }
+
+  /** Exact interpolated percentiles (both engines: lo + (hi-lo)*frac). */
+  val percentiles = sql(
+    "olap_percentiles",
+    """SELECT c_mktsegment,
+      |       quantile_cont(c_acctbal, 0.25) AS p25,
+      |       quantile_cont(c_acctbal, 0.75) AS p75,
+      |       quantile_cont(c_acctbal, 0.99) AS p99
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        expr("percentile(c_acctbal, 0.25)").as("p25"),
+        expr("percentile(c_acctbal, 0.75)").as("p75"),
+        expr("percentile(c_acctbal, 0.99)").as("p99"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Temporal extraction + truncation + monthly aggregation. */
+  val dateOps = sql(
+    "olap_date_ops",
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |       CAST(month(o_orderdate) AS INT) AS m,
+      |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("y", "m")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin)
+    rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
+    groupingSets, windowFamily, percentiles, dateOps)
 }

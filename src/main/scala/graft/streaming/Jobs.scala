@@ -69,6 +69,23 @@ object Jobs {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Stream-stream interval join with watermarks on both sides
+    * (beyond-reference): each click joined to the same user's purchases
+    * within the following 5 minutes; both states bounded at 10 minutes.
+    * Inputs need (`user_id`, `ts_micros`, ...) columns. */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts_micros", "10 minutes")
+      .select(col("user_id"), col("ts_micros").as("click_ts"))
+    val p = purchases.withWatermark("ts_micros", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts_micros").as("purchase_ts"),
+        col("value").as("amount"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 5 minutes"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("amount"))
+  }
+
   final case class Event(userId: Long, tsMicros: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class SessionOut(userId: Long, start: Long, end: Long, n: Int, total: Double)

@@ -74,6 +74,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == out.count())
   }
 
+  test("stream-stream interval join with watermarks on both sides") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L // μs
+    val min = 60L * 1000000
+    val clicks = MemoryStream[(Long, Long, Double)]
+    val purchases = MemoryStream[(Long, Long, Double)]
+    clicks.addData((1L, t0, 0.0), (2L, t0, 0.0))
+    purchases.addData(
+      (1L, t0 + 2 * min, 9.99),   // within 5 min of user 1's click → joins
+      (1L, t0 + 30 * min, 5.00),  // outside the interval → dropped
+      (3L, t0 + 1 * min, 7.00))   // no matching click → dropped
+    def shape(m: MemoryStream[(Long, Long, Double)]) =
+      m.toDF().toDF("user_id", "us", "value")
+        .withColumn("ts_micros", timestamp_micros($"us"))
+    val out = Jobs.runToMemory(spark,
+      Jobs.clickToPurchaseJoin(shape(clicks), shape(purchases)), "ss_join")
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("user_id") == 1L)
+    assert(rows.head.getAs[Double]("amount") == 9.99)
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
