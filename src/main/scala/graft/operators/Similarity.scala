@@ -76,38 +76,32 @@ object Similarity {
       |SELECT vec_id, label AS cell FROM ranked WHERE rn = 1
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    // The codebook is a model parameter (k × dim rounded doubles): fit it
-    // with one tiny aggregation, collect, and inline as literals — the
-    // assignment itself is then a narrow map over the vectors (no explode,
-    // no shuffle, no window; this is how IVF assignment scales to 100 TB).
-    // Summation order (index-ascending fold) matches the oracle's unnest
-    // group-sum, so distances are bit-identical.
-    val centroids: Map[Int, Array[Double]] = emb
+    // Codebook fit: per-(label, dim) means rounded to 4 dp, then packed
+    // into one ordered array per label (k rows — broadcastable model
+    // state). Assignment is a broadcast cross join (n × k rows) with ONE
+    // small zip_with fold — no giant literal expressions (codegen stays
+    // tiny), no explode of the fact side, no window. Summation order
+    // (index-ascending fold) matches the oracle's unnest group-sum, so
+    // distances are bit-identical; min(struct(dist, label)) is the
+    // deterministic tie-broken argmin.
+    val cent = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
       .groupBy("label", "pos0")
       .agg(round(avg(col("x").cast("double")), 4).as("c"))
-      .collect()
-      .groupBy(_.getAs[Int]("label"))
-      .map { case (l, rows) =>
-        l -> rows.sortBy(_.getAs[Int]("pos0")).map(_.getAs[Double]("c"))
-      }
-    val distStructs = centroids.toSeq.sortBy(_._1).map { case (label, c) =>
-      val cLit = array(c.map(lit(_)): _*)
-      val dist = expr_dist(cLit)
-      struct(dist.as("dist"), lit(label).as("label"))
-    }
-    emb.select(col("vec_id"),
-      array_min(array(distStructs: _*)).getField("label").as("cell"))
-      .orderBy("vec_id")
-  }
-
-  /** Σ (x_i − c_i)² as a sequential index-order fold over the embedding. */
-  private def expr_dist(centroid: org.apache.spark.sql.Column) =
-    aggregate(
-      zip_with(col("embedding"), centroid,
+      .groupBy(col("label").as("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos0, c))), s -> s.c)")
+        .as("cvec"))
+    val dist = aggregate(
+      zip_with(col("embedding"), col("cvec"),
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0),
       (acc, v) => acc + v)
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("clabel"), dist.as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("clabel"))).getField("clabel").as("cell"))
+      .orderBy("vec_id")
+  }
 
   /** Embedding-cosine near-dup pairs, bucket-bounded: candidate pairs only
     * within the same label cell (the IVF bucket), cosine >= 0.35. This is

@@ -9,4 +9,22 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Strip ONE top-level global Sort from a DataFrame's plan, if present.
+    *
+    * Every declared query ends in a deterministic ORDER BY solely for the
+    * correctness gate's hash compare; the sort is not part of the operator's
+    * semantics. Bench uses this so timings measure the operator, not the
+    * gate plumbing. Semantic sorts (top-k) sit under a Limit node and are
+    * never touched.
+    */
+  def dropTopLevelSort(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    df.queryExecution.logical match {
+      case Sort(_, true, child, _) =>
+        classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[classic.SparkSession], child)
+      case _ => df
+    }
+  }
 }
