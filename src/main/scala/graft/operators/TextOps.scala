@@ -34,14 +34,17 @@ object TextOps {
       |       round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
       |             / len(string_split(text, ' ')), 4) AS avg_word_len
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val t = split(col("text"), " ")
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      length(col("text")).as("n_chars_obs"),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_distinct"),
-      round(size(array_distinct(t)) * lit(1.0) / size(t), 4).as("distinct_ratio"),
-      round((length(col("text")) - size(t) + 1) * lit(1.0) / size(t), 4).as("avg_word_len"))
+    // tokenize/distinct once per row via aliased projections (duplicated
+    // split()/array_distinct() expressions defeat per-column reuse)
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).as("n_chars_obs"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("n_chars_obs"), size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_chars_obs"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct") * lit(1.0) / col("n_tokens"), 4).as("distinct_ratio"),
+        round((col("n_chars_obs") - col("n_tokens") + 1) * lit(1.0) / col("n_tokens"), 4)
+          .as("avg_word_len"))
       .orderBy("doc_id")
   }
 
