@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{QueryDef, Tables}
-import graft.core.QueryDef.sql
+import graft.core.QueryDef.{rowsOnly, sql}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -130,5 +130,53 @@ object Similarity {
       .orderBy("da", "db")
   }
 
-  val defs: Seq[QueryDef] = Seq(simTopK, simIvfAssign, simNearDup)
+  /** Random-hyperplane (sign) LSH — the alternative scale path to IVF:
+    * `nBits` deterministic pseudo-random planes (splitmix64-seeded), bucket
+    * key = the sign-bit signature of the vector. Vectors in the same bucket
+    * are candidate near-neighbors; Hamming-close buckets can be probed via
+    * the same block-banding as SimHash. Scala-side (planes are model state,
+    * broadcast as literals); rows-only — no portable oracle for the float
+    * plane values. */
+  def hyperplaneSignature(dim: Int = 64, nBits: Int = 16, seed: Long = 42L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = { // splitmix64 → uniform in (-1, 1)
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(nBits)(Array.fill(dim)(next()))
+  }
+
+  /** Local signature (same math as the query's fold) for tests/tools. */
+  def signatureOf(vec: Array[Float], planes: Array[Array[Double]]): Int =
+    planes.zipWithIndex.foldLeft(0) { case (acc, (p, j)) =>
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i).toDouble * p(i); i += 1 }
+      if (dot > 0) acc | (1 << j) else acc
+    }
+
+  val simLshBuckets = rowsOnly("sim_lsh_buckets") { (s, d) =>
+    import s.implicits._
+    // planes as a broadcast 16-row DataFrame, not literal expressions —
+    // keeps generated code tiny (see the IVF codegen lesson)
+    val planes = hyperplaneSignature().zipWithIndex
+      .map { case (p, j) => (j, p.toSeq) }.toSeq.toDF("bit", "plane")
+    val dot = aggregate(
+      zip_with(col("embedding"), col("plane"), (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, v) => acc + v)
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("label"), col("bit"), dot.as("dot"))
+      .groupBy("vec_id")
+      .agg(
+        first("label").as("label"),
+        sum(when(col("dot") > 0, expr("shiftleft(1, bit)")).otherwise(0))
+          .cast("int").as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(simTopK, simIvfAssign, simNearDup, simLshBuckets)
 }

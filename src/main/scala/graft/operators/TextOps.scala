@@ -313,8 +313,46 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  /** BPE-ish regex token counting: word / number / punctuation-free token
+    * classes via regexp extraction (the whitespace token count lives in
+    * text_stats). Both engines use the same RE syntax here. */
+  val textTokenBpe = sql(
+    "text_token_bpe",
+    """SELECT doc_id,
+      |       len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+      |       len(regexp_extract_all(text, '[0-9]+')) AS n_nums,
+      |       len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subword_chunks
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_words"),
+      size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_nums"),
+      size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("n_subword_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint via polynomial rolling hash over characters —
+    * h := (h*31 + ascii(c)) mod 1e9+7, computed as the identical sequential
+    * fold on both engines (no overflow: 31*(1e9+7)+255 << 2^63). */
+  val textRollingHash = sql(
+    "text_rolling_hash",
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      // Spark split(…, '') keeps a trailing '' (Java split limit -1);
+      // DuckDB string_split does not — drop empties before the fold
+      expr("aggregate(filter(split(text, ''), c -> c <> ''), CAST(0 AS BIGINT), " +
+        "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("rhash"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
-    dedupSimhash, dedupSimhashPairs)
+    dedupSimhash, dedupSimhashPairs, textTokenBpe, textRollingHash)
 }
