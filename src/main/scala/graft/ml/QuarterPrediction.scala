@@ -113,7 +113,10 @@ object QuarterPrediction {
     // at-scale pattern (the model doesn't need 100 TB of rows; scoring is a
     // narrow map over all of them). Sample is keyed, not random: stable
     // across runs and engines.
-    val trainDf = df.filter(pmod(col("rowId"), lit(10)) === 0)
+    // coalesce the (small) training side: RF's per-iteration tree
+    // aggregations pay per-partition overhead, which dominates when the
+    // sample is thousands of rows spread over 32 partitions
+    val trainDf = df.filter(pmod(col("rowId"), lit(10)) === 0).coalesce(4).cache()
     val model = train(if (trainDf.isEmpty) df else trainDf)
     score(model, df)
       .select("rowId", "winPeriod", "prediction", "prob", "msg")

@@ -58,6 +58,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), "codegen disabled on hot path")
   }
 
+  test("sim_topk_cosine: limit+order is TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("sim_topk_cosine")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k should be a partial per-partition top-k merge, not a full sort")
+  }
+
+  test("j2_nearest_centroid: centroid table broadcast, fact side not shuffled for the join") {
+    val plan = executedPlan("j2_nearest_centroid")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "centroids must broadcast")
+  }
+
   test("a2_histogram avoids unpartitioned window (no single-partition sort)") {
     val df = SparkEntry.queries("a2_histogram")(spark, sf)
     df.collect()
