@@ -120,6 +120,16 @@ object Jobs {
         })
   }
 
+  /** Streaming exact dedup: drop records whose content hash was already
+    * seen (training-data ingest dedup, the streaming counterpart of the
+    * batch `dedup_exact` operator). State is the set of seen md5 keys; with
+    * an event-time column, production bounds it via
+    * `withWatermark(...).dropDuplicatesWithinWatermark` — the unbounded
+    * variant here matches the bounded test harness. */
+  def streamingDedup(docs: DataFrame, contentCol: String): DataFrame =
+    docs.withColumn("h", md5(col(contentCol).cast("binary")))
+      .dropDuplicates("h")
+
   /** Run any streaming transform to completion over a bounded source using
     * the memory sink; returns the collected result. Test/demo harness —
     * production uses writeStream.format("kafka") + checkpointLocation.

@@ -97,6 +97,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("amount") == 9.99)
   }
 
+  test("streaming dedup drops repeated payloads across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dedup = Jobs.streamingDedup(mem.toDF().toDF("id", "text"), "text")
+    val q = dedup.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // dup within batch
+    q.processAllAvailable()
+    mem.addData((4L, "beta"), (5L, "gamma")) // dup across batches (state!)
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("dedup_stream").select("text")
+      .collect().map(_.getString(0)).sorted
+    assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
