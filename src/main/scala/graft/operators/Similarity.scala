@@ -22,10 +22,12 @@ import graft.core.QueryDef.{rowsOnly, sql}
   */
 object Similarity {
 
-  /** dot(a,b) as a strictly-sequential double fold — Spark side. */
-  private def dotCol(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** dot(a,b) — native codegen'd expression (graft.functions.DotProduct):
+    * same strict index-order double accumulation as the SQL fold below (and
+    * bit-identical to it), but compiled to a primitive loop instead of
+    * per-element interpreted lambdas. */
+  private def dotCol(a: String, b: String) =
+    graft.functions.DotProduct.dot_product(col(a), col(b))
 
   /** dot(a,b) — DuckDB side, same op order. */
   private def dotSql(a: String, b: String) =
