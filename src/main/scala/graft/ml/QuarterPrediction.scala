@@ -89,20 +89,24 @@ object QuarterPrediction {
     * probability-of-predicted-class (Q3), and the "{pred},{prob}" message
     * (Q5), prob rounded 2 dp as at the notifier edge. */
   def score(model: PipelineModel, df: DataFrame): DataFrame = {
-    val probOfPred = element_at(
-      vector_to_array(col("probability")), col("prediction").cast("int") + 1)
+    val probArr = vector_to_array(col("probability"))
+    val probOfPred = element_at(probArr, col("prediction").cast("int") + 1)
     model.transform(df)
       .withColumn("prob", probOfPred)
+      // p1 = P(class 1): the continuous ranking score AUC needs (a hard 0/1
+      // prediction would make AUC degenerate — accuracy in disguise)
+      .withColumn("p1", element_at(probArr, 2))
       .withColumn("msg",
         concat_ws(",", col("prediction").cast("int"), round(col("prob"), 2)))
       .drop("features", s"${categoricalCol}_classVec", "rawPrediction", "probability")
   }
 
-  /** AUC on a scored frame (ml_model.py:31-33, the intended metric). */
+  /** AUC on a scored frame (ml_model.py:31-33, the intended metric):
+    * evaluated on the `p1` probability score, not the hard prediction. */
   def auc(scored: DataFrame): Double =
     new BinaryClassificationEvaluator()
       .setLabelCol(labelCol)
-      .setRawPredictionCol("prediction")
+      .setRawPredictionCol("p1")
       .evaluate(scored)
 
   /** End-to-end: train on the sfDir tables, score the same frame, emit the

@@ -57,9 +57,9 @@ object Olap {
   val pivotAgg = sql(
     "olap_pivot",
     """SELECT user_id,
-      |       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-      |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      |       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+      |       count(*) FILTER (WHERE event_type = 'click')    AS click,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'error')    AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy("user_id")

@@ -253,9 +253,9 @@ object Relational {
     * (evaluate.py:33-61): "detected" = qty>25, "truth" = discount>0.03. */
   val a7Metrics = sql(
     "a7_metrics",
-    """SELECT sum(CASE WHEN l_quantity > 25 AND l_discount > 0.03 THEN 1 ELSE 0 END) AS tp,
-      |       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)  AS detected,
-      |       sum(CASE WHEN l_discount > 0.03 THEN 1 ELSE 0 END) AS truth,
+    """SELECT CAST(sum(CASE WHEN l_quantity > 25 AND l_discount > 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)  AS detected,
+      |       CAST(sum(CASE WHEN l_discount > 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS truth,
       |       round(sum(CASE WHEN l_quantity > 25 AND l_discount > 0.03 THEN 1 ELSE 0 END) * 1.0
       |             / sum(CASE WHEN l_discount > 0.03 THEN 1 ELSE 0 END), 4) AS recall
       |FROM lineitem""".stripMargin) { (s, d) =>

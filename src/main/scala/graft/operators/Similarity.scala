@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{QueryDef, Tables}
-import graft.core.QueryDef.{rowsOnly, sql}
+import graft.core.QueryDef.sql
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -136,9 +136,10 @@ object Similarity {
     * `nBits` deterministic pseudo-random planes (splitmix64-seeded), bucket
     * key = the sign-bit signature of the vector. Vectors in the same bucket
     * are candidate near-neighbors; Hamming-close buckets can be probed via
-    * the same block-banding as SimHash. Scala-side (planes are model state,
-    * broadcast as literals); rows-only — no portable oracle for the float
-    * plane values. */
+    * the same block-banding as SimHash. The planes are deterministic model
+    * state, so the oracle embeds them as a VALUES-literal table (Scala
+    * Double.toString is the shortest round-trip decimal — DuckDB parses it
+    * back to the identical bits) and replays the same index-order fold. */
   def hyperplaneSignature(dim: Int = 64, nBits: Int = 16, seed: Long = 42L): Array[Array[Double]] = {
     var s = seed
     def next(): Double = { // splitmix64 → uniform in (-1, 1)
@@ -160,7 +161,20 @@ object Similarity {
       if (dot > 0) acc | (1 << j) else acc
     }
 
-  val simLshBuckets = rowsOnly("sim_lsh_buckets") { (s, d) =>
+  val simLshBuckets = sql(
+    "sim_lsh_buckets", {
+      val rows = hyperplaneSignature().zipWithIndex.map { case (p, j) =>
+        s"($j, [${p.map(_.toString).mkString(", ")}])"
+      }.mkString(",\n  ")
+      s"""WITH planes(bit, plane) AS (VALUES
+         |  $rows)
+         |SELECT e.vec_id, e.label,
+         |       CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.plane")} > 0
+         |                     THEN (1 << p.bit) ELSE 0 END) AS INT) AS bucket
+         |FROM embeddings e CROSS JOIN planes p
+         |GROUP BY e.vec_id, e.label
+         |ORDER BY e.vec_id""".stripMargin
+    }) { (s, d) =>
     import s.implicits._
     // planes as a broadcast 16-row DataFrame, not literal expressions —
     // keeps generated code tiny (see the IVF codegen lesson)

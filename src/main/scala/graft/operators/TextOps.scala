@@ -120,15 +120,28 @@ object TextOps {
       |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS sh
       |       FROM toks WHERE len(t) >= 3)""".stripMargin
 
+  /** Hot-shingle document-frequency cap: a shingle present in more than this
+    * many documents is boilerplate (a stop-word trigram at 100 TB forms one
+    * bucket with millions of docs → a quadratic pair explosion on a single
+    * join key). Such shingles carry no near-dup signal, so the shingle
+    * UNIVERSE — for both pair counting and per-doc sizes — excludes them,
+    * identically on both engines. */
+  val ShingleDfCap = 50
+
   /** N-gram Jaccard near-dup pairs via the inverted shingle index: join on
     * shingle → count common → |A∪B| from per-doc sizes. Linear in corpus
-    * size + output pairs; never materializes the n² pair space. */
+    * size + output pairs; never materializes the n² pair space. Shingles
+    * above the document-frequency cap are dropped BEFORE the self-join so
+    * no single join key can go quadratic at scale. */
   val dedupNgramJaccard = sql(
     "dedup_ngram_jaccard",
     s"""WITH $shinglesSql,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
+       |        WHERE df.df <= $ShingleDfCap),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
-       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT da, db, common,
        |       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
@@ -137,10 +150,14 @@ object TextOps {
        |JOIN sizes sb ON sb.doc_id = db
        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
        |ORDER BY da, db""".stripMargin) { (s, d) =>
-    val sh = shingles(s, d).cache()
+    val raw = shingles(s, d)
+    val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("sh")
+    // left_anti keeps the hot-key list out of the big join's key space
+    val sh = raw.join(hot, Seq("sh"), "left_anti").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("da", "sh")
-    val b = sh.toDF("db", "sh")
+    val a = sh.select(col("doc_id").as("da"), col("sh"))
+    val b = sh.select(col("doc_id").as("db"), col("sh"))
     val pairs = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("common"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
@@ -306,10 +323,12 @@ object TextOps {
     val a = blocks.toDF("da", "sa", "bi", "bv")
     val b = blocks.toDF("db", "sb", "bi", "bv")
     val dist = hamming_distance(col("sa").cast("long"), col("sb").cast("long"))
+    // filter on the cheap codegen'd distance BEFORE the distinct: the
+    // distinct's shuffle then carries only survivors (candidate→survivor
+    // ratio ~100:1 at scale), not every block-collision candidate
     a.join(b, Seq("bi", "bv")).filter(col("da") < col("db"))
-      .select("da", "sa", "db", "sb").distinct()
       .filter(dist <= 1)
-      .select(col("da"), col("db"), dist.as("dist"))
+      .select(col("da"), col("db"), dist.as("dist")).distinct()
       .orderBy("da", "db")
   }
 

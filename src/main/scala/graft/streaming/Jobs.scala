@@ -120,15 +120,83 @@ object Jobs {
         })
   }
 
-  /** Streaming exact dedup: drop records whose content hash was already
-    * seen (training-data ingest dedup, the streaming counterpart of the
-    * batch `dedup_exact` operator). State is the set of seen md5 keys; with
-    * an event-time column, production bounds it via
-    * `withWatermark(...).dropDuplicatesWithinWatermark` — the unbounded
-    * variant here matches the bounded test harness. */
-  def streamingDedup(docs: DataFrame, contentCol: String): DataFrame =
+  /** Streaming exact dedup, watermark-bounded — the DEFAULT variant.
+    * Drops records whose content hash was already seen within the watermark
+    * horizon (training-data ingest dedup, the streaming counterpart of the
+    * batch `dedup_exact` operator). State is the set of seen md5 keys,
+    * EVICTED once older than the event-time watermark: at 100 TB of stream
+    * an unbounded seen-set is a state-store OOM, so the bound is the
+    * production semantics (a duplicate arriving after its original has aged
+    * past the watermark is, by design, re-emitted). */
+  def streamingDedup(docs: DataFrame, contentCol: String, eventTimeCol: String,
+      delay: String = "10 minutes"): DataFrame =
+    docs.withColumn("h", md5(col(contentCol).cast("binary")))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("h")
+
+  /** Unbounded-state variant (exact global dedup). Only for bounded inputs
+    * or keyspaces that fit in the state store — not the 100 TB default. */
+  def streamingDedupUnbounded(docs: DataFrame, contentCol: String): DataFrame =
     docs.withColumn("h", md5(col(contentCol).cast("binary")))
       .dropDuplicates("h")
+
+  /** Production Kafka wiring (S1/S2 sources, K1/K2 sinks;
+    * ml_k_to_ss.py:63, dl_k_to_ss.py:429). The transforms above are pure
+    * `DataFrame => DataFrame`, so production is exactly: kafka source →
+    * transform → kafka sink + checkpoint. The connector jar
+    * (spark-sql-kafka-0-10) is a runtime dependency of the CLUSTER, not of
+    * this library — these builders compile and construct the full wiring;
+    * `start()` requires the jar on the executor classpath. */
+  final case class KafkaConfig(
+      bootstrapServers: String,
+      inputTopic: String,
+      outputTopic: String,
+      checkpointLocation: String,
+      startingOffsets: String = "latest")
+
+  /** S1: Kafka text source — value bytes decoded to UTF-8 string. */
+  def kafkaTextSource(spark: SparkSession, cfg: KafkaConfig): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("subscribe", cfg.inputTopic)
+      .option("startingOffsets", cfg.startingOffsets)
+      .load()
+      .select(col("value").cast("string").as("value"))
+
+  /** S2: Kafka binary source — raw value bytes (image payloads). */
+  def kafkaBinarySource(spark: SparkSession, cfg: KafkaConfig): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("subscribe", cfg.inputTopic)
+      .option("startingOffsets", cfg.startingOffsets)
+      .load()
+      .select(col("value"))
+
+  /** K1/K2: Kafka sink for any transform output with a `value` column —
+    * ready to `.start()`: topic, servers and checkpoint all set. */
+  def kafkaSink(out: DataFrame, cfg: KafkaConfig)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    out.select(col("value").cast("string").as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("topic", cfg.outputTopic)
+      .option("checkpointLocation", cfg.checkpointLocation)
+      .outputMode(OutputMode.Append)
+
+  /** End-to-end production job: ml_input topic → quarter prediction →
+    * ml_output topic (ml_k_to_ss.py:63-70, checkpointed exactly-once). */
+  def quarterPredictionKafkaJob(spark: SparkSession, model: PipelineModel,
+      cfg: KafkaConfig)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    kafkaSink(quarterPrediction(model)(kafkaTextSource(spark, cfg)), cfg)
+
+  /** End-to-end production job: dl_input topic → player identification →
+    * dl_output topic (dl_k_to_ss.py:429-447). */
+  def playerIdentificationKafkaJob(spark: SparkSession, stats: DataFrame,
+      cfg: KafkaConfig, pid: PlayerIdent.Config = PlayerIdent.Config())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    kafkaSink(playerIdentification(stats, pid)(kafkaBinarySource(spark, cfg)), cfg)
 
   /** Run any streaming transform to completion over a bounded source using
     * the memory sink; returns the collected result. Test/demo harness —

@@ -28,10 +28,20 @@ class MlPersistenceSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
-  test("AUC evaluator runs on scored output (A9, the intended metric)") {
+  test("AUC evaluates the p1 probability score, not the hard prediction (A9)") {
+    import org.apache.spark.sql.functions._
     val df = QuarterPrediction.trainingFrame(spark, sf).cache()
-    val scored = QuarterPrediction.score(QuarterPrediction.train(df), df)
+    val scored = QuarterPrediction.score(QuarterPrediction.train(df), df).cache()
     val auc = QuarterPrediction.auc(scored)
     assert(auc > 0.5 && auc <= 1.0, s"AUC $auc not better than random")
+    // probability-based AUC must differ from plain accuracy — equality would
+    // mean the evaluator is still ranking on the degenerate 0/1 prediction
+    val acc = scored
+      .agg(avg((col("prediction") === col(QuarterPrediction.labelCol)).cast("double")))
+      .head.getDouble(0)
+    assert(math.abs(auc - acc) > 1e-9, s"AUC $auc == accuracy $acc (degenerate)")
+    // p1 is a genuine probability: spread across (0,1), not two point masses
+    val nDistinct = scored.select("p1").distinct().count()
+    assert(nDistinct > 2, s"p1 has only $nDistinct distinct values")
   }
 }

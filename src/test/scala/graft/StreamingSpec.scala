@@ -101,7 +101,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
-    val dedup = Jobs.streamingDedup(mem.toDF().toDF("id", "text"), "text")
+    val dedup = Jobs.streamingDedupUnbounded(mem.toDF().toDF("id", "text"), "text")
     val q = dedup.writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").start()
     mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // dup within batch
@@ -112,6 +112,66 @@ class StreamingSpec extends AnyFunSuite {
     val texts = spark.table("dedup_stream").select("text")
       .collect().map(_.getString(0)).sorted
     assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("watermark-bounded dedup evicts state: duplicate beyond horizon re-emits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L // μs
+    val min = 60L * 1000000
+    val mem = MemoryStream[(String, Long)]
+    val dedup = Jobs.streamingDedup(
+      mem.toDF().toDF("text", "us").withColumn("ts", timestamp_micros($"us")),
+      "text", "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    mem.addData(("alpha", t0), ("alpha", t0 + min)) // in-horizon dup → dropped
+    q.processAllAvailable()
+    mem.addData(("bump", t0 + 60 * min)) // advances watermark to t0+50min → alpha evicted
+    q.processAllAvailable()
+    mem.addData(("alpha", t0 + 70 * min)) // same content, original aged out → re-emitted
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("dedup_wm").select("text")
+      .collect().map(_.getString(0)).sorted
+    // two alphas: the watermark BOUNDS state (production semantics at 100 TB),
+    // so dedup is exact only within the horizon
+    assert(texts.toSeq == Seq("alpha", "alpha", "bump"))
+  }
+
+  test("kafka production wiring: source/sink/job builders carry the full config") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val cfg = Jobs.KafkaConfig(
+      bootstrapServers = "broker1:9092,broker2:9092",
+      inputTopic = "ml_input", outputTopic = "ml_output",
+      checkpointLocation = "/tmp/graft-ckpt")
+    // no connector jar ships in this container: resolution of the "kafka"
+    // format fails at load()/start(), and the error naming the format is
+    // itself proof the production wiring reaches the Kafka data source
+    val srcErr = intercept[Exception](Jobs.kafkaTextSource(spark, cfg))
+    assert(srcErr.getMessage.toLowerCase.contains("kafka"))
+
+    // sink side: builder must compile against a genuine streaming frame and
+    // carry topic + servers + checkpoint; options are inspectable pre-start
+    val mem = MemoryStream[String]
+    val writer = Jobs.kafkaSink(mem.toDF().toDF("value"), cfg)
+    val opts = {
+      // DataStreamWriter keeps options private; walk the field hierarchy
+      def fields(c: Class[_]): Seq[java.lang.reflect.Field] =
+        if (c == null) Nil else c.getDeclaredFields.toSeq ++ fields(c.getSuperclass)
+      fields(writer.getClass)
+        .map { f => f.setAccessible(true); f.get(writer) }
+        .collectFirst { case m: scala.collection.Map[_, _]
+          if m.keys.exists(_.toString.equalsIgnoreCase("topic")) =>
+          m.map { case (k, v) => k.toString.toLowerCase -> v.toString } }
+        .getOrElse(Map.empty[String, String])
+    }
+    assert(opts.get("topic").contains("ml_output"))
+    assert(opts.get("kafka.bootstrap.servers").contains("broker1:9092,broker2:9092"))
+    assert(opts.get("checkpointlocation").contains("/tmp/graft-ckpt"))
+    val startErr = intercept[Exception](writer.start())
+    assert(startErr.getMessage.toLowerCase.contains("kafka"))
   }
 
   test("stateful sessionization with mapGroupsWithState") {

@@ -70,6 +70,16 @@ def main():
             print(f"[FAIL] {name}: rows {len(g)} vs oracle {len(e)}")
             n_fail += 1
             continue
+        # the driver's hasher is type-strict: an int64 Spark column vs a
+        # float64/object oracle column fails even when %.9g values agree
+        kinds_g = [df_kind for df_kind in (g.dtypes[c].kind for c in g.columns)]
+        kinds_e = [df_kind for df_kind in (e.dtypes[c].kind for c in e.columns)]
+        if kinds_g != kinds_e:
+            bad = [(c, g.dtypes[c].kind, e.dtypes[c].kind)
+                   for c in g.columns if g.dtypes[c].kind != e.dtypes[c].kind]
+            print(f"[FAIL] {name}: dtype kind mismatch (spark vs oracle): {bad}")
+            n_fail += 1
+            continue
         hg, he = frame_hash(g), frame_hash(e)
         if hg != he:
             print(f"[FAIL] {name}: hash {hg} vs {he}")
