@@ -135,33 +135,152 @@ object Heatmaps {
     Image(img.w, img.h, out)
   }
 
-  /** The remaining CNN seam: image → 18 keypoint heatmaps (w×h each). */
-  trait HeatmapCnn extends Serializable {
-    def heatmaps(img: Image): Array[Array[Float]]
+  // ------------------------------------------------------ bicubic resample
+
+  /** Cubic convolution kernel, OpenCV INTER_CUBIC's A = −0.75. */
+  private def cubicWeight(x: Double): Double = {
+    val a = -0.75
+    val ax = math.abs(x)
+    if (ax <= 1.0) (a + 2.0) * ax * ax * ax - (a + 3.0) * ax * ax + 1.0
+    else if (ax < 2.0) a * ax * ax * ax - 5.0 * a * ax * ax + 8.0 * a * ax - 4.0 * a
+    else 0.0
   }
 
-  /** Pose estimator built from the REAL A5+M8 math over a pluggable CNN:
-    * run the CNN at several scales, average (A5), peak-detect per channel
-    * (M8), then assemble person k from the k-th strongest peak of each
-    * channel (rank-based assembly — the PAF line-integral matching M9/M10
-    * needs the CNN's PAF branch and stays behind the seam). */
-  final class HeatmapPoseEstimator(cnn: HeatmapCnn, scales: Seq[Double] = Seq(1.0),
-      sigma: Double = 3.0, thr: Double = 0.1)
-      extends PoseEstimator {
-    def estimate(img: Image): Seq[Person] = {
-      val perScale = scales.map(_ => cnn.heatmaps(img)) // seam: scale resize inside CNN
-      val channels = perScale.head.indices.map { c =>
-        multiScaleAverage(perScale.map(_(c)))
-      }
-      val peaksPerChannel = channels.map(m => detectPeaks(m, img.w, img.h, sigma, thr)
-        .sortBy(p => (-p.score, p.y, p.x)))
-      val nPersons = peaksPerChannel.map(_.length).max
-      (0 until nPersons).map { k =>
-        val kps = Array.tabulate[Option[(Double, Double, Double)]](18) { c =>
-          peaksPerChannel(c).lift(k).map(p => (p.x.toDouble, p.y.toDouble, p.score.toDouble))
+  /** Bicubic resample of a scalar field (edge-clamped taps, OpenCV's
+    * half-pixel-center coordinate mapping src = (dst+0.5)/scale − 0.5). */
+  private def resampleBicubic(get: (Int, Int) => Double, w: Int, h: Int,
+      outW: Int, outH: Int): Array[Double] = {
+    val out = new Array[Double](outW * outH)
+    val sx = w.toDouble / outW
+    val sy = h.toDouble / outH
+    var oy = 0
+    while (oy < outH) {
+      val fy = (oy + 0.5) * sy - 0.5
+      val y0 = math.floor(fy).toInt
+      var ox = 0
+      while (ox < outW) {
+        val fx = (ox + 0.5) * sx - 0.5
+        val x0 = math.floor(fx).toInt
+        var acc = 0.0
+        var wsum = 0.0
+        var ky = -1
+        while (ky <= 2) {
+          val yy = math.min(h - 1, math.max(0, y0 + ky))
+          val wy = cubicWeight(fy - (y0 + ky))
+          var kx = -1
+          while (kx <= 2) {
+            val xx = math.min(w - 1, math.max(0, x0 + kx))
+            val wgt = wy * cubicWeight(fx - (x0 + kx))
+            acc += get(xx, yy) * wgt
+            wsum += wgt
+            kx += 1
+          }
+          ky += 1
         }
-        Person(kps)
+        out(oy * outW + ox) = acc / wsum
+        ox += 1
       }
+      oy += 1
+    }
+    out
+  }
+
+  /** Bicubic image resize (M7 pre-step; cv2.resize INTER_CUBIC at
+    * dl_k_to_ss.py:82). Per-RGB-channel, clamped to [0,255]. */
+  def resizeBicubic(img: Image, outW: Int, outH: Int): Image = {
+    if (outW == img.w && outH == img.h) return img
+    def chan(shift: Int) = resampleBicubic(
+      (x, y) => (img.pixels(y * img.w + x) >> shift) & 0xff, img.w, img.h, outW, outH)
+    val (r, g, b) = (chan(16), chan(8), chan(0))
+    val px = Array.tabulate(outW * outH) { i =>
+      def c8(v: Double) = math.min(255, math.max(0, math.round(v).toInt))
+      (c8(r(i)) << 16) | (c8(g(i)) << 8) | c8(b(i))
+    }
+    Image(outW, outH, px)
+  }
+
+  /** Bicubic resize of one float heatmap/PAF channel (dl_k_to_ss.py:96). */
+  def resizeMapBicubic(map: Array[Float], w: Int, h: Int,
+      outW: Int, outH: Int): Array[Float] = {
+    require(map.length == w * h)
+    if (outW == w && outH == h) return map
+    resampleBicubic((x, y) => map(y * w + x), w, h, outW, outH).map(_.toFloat)
+  }
+
+  /** Pad bottom/right to a multiple of `stride` with constant `padValue`
+    * (openpose/util.py:57-77 padRightDownCorner; only down/right pad is
+    * ever non-zero there). Returns (padded, padDown, padRight). */
+  def padRightDown(img: Image, stride: Int, padValue: Int): (Image, Int, Int) = {
+    val padDown = if (img.h % stride == 0) 0 else stride - (img.h % stride)
+    val padRight = if (img.w % stride == 0) 0 else stride - (img.w % stride)
+    if (padDown == 0 && padRight == 0) return (img, 0, 0)
+    val w2 = img.w + padRight
+    val h2 = img.h + padDown
+    val fill = ((padValue & 0xff) << 16) | ((padValue & 0xff) << 8) | (padValue & 0xff)
+    val px = Array.fill(w2 * h2)(fill)
+    var y = 0
+    while (y < img.h) {
+      System.arraycopy(img.pixels, y * img.w, px, y * w2, img.w)
+      y += 1
+    }
+    (Image(w2, h2, px), padDown, padRight)
+  }
+
+  /** The remaining CNN seam: image → 18 keypoint heatmaps AND the
+    * 38-channel part-affinity field, each channel img.w×img.h row-major
+    * (the reference model's two output blobs, dl_k_to_ss.py:91-98; the
+    * stride-8 internal resolution and ×stride upsample live inside the
+    * model, so the seam contract is input-resolution maps). */
+  trait HeatmapCnn extends Serializable {
+    def heatmaps(img: Image): Array[Array[Float]]
+    def pafs(img: Image): Array[Array[Float]]
+  }
+
+  /** Pose estimator from the REAL pose math over a pluggable CNN
+    * (dl_k_to_ss.py:71-242): per scale, bicubic-resize the image and pad
+    * to the model stride (M7), run the CNN, crop the padding and resize
+    * each channel back to the original size, then average across scales
+    * (A5); peak-detect per channel (M8); group keypoints into persons via
+    * PAF line-integral limb scoring + greedy assembly (M9/T3/M10). */
+  final class HeatmapPoseEstimator(cnn: HeatmapCnn, scales: Seq[Double] = Seq(1.0),
+      sigma: Double = 3.0, thr: Double = 0.1, thre2: Double = 0.05,
+      stride: Int = 8, padValue: Int = 128)
+      extends PoseEstimator {
+
+    /** One scale pass: resize → pad → CNN → crop pad → resize back
+      * (dl_k_to_ss.py:79-102). */
+    private def atScale(img: Image, scale: Double,
+        run: Image => Array[Array[Float]]): Array[Array[Float]] = {
+      val sw = math.max(1, math.round(img.w * scale).toInt)
+      val sh = math.max(1, math.round(img.h * scale).toInt)
+      val scaled = resizeBicubic(img, sw, sh)
+      val (padded, padDown, padRight) = padRightDown(scaled, stride, padValue)
+      run(padded).map { m =>
+        require(m.length == padded.w * padded.h,
+          s"CNN must emit input-sized channels (${padded.w}x${padded.h})")
+        val cropped =
+          if (padDown == 0 && padRight == 0) m
+          else Array.tabulate(sw * sh)(i => m((i / sw) * padded.w + i % sw))
+        resizeMapBicubic(cropped, sw, sh, img.w, img.h)
+      }
+    }
+
+    /** Scale-averaged (heatmaps, PAF field) at original resolution
+      * (dl_k_to_ss.py:104-105 heatmap_avg/paf_avg). */
+    def averagedFields(img: Image): (Array[Array[Float]], Array[Array[Float]]) = {
+      val heatPerScale = scales.map(s => atScale(img, s, cnn.heatmaps))
+      val pafPerScale = scales.map(s => atScale(img, s, cnn.pafs))
+      val heatAvg = heatPerScale.head.indices.map(c =>
+        multiScaleAverage(heatPerScale.map(_(c)))).toArray
+      val pafAvg = pafPerScale.head.indices.map(c =>
+        multiScaleAverage(pafPerScale.map(_(c)))).toArray
+      (heatAvg, pafAvg)
+    }
+
+    def estimate(img: Image): Seq[Person] = {
+      val (heatAvg, pafAvg) = averagedFields(img)
+      val peaks = heatAvg.toIndexedSeq.map(m => detectPeaks(m, img.w, img.h, sigma, thr))
+      PafAssembly.assemble(PafAssembly.withIds(peaks), pafAvg, img.w, img.h, thre2)
     }
   }
 }

@@ -15,19 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Notifier {
 
-  /** value1/value2/value3 of the quarter-prediction webhook
-    * (ml_IFTTT.py:14-23): prediction mapped to a win/lose phrase, the
-    * probability rounded to 2 dp ONLY here at the notifier edge (Q3). */
+  /** value1/value2/value3 of the quarter-prediction webhook, VERBATIM from
+    * ml_IFTTT.py:16-22: a fixed greeting, prediction mapped to the
+    * more/fewer-points phrase, and a keep-it-up/adjust-lineup exhortation.
+    * The probability is parsed and 2-dp rounded at this edge exactly as the
+    * reference does (ml_IFTTT.py:15) even though the message omits it (Q3). */
   def quarterMessage(prediction: Int, probability: Double): (String, String, String) = {
-    val outcome = if (prediction == 1) "贏" else "輸"
-    (s"本節獲勝預測結果:", s"你們這節會$outcome", f"勝率: ${math.round(probability * 100) / 100.0}%.2f")
+    // ml_IFTTT.py:15 parses + 2-dp-rounds the probability and then never
+    // includes it in the message — only the prediction selects the text
+    if (prediction == 1)
+      ("Penrite更好的機油 隊長您好", "[預測]本節得分將 多於 對手", "--請繼續保持狀態--")
+    else
+      ("Penrite更好的機油 隊長您好", "[預測]本節得分將 少於 對手", "--請調整陣容配置--")
   }
 
-  /** The player-stats message of dl_IFTTT.py:22-23 over the
-    * "{team},{num},{score},{reb},{ast}" payload (Q5/Q6). */
+  /** The player-stats message VERBATIM from dl_IFTTT.py:22-23 over the
+    * "{team},{num},{score},{reb},{ast}" payload; value3 is empty (Q5/Q6). */
   def playerMessage(team: String, num: Int, score: Double, reb: Double, ast: Double): (String, String, String) =
-    (s"球員辨識結果:", s"$team 隊,背號 $num",
-      s"場均得分 $score,籃板 $reb,助攻 $ast")
+    (s"$team ${num}號球員即將上場",
+      s"平均數據: 得分$score, 籃板$reb, 助攻$ast", "")
 
   /** Webhook sender seam. Production: java.net.http GET to
     * maker.ifttt.com/trigger/<event>/with/key/<key>?value1=..&value2=..&value3=..;
@@ -42,6 +48,30 @@ object Notifier {
     val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]
     def send(v1: String, v2: String, v3: String): Boolean = {
       sent.add((v1, v2, v3)); true
+    }
+  }
+
+  /** Production sender: GET to the IFTTT maker webhook exactly as
+    * ml_IFTTT.py:27-32 / dl_IFTTT.py:26-31 — URL
+    * `https://maker.ifttt.com/trigger/<event>/with/key/<key>?value1=..&value2=..&value3=..`,
+    * delivered iff the response body starts with "Congr". Values are
+    * URL-encoded (the reference concatenates raw CJK text and relies on
+    * requests' escaping — encoding here is the same observable request).
+    * Unused by default in this zero-egress environment; injected via
+    * `notifyQuarter(df, () => new IftttSender(event, key))` in production. */
+  class IftttSender(event: String, key: String,
+      baseUrl: String = "https://maker.ifttt.com") extends WebhookSender {
+    @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+    private def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    def send(v1: String, v2: String, v3: String): Boolean = {
+      val uri = java.net.URI.create(
+        s"$baseUrl/trigger/$event/with/key/$key" +
+          s"?value1=${enc(v1)}&value2=${enc(v2)}&value3=${enc(v3)}")
+      val req = java.net.http.HttpRequest.newBuilder(uri).GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.body().startsWith("Congr") // ml_IFTTT.py:32
     }
   }
 

@@ -115,8 +115,18 @@ object Olap {
   /** As-of join, composed from built-ins (SURVEY guide preference (a)):
     * for every order, the most recent event timestamp of its (derived)
     * user at-or-before the order date. Implemented as the scalable
-    * union + single sort-shuffle + running-max pattern — one shuffle on
-    * the join key, no per-row point lookups, no range cross join.
+    * union + sort-shuffle + running-max pattern — no per-row point
+    * lookups, no range cross join.
+    *
+    * Skew control: the raw join key has only ~20 distinct values, so a
+    * single window over `k` would sort at ≤20-way parallelism with 1/20th
+    * of BOTH tables per partition — a straggler machine at 100 TB. The
+    * window key is therefore composed with a coarse time bucket (k × day):
+    * the running max runs per (k, bucket), and a second, TINY window over
+    * the per-bucket maxima (|k|·|buckets| rows) carries the result across
+    * bucket boundaries. Same answer, sort parallelism |k|·|buckets|
+    * instead of |k|.
+    *
     * Oracle: DuckDB correlated max() subquery (its ASOF JOIN drops
     * no-match rows; the subquery keeps left-outer semantics). */
   val asofJoin = sql(
@@ -140,11 +150,30 @@ object Olap {
       (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t_ns"),
       lit(1).as("side"),
       col("o_orderkey"))
-    val w = Window.partitionBy("k").orderBy("t_ns", "side")
+    val DayNs = 86400L * 1000000000L
+    val u = ev.unionByName(ord).withColumn("bkt", floor(col("t_ns") / DayNs))
+    // pass 1: running event-max within each (k, day-bucket) — the big sort,
+    // parallel across |k|·|buckets| groups instead of |k|
+    val wLocal = Window.partitionBy("k", "bkt").orderBy("t_ns", "side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(ord)
-      .withColumn("last_event_ns", max(when(col("side") === 0, col("t_ns"))).over(w))
-      .filter(col("side") === 1)
+    val local = u.withColumn(
+      "local_max", max(when(col("side") === 0, col("t_ns"))).over(wLocal))
+    // pass 2: per-(k, bucket) event maxima over every bucket that appears on
+    // EITHER side (so event-less buckets still receive the carry), then a
+    // strictly-preceding prefix max per k. |k|·|buckets| rows: the ≤|k|-way
+    // window here sorts a few thousand aggregates, not the fact tables.
+    val wPrefix = Window.partitionBy("k").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = u.groupBy("k", "bkt")
+      .agg(max(when(col("side") === 0, col("t_ns"))).as("bmax"))
+      .withColumn("prev_max", max("bmax").over(wPrefix))
+      .select("k", "bkt", "prev_max")
+    // greatest() skips nulls: the in-bucket running max wins when both exist
+    // (it is ≥ any earlier bucket's carry); all-null (no event at-or-before)
+    // stays null = the oracle's left-outer no-match
+    local.filter(col("side") === 1)
+      .join(broadcast(prefix), Seq("k", "bkt"), "left")
+      .withColumn("last_event_ns", greatest(col("local_max"), col("prev_max")))
       .select(col("o_orderkey"), col("last_event_ns"))
       .orderBy("o_orderkey")
   }

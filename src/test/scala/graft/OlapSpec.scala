@@ -27,6 +27,39 @@ class OlapSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("o_orderkey", "last_event_ns"))
   }
 
+  test("as-of join: day-bucketed window carries the running max across buckets") {
+    import spark.implicits._
+    val DayNs = 86400L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("asof-skew").toString
+    // events for user 1: day 0 noon and day 5 noon (ts = raw nanos long,
+    // the shape Tables.events exposes)
+    Seq((1L, DayNs / 2, "click", 1.0), (1L, 5 * DayNs + DayNs / 2, "click", 2.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def tsAt(ns: Long) = new java.sql.Timestamp(ns / 1000000L)
+    Seq(
+      (10L, 1L, tsAt(DayNs / 4)),          // day 0, BEFORE first event → null
+      (11L, 1L, tsAt(3 * DayNs)),          // day 3 → carry from day 0 across empty buckets
+      (12L, 1L, tsAt(5 * DayNs + DayNs / 2)), // exactly at event 2 → inclusive match
+      (13L, 1L, tsAt(5 * DayNs + 3 * DayNs / 4))) // day 5 later → in-bucket running max
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("olap_asof_join")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(10L) == None)
+    assert(got(11L) == Some(DayNs / 2))
+    assert(got(12L) == Some(5 * DayNs + DayNs / 2))
+    assert(got(13L) == Some(5 * DayNs + DayNs / 2))
+    // and the big window's sort key is the COMPOSED (k, bucket) partition —
+    // the de-skew contract (≤20-way parallelism otherwise)
+    val plan = SparkEntry.queries("olap_asof_join")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(k#") || plan.contains("partitionbyspec"),
+      "expected a window in the plan")
+    assert(plan.contains("bkt"), s"window must partition by the day bucket:\n$plan")
+  }
+
   test("rollup produces per-group, subtotal, and grand-total strata") {
     val out = SparkEntry.queries("olap_rollup")(spark, sf).collect()
     assert(out.exists(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")) // grand total
