@@ -4,10 +4,12 @@ import graft.cv.PlayerIdent.{Image, Person, PoseEstimator}
 
 /** Pure-Scala heatmap math of the pose pipeline — the parts of the
   * reference's OpenPose stage that are real algorithms rather than CNN
-  * weights: multi-scale accumulation (A5, dl_k_to_ss.py:76-77,104-105),
+  * weights: bicubic multi-scale resize + pad-to-stride (M7,
+  * dl_k_to_ss.py:79-102), multi-scale accumulation (A5, :76-77,104-105),
   * gaussian smoothing + 4-neighbor local-max peak detection with threshold
-  * 0.1 (M8, dl_k_to_ss.py:107-131), and denoising (M12). Only the CNN
-  * forward pass itself remains a pluggable seam (`HeatmapCnn`).
+  * 0.1 (M8, :107-131), and denoising (M12). Limb matching / person
+  * assembly (M9/T3/M10) lives in `PafAssembly`. Only the CNN forward pass
+  * itself remains a pluggable seam (`HeatmapCnn`).
   */
 object Heatmaps {
 

@@ -54,15 +54,12 @@ object Similarity {
       .limit(10)
   }
 
-  /** IVF assignment: nearest label-centroid per vector by squared-L2.
-    * Centroids are per-(label, dim) means rounded to 4 dp BEFORE the
-    * distance step, so downstream arithmetic is identical on both engines
-    * regardless of each engine's mean-accumulation order. */
-  val simIvfAssign = sql(
-    "sim_ivf_assign",
-    """WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
-      |                   generate_subscripts(embedding, 1) AS pos
-      |            FROM embeddings),
+  /** SQL CTE chain ending in `assign(vec_id, cell)` — every vector's
+    * nearest-centroid cell (shared by the assign and probe queries). */
+  private val ivfAssignSqlCte: String =
+    """ex AS (SELECT vec_id, unnest(embedding) AS x,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings),
       |cex AS (SELECT label, unnest(embedding) AS x,
       |               generate_subscripts(embedding, 1) AS pos
       |        FROM embeddings),
@@ -74,9 +71,23 @@ object Similarity {
       |          GROUP BY e.vec_id, ct.label),
       |ranked AS (SELECT vec_id, label,
       |                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
-      |           FROM dists)
-      |SELECT vec_id, label AS cell FROM ranked WHERE rn = 1
-      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      |           FROM dists),
+      |assign AS (SELECT vec_id, label AS cell FROM ranked WHERE rn = 1)""".stripMargin
+
+  /** IVF assignment: nearest label-centroid per vector by squared-L2.
+    * Centroids are per-(label, dim) means rounded to 4 dp BEFORE the
+    * distance step, so downstream arithmetic is identical on both engines
+    * regardless of each engine's mean-accumulation order. */
+  val simIvfAssign = sql(
+    "sim_ivf_assign",
+    s"""WITH $ivfAssignSqlCte
+       |SELECT vec_id, cell FROM assign
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    ivfAssignDf(s, d).orderBy("vec_id")
+  }
+
+  /** Spark side of `assign(vec_id, cell)`. */
+  private def ivfAssignDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     val emb = Tables.embeddings(s, d)
     // Codebook fit: per-(label, dim) means rounded to 4 dp, then packed
     // into one ordered array per label (k rows — broadcastable model
@@ -102,7 +113,42 @@ object Similarity {
       .select(col("vec_id"), col("clabel"), dist.as("dist"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("clabel"))).getField("clabel").as("cell"))
-      .orderBy("vec_id")
+  }
+
+  /** IVF PROBE — the actual ANN query path: assign the query vector to its
+    * nearest cell, then brute-force cosine top-k WITHIN that cell only.
+    * At 100 TB this is the whole point of IVF: the scan touches ~1/k of
+    * the corpus (one cell), not all of it; the cell filter is a broadcast
+    * 1-row semi-join, and the top-k is TakeOrderedAndProject (no global
+    * sort). Same fold discipline as sim_topk_cosine → bit-identical
+    * cosines. */
+  val simIvfTopk = sql(
+    "sim_ivf_topk",
+    s"""WITH $ivfAssignSqlCte,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qcell AS (SELECT cell FROM assign WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |       round(${dotSql("e.embedding", "qv")}
+       |             / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |FROM embeddings e
+       |JOIN assign a ON a.vec_id = e.vec_id
+       |JOIN qcell ON a.cell = qcell.cell
+       |CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val assign = ivfAssignDf(s, d)
+    val qcell = assign.filter(col("vec_id") === 0).select(col("cell"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(assign, "vec_id")
+      .join(broadcast(qcell), "cell") // 1-row cell filter
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotCol("embedding", "qv")
+          / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("qv", "qv"))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
   }
 
   /** Embedding-cosine near-dup pairs, bucket-bounded: candidate pairs only
@@ -194,5 +240,6 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(simTopK, simIvfAssign, simNearDup, simLshBuckets)
+  val defs: Seq[QueryDef] = Seq(
+    simTopK, simIvfAssign, simIvfTopk, simNearDup, simLshBuckets)
 }

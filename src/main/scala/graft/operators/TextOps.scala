@@ -199,26 +199,27 @@ object TextOps {
     sig.select(col("doc_id") +: bandCols: _*).orderBy("doc_id")
   }
 
-  /** MinHash-LSH candidate pairs: long-format (band_idx, band_val) → bucket
-    * self-join → distinct pairs. The shuffle key is the band bucket — the
-    * standard linear-scale LSH join. */
-  val dedupMinhashPairs = sql(
-    "dedup_minhash_pairs", {
-      val mhs = (0 until NumHashes)
-        .map(j => s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j").mkString(",\n       ")
-      val bandRows = (0 until NumHashes / BandSize)
-        .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS v FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH $shinglesSql,
-         |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandRows
-         |)
-         |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.v = b.v AND a.doc_id < b.doc_id
-         |ORDER BY da, db""".stripMargin
-    }) { (s, d) =>
+  /** SQL CTE chain ending in `mp(da, db)` — the distinct MinHash-LSH
+    * candidate pairs (shared by the pair query and the cluster query). */
+  private val minhashPairsSqlCte: String = {
+    val mhs = (0 until NumHashes)
+      .map(j => s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j").mkString(",\n       ")
+    val bandRows = (0 until NumHashes / BandSize)
+      .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""$shinglesSql,
+       |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows
+       |),
+       |mp AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |       FROM bands a JOIN bands b
+       |         ON a.band_idx = b.band_idx AND a.v = b.v AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Spark side of `mp(da, db)`: signatures → band explode → bucket
+    * self-join → distinct pairs. */
+  private def minhashBandPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val sig = shingles(s, d)
       .withColumn("h", md5(col("sh")))
       .groupBy("doc_id")
@@ -234,7 +235,68 @@ object TextOps {
     val b = bands.toDF("db", "band_idx", "v")
     a.join(b, Seq("band_idx", "v")).filter(col("da") < col("db"))
       .select("da", "db").distinct()
-      .orderBy("da", "db")
+  }
+
+  /** MinHash-LSH candidate pairs: long-format (band_idx, band_val) → bucket
+    * self-join → distinct pairs. The shuffle key is the band bucket — the
+    * standard linear-scale LSH join. */
+  val dedupMinhashPairs = sql(
+    "dedup_minhash_pairs",
+    s"""WITH $minhashPairsSqlCte
+       |SELECT da, db FROM mp
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    minhashBandPairs(s, d).orderBy("da", "db")
+  }
+
+  /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    * graph, labeling every document with the minimum doc_id reachable via
+    * near-dup edges (`cluster`) and a `keep` flag for the canonical member
+    * — the "keep one per duplicate cluster" step every training-data dedup
+    * pipeline ends with.
+    *
+    * Spark side: iterative min-label propagation (label := min(label,
+    * neighbors' labels) until fixpoint). Each round is one join + one
+    * partial-aggregable groupBy — the standard Pregel-style CC. Rounds =
+    * graph diameter; near-dup clusters are near-cliques (diameter ≤ ~3),
+    * so this converges in 2-4 rounds regardless of corpus size. (For
+    * adversarially long path-graphs the alternating small-star/large-star
+    * variant bounds rounds at O(log n) with the same per-round shape.)
+    * Oracle: DuckDB recursive CTE computing min reachable id. */
+  val dedupClusters = sql(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $minhashPairsSqlCte,
+       |edges AS (SELECT da AS u, db AS v FROM mp
+       |          UNION ALL SELECT db, da FROM mp),
+       |reach(doc_id, root) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.doc_id
+       |)
+       |SELECT doc_id, min(root) AS cluster, min(root) = doc_id AS keep
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val mp = minhashBandPairs(s, d)
+    val edges = mp.select(col("da").as("u"), col("db").as("v"))
+      .unionAll(mp.select(col("db").as("u"), col("da").as("v")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = labels.as("l").join(edges.as("e"), col("l.doc_id") === col("e.u"))
+        .select(col("e.v").as("doc_id"), col("l.cluster").as("cluster"))
+      val next = labels.unionAll(prop)
+        .groupBy("doc_id").agg(min("cluster").as("cluster")).cache()
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("cluster"),
+      (col("cluster") === col("doc_id")).as("keep"))
+      .orderBy("doc_id")
   }
 
   private val SimhashBits = 16
@@ -370,8 +432,95 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Top-3 TF-IDF terms per document — the classic content-signature /
+    * keyword-extraction operator. tf and df are exact integer counts (one
+    * shuffle each, both partial-aggregable); idf = ln(N·1.0/df) with N
+    * broadcast as a 1-row aggregate (no driver collect, no global window).
+    * Ranking uses the 4-dp-ROUNDED score with a token tie-break so the
+    * row_number cut is bit-stable across engines (libm ln agrees to ~1 ulp;
+    * 4-dp rounding absorbs it per the repo float policy). */
+  val textTfidf = sql(
+    "text_tfidf",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, tok, tf.tf, df.df,
+      |                  round(tf.tf * ln(n_docs * 1.0 / df.df), 4) AS tfidf
+      |           FROM tf JOIN df USING (tok) CROSS JOIN n),
+      |ranked AS (SELECT *, CAST(row_number() OVER
+      |             (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rn
+      |           FROM scored)
+      |SELECT doc_id, rn, tok, tf, df, tfidf
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 4))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "tok", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Gopher/CCNet-style quality scoring: stopword ratio, digit-token
+    * ratio, mean word length, and the count of passed quality gates
+    * (mean-word-length ∈ [3,10], stopwords present, digit ratio < 0.2).
+    * All ratios are exact integer divisions rounded at 4 dp; the gates are
+    * integer comparisons on the UNROUNDED rationals via cross-multiplied
+    * integer arithmetic — no float boundary risk. */
+  val textQuality = sql(
+    "text_quality",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars
+      |           FROM documents),
+      |m AS (SELECT doc_id,
+      |             len(toks) AS n_tokens,
+      |             len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS n_stop,
+      |             len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS n_digit,
+      |             n_chars - len(toks) + 1 AS n_letters
+      |      FROM t)
+      |SELECT doc_id, n_tokens,
+      |       round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+      |       round(n_digit * 1.0 / n_tokens, 4) AS digit_ratio,
+      |       round(n_letters * 1.0 / n_tokens, 4) AS mean_wl,
+      |       CAST((CASE WHEN n_letters >= 3 * n_tokens AND n_letters <= 10 * n_tokens
+      |                  THEN 1 ELSE 0 END)
+      |          + (CASE WHEN n_stop > 0 THEN 1 ELSE 0 END)
+      |          + (CASE WHEN 5 * n_digit < n_tokens THEN 1 ELSE 0 END) AS INT) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stopList = Seq("the", "a", "of", "and", "in", "to", "is")
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), t => t.isInCollection(stopList))).as("n_stop"),
+        size(filter(col("toks"), t => t.rlike("^[0-9]+$"))).as("n_digit"),
+        (col("n_chars") - size(col("toks")) + 1).as("n_letters"))
+    m.select(col("doc_id"), col("n_tokens"),
+      round(col("n_stop") * lit(1.0) / col("n_tokens"), 4).as("stop_ratio"),
+      round(col("n_digit") * lit(1.0) / col("n_tokens"), 4).as("digit_ratio"),
+      round(col("n_letters") * lit(1.0) / col("n_tokens"), 4).as("mean_wl"),
+      (when(col("n_letters") >= lit(3) * col("n_tokens") &&
+            col("n_letters") <= lit(10) * col("n_tokens"), 1).otherwise(0)
+        + when(col("n_stop") > 0, 1).otherwise(0)
+        + when(lit(5) * col("n_digit") < col("n_tokens"), 1).otherwise(0))
+        .cast("int").as("quality"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
-    dedupSimhash, dedupSimhashPairs, textTokenBpe, textRollingHash)
+    dedupClusters, dedupSimhash, dedupSimhashPairs, textTokenBpe,
+    textRollingHash, textTfidf, textQuality)
 }

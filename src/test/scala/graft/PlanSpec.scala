@@ -64,6 +64,14 @@ class PlanSpec extends AnyFunSuite {
       "top-k should be a partial per-partition top-k merge, not a full sort")
   }
 
+  test("sim_ivf_topk: cell-probe top-k is TakeOrderedAndProject with broadcast cell filter") {
+    val plan = executedPlan("sim_ivf_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "IVF probe top-k should be a partial per-partition top-k merge")
+    assert(plan.contains("BroadcastExchange"),
+      "the 1-row query cell must broadcast, not shuffle the corpus")
+  }
+
   test("j2_nearest_centroid: centroid table broadcast, fact side not shuffled for the join") {
     val plan = executedPlan("j2_nearest_centroid")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),

@@ -45,4 +45,33 @@ class TextOpsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("LeftAnti"), s"expected LeftAnti in:\n$plan")
   }
+
+  test("dedup_clusters: min-label propagation produces consistent components") {
+    // three identical docs (one near-dup clique) + two other identical docs
+    // + a singleton: clusters {0,1,2}, {10,11}, {20}
+    val a = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 12).map(i => s"beta$i").mkString(" ")
+    val c = (1 to 12).map(i => s"gamma$i").mkString(" ")
+    val dir = writeDocs(Seq(0L -> a, 1L -> a, 2L -> a, 10L -> b, 11L -> b, 20L -> c))
+    val got = TextOps.dedupClusters.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (10L, 10L, true), (11L, 10L, false), (20L, 20L, true)))
+  }
+
+  test("text_tfidf: rare terms outrank common terms within a doc") {
+    val common = "shared " * 5
+    val dir = writeDocs(Seq(
+      1L -> s"${common}unique1 unique1 unique1",
+      2L -> s"${common}other2", 3L -> s"${common}third3"))
+    val top = TextOps.textTfidf.fn(spark, dir)
+      .filter("doc_id = 1 AND rn = 1").collect().head
+    // 'shared' appears in every doc → idf = ln(1) = 0; the doc-specific
+    // term must rank first despite lower tf
+    assert(top.getAs[String]("tok") == "unique1")
+    val sharedRows = TextOps.textTfidf.fn(spark, dir)
+      .filter("tok = 'shared' AND tfidf > 0").count()
+    assert(sharedRows == 0, "corpus-wide terms must have zero tf-idf")
+  }
 }
