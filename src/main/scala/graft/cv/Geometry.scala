@@ -96,47 +96,54 @@ object Geometry {
     * evenly-strided distinct pixels; fixed iteration count. */
   def kmeansRgb(pixels: Array[Int], k: Int, iters: Int = 10): (Array[(Double, Double, Double)], Array[Int]) = {
     require(pixels.nonEmpty && k > 0)
-    val pts = pixels.map(p => ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff))
-    val distinct = pts.distinct
+    // primitive arrays throughout: this runs per RECORD inside the UDF hot
+    // loop, where boxed tuples per pixel per iteration dominate the cost
+    val distinct = pixels.distinct // packed RGB ↔ tuple distinct: same set+order
     val kk = math.min(k, distinct.length)
-    val cent = Array.tabulate(kk) { i =>
-      val p = distinct((i.toLong * distinct.length / kk).toInt)
-      (p._1.toDouble, p._2.toDouble, p._3.toDouble)
+    val cr = new Array[Double](kk); val cg = new Array[Double](kk); val cb = new Array[Double](kk)
+    var j = 0
+    while (j < kk) {
+      val p = distinct((j.toLong * distinct.length / kk).toInt)
+      cr(j) = (p >> 16) & 0xff; cg(j) = (p >> 8) & 0xff; cb(j) = p & 0xff
+      j += 1
     }
-    val assign = new Array[Int](pts.length)
+    val assign = new Array[Int](pixels.length)
+    val sr = new Array[Double](kk); val sg = new Array[Double](kk)
+    val sb = new Array[Double](kk); val sn = new Array[Long](kk)
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
+      java.util.Arrays.fill(sr, 0.0); java.util.Arrays.fill(sg, 0.0)
+      java.util.Arrays.fill(sb, 0.0); java.util.Arrays.fill(sn, 0L)
       var i = 0
-      while (i < pts.length) {
-        var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (i < pixels.length) {
+        val p = pixels(i)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        var best = 0; var bestD = Double.MaxValue
+        j = 0
         while (j < kk) {
-          val dr = pts(i)._1 - cent(j)._1
-          val dg = pts(i)._2 - cent(j)._2
-          val db = pts(i)._3 - cent(j)._3
+          val dr = r - cr(j); val dg = g - cg(j); val db = b - cb(j)
           val d = dr * dr + dg * dg + db * db
           if (d < bestD) { bestD = d; best = j }
           j += 1
         }
         assign(i) = best
+        sr(best) += r; sg(best) += g; sb(best) += b; sn(best) += 1
         i += 1
       }
-      val sums = Array.fill(kk)((0.0, 0.0, 0.0, 0L))
-      i = 0
-      while (i < pts.length) {
-        val j = assign(i)
-        val (r, g, b, n) = sums(j)
-        sums(j) = (r + pts(i)._1, g + pts(i)._2, b + pts(i)._3, n + 1)
-        i += 1
-      }
-      var j = 0
+      converged = true // early exit at the fixed point: same result, fewer passes
+      j = 0
       while (j < kk) {
-        val (r, g, b, n) = sums(j)
-        if (n > 0) cent(j) = (r / n, g / n, b / n)
+        if (sn(j) > 0) {
+          val nr = sr(j) / sn(j); val ng = sg(j) / sn(j); val nb = sb(j) / sn(j)
+          if (nr != cr(j) || ng != cg(j) || nb != cb(j)) converged = false
+          cr(j) = nr; cg(j) = ng; cb(j) = nb
+        }
         j += 1
       }
       it += 1
     }
-    (cent, assign)
+    (Array.tabulate(kk)(j => (cr(j), cg(j), cb(j))), assign)
   }
 
   /** Histogram of cluster labels normalized to sum 1 (color/utils.py:6-17)

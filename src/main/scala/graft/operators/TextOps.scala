@@ -254,13 +254,12 @@ object TextOps {
     * — the "keep one per duplicate cluster" step every training-data dedup
     * pipeline ends with.
     *
-    * Spark side: iterative min-label propagation (label := min(label,
-    * neighbors' labels) until fixpoint). Each round is one join + one
-    * partial-aggregable groupBy — the standard Pregel-style CC. Rounds =
-    * graph diameter; near-dup clusters are near-cliques (diameter ≤ ~3),
-    * so this converges in 2-4 rounds regardless of corpus size. (For
-    * adversarially long path-graphs the alternating small-star/large-star
-    * variant bounds rounds at O(log n) with the same per-round shape.)
+    * Two execution paths chosen by pair-graph size (the LSH banding makes
+    * pairs linear in the DUPLICATE volume, not the corpus): small graphs
+    * take a driver union-find over one bounded collect of the pairs; big
+    * graphs take distributed hash-min + pointer-jumping rounds
+    * (`connectedComponentsDistributed`). Edge-less documents never
+    * iterate on either path.
     * Oracle: DuckDB recursive CTE computing min reachable id. */
   val dedupClusters = sql(
     "dedup_clusters",
@@ -275,28 +274,101 @@ object TextOps {
        |SELECT doc_id, min(root) AS cluster, min(root) = doc_id AS keep
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"))
-    val mp = minhashBandPairs(s, d)
+    val mp = minhashBandPairs(s, d).cache()
+    val nEdges = mp.count()
+    val labeled =
+      if (nEdges <= SmallGraphEdgeLimit) {
+        // FAST PATH: the pair graph is a bounded driver-side structure
+        // (≤ ~16 MB of longs). Union-find with min-root + path compression
+        // beats dragging Spark's per-job overhead through diameter rounds.
+        // The collect is NOT a corpus collect — only the near-dup PAIRS,
+        // whose count the LSH banding already made linear-in-dups.
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        mp.collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { // attach larger root under smaller → min-root
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val lookup = parent.keys.toSeq.map(v => (v, find(v)))
+        import s.implicits._
+        docs.join(broadcast(lookup.toDF("doc_id", "cl")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cl"), col("doc_id")).as("cluster"))
+      } else {
+        // AT-SCALE PATH: distributed hash-min + pointer-jumping rounds.
+        connectedComponentsDistributed(docs, mp)
+      }
+    mp.unpersist()
+    labeled
+      .select(col("doc_id"), col("cluster"),
+        (col("cluster") === col("doc_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Pair graphs up to this many edges are clustered by driver union-find
+    * (one bounded collect of the PAIRS, never the corpus); above it, the
+    * distributed rounds run. */
+  val SmallGraphEdgeLimit = 1000000L
+
+  /** Distributed connected components over undirected pairs `mp(da, db)`:
+    * per round, hash-min over neighbors (join + partial-aggregable groupBy)
+    * then a pointer-jumping relabel (label := label(label)) that contracts
+    * chains exponentially → O(log diameter) rounds, each linear in |edges|.
+    * Only pair-graph vertices iterate; edge-less docs (the overwhelming
+    * majority of any corpus) are attached by one final anti-join.
+    *
+    * LINEAGE DISCIPLINE: every round localCheckpoint(eager)s its frame,
+    * truncating the logical plan to a materialized leaf. Without this the
+    * self-join DOUBLES the analyzed plan tree every round (caching dedups
+    * execution, not the tree), and by round ~4 the driver spends minutes
+    * merely traversing/rendering plans — the classic iterative-DataFrame
+    * failure mode. */
+  private[graft] def connectedComponentsDistributed(
+      docs: org.apache.spark.sql.DataFrame,
+      mp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val edges = mp.select(col("da").as("u"), col("db").as("v"))
       .unionAll(mp.select(col("db").as("u"), col("da").as("v")))
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    val verts = edges.select(col("u").as("doc_id")).distinct().cache()
+    var labels = verts.select(col("doc_id"), col("doc_id").as("cluster"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val prop = labels.as("l").join(edges.as("e"), col("l.doc_id") === col("e.u"))
-        .select(col("e.v").as("doc_id"), col("l.cluster").as("cluster"))
-      val next = labels.unionAll(prop)
-        .groupBy("doc_id").agg(min("cluster").as("cluster")).cache()
+    while (changed > 0 && rounds < 25) {
+      // hash-min via neighbor-min groupBy + left join + least() — NO Union:
+      // Union's constraint rewrite rejects localCheckpoint leaves whose
+      // carried constraints reference pre-checkpoint attributes (Spark 4.1
+      // edge case); the join formulation has the same shuffle count
+      val nbrMin = labels.as("l").join(edges.as("e"), col("l.doc_id") === col("e.u"))
+        .groupBy(col("e.v").as("doc_id")).agg(min(col("l.cluster")).as("nmin"))
+      val hashMin = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), col("nmin")).as("cluster")) // least() skips nulls
+        .localCheckpoint(true) // self-joined below: materialize once, leaf plan
+      val next = hashMin.as("a")
+        .join(hashMin.select(col("doc_id").as("cid"), col("cluster").as("cc")).as("b"),
+          col("a.cluster") === col("b.cid"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          coalesce(col("b.cc"), col("a.cluster")).as("cluster"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .filter(col("cluster") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round=$rounds changed=$changed")
     }
     edges.unpersist()
-    labels.select(col("doc_id"), col("cluster"),
-      (col("cluster") === col("doc_id")).as("keep"))
-      .orderBy("doc_id")
+    // edge-less docs keep their own id: one left join, no union/anti-join
+    docs.join(labels.withColumnRenamed("cluster", "cl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster"))
   }
 
   private val SimhashBits = 16

@@ -46,6 +46,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"expected LeftAnti in:\n$plan")
   }
 
+  test("dedup_clusters: distributed rounds agree with the union-find fast path") {
+    import spark.implicits._
+    // a 6-chain (worst case for propagation), a triangle, and a singleton
+    val mp = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("da", "db")
+    val docs = (Seq(20L) ++ (1L to 6L) ++ (10L to 12L)).toDF("doc_id")
+    val got = TextOps.connectedComponentsDistributed(docs, mp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 6L).forall(got(_) == 1L), s"chain must collapse to 1: $got")
+    assert((10L to 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L) // singleton attached without iterating
+  }
+
   test("dedup_clusters: min-label propagation produces consistent components") {
     // three identical docs (one near-dup clique) + two other identical docs
     // + a singleton: clusters {0,1,2}, {10,11}, {20}
