@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   * inside whole-stage codegen.
   *
   * Semantics: null input array → null; null element → null (mirrors the
-  * fold, where null poisons the accumulator); length mismatch → dot over
-  * the common prefix (zip semantics).
+  * fold, where null poisons the accumulator); length mismatch → null
+  * (zip_with pads the shorter side with nulls, and a null element poisons
+  * the fold — exactly reproduced so `NativeDotProductRule` may substitute
+  * this expression for the fold unconditionally).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -54,7 +56,8 @@ case class DotProduct(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val lt = elemType(left).get
     val rt = elemType(right).get
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null // zip_with null-pad
+    val n = a.numElements()
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
@@ -81,10 +84,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |boolean hasNullElem = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { hasNullElem = true; break; }
+         |int $n = $a.numElements();
+         |boolean hasNullElem = $n != $b.numElements(); // zip_with null-pad
+         |for (int $i = 0; !hasNullElem && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { hasNullElem = true; }
          |}
          |if (hasNullElem) {
          |  ${ev.isNull} = true;

@@ -26,5 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // declarative aggregate(zip_with(...)) dot-product folds → native
+    // codegen'd DotProduct (bit-preserving; see NativeDotProductRule)
+    ext.injectOptimizerRule(_ => graft.plans.NativeDotProductRule)
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
-import graft.core.QueryDef.rowsOnly
+import graft.core.QueryDef.{rowsOnly, sql}
 import graft.cv.PlayerIdent.{Image, StubDecoder}
 
 /** Multimodal-column operators: image/audio/video as opaque `binary`
@@ -127,5 +127,29 @@ object Multimodal {
     meta.join(feats, "id").orderBy("id")
   }
 
-  val defs: Seq[QueryDef] = Seq(mmImageFeatures)
+  /** Codec-independent media metadata over the binary column — byte size,
+    * content hash, magic-prefix sniff, and the stub-container frame count
+    * (= sampleFrames' n). Unlike the decode path this IS SQL-expressible,
+    * so the multimodal family gets an oracle-checked member: Spark md5
+    * over the UTF-8 bytes ≡ DuckDB md5 over the VARCHAR's bytes. All
+    * narrow column ops — no UDF, stays in whole-stage codegen. */
+  val mmMediaMeta = sql(
+    "mm_media_meta",
+    """SELECT doc_id AS id,
+      |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |       md5(text) AS content_md5,
+      |       substr(text, 1, 4) AS magic,
+      |       CAST(greatest(1, strlen(text) // 16) AS BIGINT) AS n_frames
+      |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+    val nBytes = length(col("text").cast("binary")).cast("long")
+    Tables.documents(s, d).select(
+      col("doc_id").as("id"),
+      nBytes.as("n_bytes"),
+      md5(col("text").cast("binary")).as("content_md5"),
+      substring(col("text"), 1, 4).as("magic"),
+      greatest(lit(1L), floor(nBytes / 16).cast("long")).as("n_frames"))
+      .orderBy("id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mmImageFeatures, mmMediaMeta)
 }

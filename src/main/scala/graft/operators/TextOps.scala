@@ -150,7 +150,7 @@ object TextOps {
        |JOIN sizes sb ON sb.doc_id = db
        |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
        |ORDER BY da, db""".stripMargin) { (s, d) =>
-    val raw = shingles(s, d)
+    val raw = shingles(s, d).cache() // read twice: df aggregation + anti join
     val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select("sh")
     // left_anti keeps the hot-key list out of the big join's key space

@@ -22,15 +22,22 @@ class DotProductSpec extends AnyFunSuite {
     assert(both.filter(col("native").isNull).count() == 0)
   }
 
-  test("null array → null; mismatched lengths use common prefix (zip semantics)") {
+  test("null array → null; mismatched lengths → null (zip_with null-pad semantics)") {
     import spark.implicits._
     val df = Seq(
-      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f, 99.0f))), // prefix: 1*3+2*4 = 11
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),        // 1*3+2*4 = 11
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f, 99.0f))), // pad → null
       (None: Option[Seq[Float]], Some(Seq(1.0f))))
       .toDF("a", "b")
     val out = df.select(dot_product($"a", $"b")).collect()
     assert(out(0).getDouble(0) == 11.0)
-    assert(out(1).isNullAt(0))
+    assert(out(1).isNullAt(0), "length mismatch must match the fold's null")
+    assert(out(2).isNullAt(0))
+    // and the fold agrees on the mismatch row
+    val fold = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS f").collect()
+    assert(fold(1).isNullAt(0))
   }
 
   test("stays in whole-stage codegen over a real scan") {
