@@ -120,6 +120,52 @@ object Jobs {
         })
   }
 
+  final case class DocEvent(source: String, nBytes: Long)
+  final case class SourceStats(source: String, nDocs: Long, totBytes: Long)
+
+  /** Spark 4 arbitrary-state operator (`transformWithState`): per-source
+    * running ingest statistics with TTL-able ValueState — the
+    * current-generation replacement for mapGroupsWithState (typed state
+    * cells, per-state TTL, timers; RocksDB-backed). Demonstrates the
+    * engine on the newest state API alongside the classic one above. */
+  class SourceStatsProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DocEvent, SourceStats] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState(
+        "stats",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[DocEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SourceStats] = {
+      var (n, b) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { r => n += 1; b += r.nBytes }
+      state.update((n, b))
+      Iterator.single(SourceStats(key, n, b))
+    }
+  }
+
+  /** Per-source running (docs, bytes) over a document-ingest stream;
+    * emits the updated stats once per key per micro-batch (Update mode).
+    * Requires the RocksDB state store provider (transformWithState's
+    * backing store): set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`. */
+  def sourceStats(docs: Dataset[DocEvent],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[SourceStats] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new SourceStatsProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming exact dedup, watermark-bounded — the DEFAULT variant.
     * Drops records whose content hash was already seen within the watermark
     * horizon (training-data ingest dedup, the streaming counterpart of the

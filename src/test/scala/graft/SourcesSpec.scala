@@ -78,6 +78,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
 
+  test("ORC sink/source round trip is lossless (second columnar format)") {
+    val dir = tmp("orc-rt")
+    val src = Tables.customer(spark, "/root/testdata/sf0.001")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
+  test("CSV sink round trip with explicit schema (the Kafka-file interchange shape)") {
+    val dir = tmp("csv-rt")
+    val src = Tables.nation(spark, "/root/testdata/sf0.001")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(src.schema).csv(dir)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
   test("K1/P2: message format -> parse round trip is the identity") {
     // the Kafka value contract: format as '{a},{b}' then split back
     val src = Tables.orders(spark, "/root/testdata/sf0.001")

@@ -174,6 +174,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(startErr.getMessage.toLowerCase.contains("kafka"))
   }
 
+  test("transformWithState: per-source running ingest stats across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Jobs.DocEvent]
+      val out = Jobs.sourceStats(mem.toDS())
+      val q = out.writeStream.format("memory").queryName("src_stats")
+        .outputMode("update").start()
+      mem.addData(Jobs.DocEvent("a", 10), Jobs.DocEvent("a", 20), Jobs.DocEvent("b", 5))
+      q.processAllAvailable()
+      mem.addData(Jobs.DocEvent("a", 5)) // state carries across batches
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("src_stats").as[Jobs.SourceStats].collect().toSet
+      assert(rows == Set(
+        Jobs.SourceStats("a", 2, 30), Jobs.SourceStats("b", 1, 5),
+        Jobs.SourceStats("a", 3, 35)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
