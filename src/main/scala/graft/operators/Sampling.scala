@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.sql
+
+/** Training-data preparation operators: deterministic sampling, train/val/
+  * test split assignment, and sequence packing — the steps between "deduped
+  * corpus" and "training shards" in an LLM data pipeline.
+  *
+  * Everything is keyed on md5 arithmetic (bit-identical in Spark and
+  * DuckDB, per the repo hash discipline): sampling and splits must be
+  * REPRODUCIBLE and JOIN-FREE at 100 TB — a `rand()` sample changes under
+  * retries/re-partitioning, a driver-side shuffle of ids doesn't scale, and
+  * both are impossible to oracle-check. Hash gates are narrow maps: no
+  * shuffle, fully pushdown-friendly, stable across engines and runs.
+  */
+object Sampling {
+
+  /** First 4 md5 hex digits of the doc id → uniform int in [0, 65536):
+    * the shared deterministic "random" primitive (same formula as the
+    * SimHash token hash — position() arithmetic runs on both engines). */
+  private def hexBucketSql(key: String): String =
+    s"""(position(substr(md5(CAST($key AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 4096
+       |  + (position(substr(md5(CAST($key AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) * 256
+       |  + (position(substr(md5(CAST($key AS VARCHAR)), 3, 1) IN '0123456789abcdef') - 1) * 16
+       |  + (position(substr(md5(CAST($key AS VARCHAR)), 4, 1) IN '0123456789abcdef') - 1)""".stripMargin
+
+  /** Spark side: conv(hex, 16, 10) of the same 4 digits — same VALUE as
+    * the oracle's position() arithmetic, idiomatic on each engine. */
+  private def hexBucketCol(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Deterministic ~10% Bernoulli sample: keep iff hash-bucket < 6554
+    * (6554/65536 ≈ 0.1). Reproducible under retries, re-partitioning and
+    * engine swaps; no shuffle (narrow filter). */
+  val sampleHash = sql(
+    "sample_hash",
+    s"""SELECT doc_id, lang,
+       |       ${hexBucketSql("doc_id")} AS bucket
+       |FROM documents
+       |WHERE ${hexBucketSql("doc_id")} < 6554
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val b = hexBucketCol(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), b.as("bucket"))
+      .filter(col("bucket") < 6554)
+      .orderBy("doc_id")
+  }
+
+  /** Train/val/test assignment by hash range (8/1/1): the standard
+    * leakage-resistant split — membership depends only on the KEY, so
+    * re-runs, late-arriving rows, and other engines agree row-by-row.
+    * (For near-dup-safe splits, hash the dedup_clusters cluster id instead
+    * of the doc id — same formula, one join.) */
+  val splitAssign = sql(
+    "split_assign",
+    s"""SELECT doc_id,
+       |       CASE WHEN ${hexBucketSql("doc_id")} < 52429 THEN 'train'
+       |            WHEN ${hexBucketSql("doc_id")} < 58982 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val b = hexBucketCol(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: assign documents to fixed-budget training sequences
+    * (4096 whitespace tokens) by running token count. The cumulative sum
+    * runs WITHIN a 16-way hash shard, not globally — a global cumsum is a
+    * single-partition window (the classic scale killer); per-shard packing
+    * is exactly how production packers parallelize, and shard count scales
+    * with the cluster. Output: (doc, shard, seq_id-within-shard). */
+  val packSequences = sql(
+    "pack_sequences",
+    s"""WITH t AS (SELECT doc_id,
+       |                  (${hexBucketSql("doc_id")}) % 16 AS shard,
+       |                  len(string_split(text, ' ')) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |       CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS seq_id
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d).select(
+      col("doc_id"),
+      (hexBucketCol(col("doc_id")) % 16).as("shard"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / 4096).cast("long").as("seq_id"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(sampleHash, splitAssign, packSequences)
+}

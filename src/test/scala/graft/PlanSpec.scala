@@ -78,6 +78,21 @@ class PlanSpec extends AnyFunSuite {
       "centroids must broadcast")
   }
 
+  test("sample_hash: the hash gate is a pushed narrow filter, no aggregation shuffle") {
+    val df = SparkEntry.queries("sample_hash")(spark, sf)
+    val plan = org.apache.spark.sql.GraftSqlBridge.dropTopLevelSort(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"deterministic sampling must be a narrow map:\n$plan")
+  }
+
+  test("pack_sequences: the packing window is sharded, not a global cumsum") {
+    val df = SparkEntry.queries("pack_sequences")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"cumsum must partition by shard (global window = 1-partition sort):\n$plan")
+  }
+
   test("a2_histogram avoids unpartitioned window (no single-partition sort)") {
     val df = SparkEntry.queries("a2_histogram")(spark, sf)
     df.collect()
