@@ -132,32 +132,34 @@ object Olap {
   val asofJoin = sql(
     "olap_asof_join",
     """SELECT o.o_orderkey,
-      |       (SELECT max(epoch_ns(e.ts)) FROM events e
+      |       (SELECT max(epoch_us(e.ts)) FROM events e
       |        WHERE e.user_id = o.o_custkey % 20
-      |          AND epoch_ns(e.ts) <= epoch_ns(o.o_orderdate)) AS last_event_ns
+      |          AND epoch_us(e.ts) <= epoch_us(o.o_orderdate)) AS last_event_us
       |FROM orders o
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d).select(
       col("user_id").as("k"),
-      col("ts").as("t_ns"),
+      // µs on BOTH sides: DuckDB's epoch_ns on TIMESTAMP_NS truncates to
+      // µs anyway, so raw nanos would silently disagree once a match exists
+      expr("ts div 1000").as("t_us"),
       lit(0).as("side"),           // events sort before orders at equal ts (<=)
       lit(null).cast("long").as("o_orderkey"))
     val ord = Tables.orders(s, d).select(
       (col("o_custkey") % 20).as("k"),
       // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is the
-      // identity instant, matching DuckDB's epoch_ns on the naive timestamp
-      (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t_ns"),
+      // identity instant, matching DuckDB's epoch_us on the naive timestamp
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
       lit(1).as("side"),
       col("o_orderkey"))
-    val DayNs = 86400L * 1000000000L
-    val u = ev.unionByName(ord).withColumn("bkt", floor(col("t_ns") / DayNs))
+    val DayUs = 86400L * 1000000L
+    val u = ev.unionByName(ord).withColumn("bkt", floor(col("t_us") / DayUs))
     // pass 1: running event-max within each (k, day-bucket) — the big sort,
     // parallel across |k|·|buckets| groups instead of |k|
-    val wLocal = Window.partitionBy("k", "bkt").orderBy("t_ns", "side")
+    val wLocal = Window.partitionBy("k", "bkt").orderBy("t_us", "side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = u.withColumn(
-      "local_max", max(when(col("side") === 0, col("t_ns"))).over(wLocal))
+      "local_max", max(when(col("side") === 0, col("t_us"))).over(wLocal))
     // pass 2: per-(k, bucket) event maxima over every bucket that appears on
     // EITHER side (so event-less buckets still receive the carry), then a
     // strictly-preceding prefix max per k. |k|·|buckets| rows: the ≤|k|-way
@@ -165,7 +167,7 @@ object Olap {
     val wPrefix = Window.partitionBy("k").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = u.groupBy("k", "bkt")
-      .agg(max(when(col("side") === 0, col("t_ns"))).as("bmax"))
+      .agg(max(when(col("side") === 0, col("t_us"))).as("bmax"))
       .withColumn("prev_max", max("bmax").over(wPrefix))
       .select("k", "bkt", "prev_max")
     // greatest() skips nulls: the in-bucket running max wins when both exist
@@ -173,8 +175,8 @@ object Olap {
     // stays null = the oracle's left-outer no-match
     local.filter(col("side") === 1)
       .join(broadcast(prefix), Seq("k", "bkt"), "left")
-      .withColumn("last_event_ns", greatest(col("local_max"), col("prev_max")))
-      .select(col("o_orderkey"), col("last_event_ns"))
+      .withColumn("last_event_us", greatest(col("local_max"), col("prev_max")))
+      .select(col("o_orderkey"), col("last_event_us"))
       .orderBy("o_orderkey")
   }
 
@@ -257,7 +259,37 @@ object Olap {
       .orderBy("y", "m")
   }
 
+  /** Batch sessionization: the gaps-and-islands composition — flag rows
+    * whose gap from the previous event exceeds 30 minutes, then a running
+    * sum of flags is the session id. Per-user windows (parallel across
+    * users); the streaming counterpart is `Jobs.sessionize`
+    * (mapGroupsWithState). Safe under timestamp ties: equal-ts rows see
+    * gap 0 and identical preceding flag sets, so every ordering yields the
+    * same (user, ts, session) multiset — which is what the hash compares. */
+  val sessionize = sql(
+    "olap_sessionize",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+      |m AS (SELECT user_id, t_us,
+      |             CASE WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+      |                       > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |      FROM e)
+      |SELECT user_id, t_us,
+      |       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |FROM m ORDER BY user_id, t_us""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 1800000000L // 30 min in µs (µs: DuckDB's epoch_ns truncates
+    val byT = Window.partitionBy("user_id").orderBy("t_us") // TIMESTAMP_NS anyway)
+    val run = byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(col("user_id"), expr("ts div 1000").as("t_us"))
+      .withColumn("new_s",
+        when(col("t_us") - lag("t_us", 1).over(byT) > GapUs, 1).otherwise(0))
+      .select(col("user_id"), col("t_us"),
+        sum("new_s").over(run).cast("long").as("session_id"))
+      .orderBy("user_id", "t_us")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
-    groupingSets, windowFamily, percentiles, dateOps)
+    groupingSets, windowFamily, percentiles, dateOps, sessionize)
 }

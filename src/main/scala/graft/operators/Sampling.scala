@@ -100,5 +100,29 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(sampleHash, splitAssign, packSequences)
+  /** LEAKAGE-SAFE split: membership is decided by the hash of the near-dup
+    * CLUSTER id, not the doc id — every member of a duplicate cluster lands
+    * in the same split, so paraphrases/near-copies of training documents
+    * can never contaminate the eval sets. This is the dedup-aware split an
+    * LLM pipeline actually needs (hash-of-doc splits leak near-dups across
+    * the boundary). One extra join against the cluster labels; same 8/1/1
+    * hash ranges as `split_assign`. */
+  val splitLeakageSafe = sql(
+    "split_leakage_safe",
+    s"""WITH RECURSIVE ${TextOps.clusterLabelsSqlCte}
+       |SELECT doc_id, root AS cluster,
+       |       CASE WHEN ${hexBucketSql("root")} < 52429 THEN 'train'
+       |            WHEN ${hexBucketSql("root")} < 58982 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val b = hexBucketCol(col("cluster"))
+    TextOps.clusterLabels(s, d)
+      .select(col("doc_id"), col("cluster"),
+        when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    sampleHash, splitAssign, splitLeakageSafe, packSequences)
 }

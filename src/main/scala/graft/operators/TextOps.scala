@@ -261,18 +261,24 @@ object TextOps {
     * (`connectedComponentsDistributed`). Edge-less documents never
     * iterate on either path.
     * Oracle: DuckDB recursive CTE computing min reachable id. */
-  val dedupClusters = sql(
-    "dedup_clusters",
-    s"""WITH RECURSIVE $minhashPairsSqlCte,
+  /** DuckDB CTE chain computing `cc(doc_id, root)` = min reachable doc_id
+    * over the near-dup graph (requires WITH RECURSIVE; shared by the
+    * cluster and leakage-safe-split oracles). */
+  private[operators] val clusterLabelsSqlCte: String =
+    s"""$minhashPairsSqlCte,
        |edges AS (SELECT da AS u, db AS v FROM mp
        |          UNION ALL SELECT db, da FROM mp),
        |reach(doc_id, root) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.doc_id
-       |)
-       |SELECT doc_id, min(root) AS cluster, min(root) = doc_id AS keep
-       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |),
+       |cc AS (SELECT doc_id, min(root) AS root FROM reach GROUP BY doc_id)""".stripMargin
+
+  /** Spark side of `cc`: every document's near-dup cluster label
+    * (doc_id, cluster). See `dedupClusters` for the two execution paths. */
+  private[operators] def clusterLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val mp = minhashBandPairs(s, d).cache()
     val nEdges = mp.count()
@@ -308,6 +314,14 @@ object TextOps {
       }
     mp.unpersist()
     labeled
+  }
+
+  val dedupClusters = sql(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $clusterLabelsSqlCte
+       |SELECT doc_id, root AS cluster, root = doc_id AS keep
+       |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    clusterLabels(s, d)
       .select(col("doc_id"), col("cluster"),
         (col("cluster") === col("doc_id")).as("keep"))
       .orderBy("doc_id")

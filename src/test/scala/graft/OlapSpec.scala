@@ -23,8 +23,8 @@ class OlapSpec extends AnyFunSuite {
     val out = SparkEntry.queries("olap_asof_join")(spark, sf)
     val n = Tables.orders(spark, sf).count()
     assert(out.count() == n, "as-of join must preserve every left row")
-    // schema: orderkey + nullable last_event_ns
-    assert(out.columns.toSeq == Seq("o_orderkey", "last_event_ns"))
+    // schema: orderkey + nullable last_event_us
+    assert(out.columns.toSeq == Seq("o_orderkey", "last_event_us"))
   }
 
   test("as-of join: day-bucketed window carries the running max across buckets") {
@@ -47,10 +47,11 @@ class OlapSpec extends AnyFunSuite {
     val got = SparkEntry.queries("olap_asof_join")(spark, dir)
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    def us(ns: Long) = ns / 1000L
     assert(got(10L) == None)
-    assert(got(11L) == Some(DayNs / 2))
-    assert(got(12L) == Some(5 * DayNs + DayNs / 2))
-    assert(got(13L) == Some(5 * DayNs + DayNs / 2))
+    assert(got(11L) == Some(us(DayNs / 2)))
+    assert(got(12L) == Some(us(5 * DayNs + DayNs / 2)))
+    assert(got(13L) == Some(us(5 * DayNs + DayNs / 2)))
     // and the big window's sort key is the COMPOSED (k, bucket) partition —
     // the de-skew contract (≤20-way parallelism otherwise)
     val plan = SparkEntry.queries("olap_asof_join")(spark, dir)
