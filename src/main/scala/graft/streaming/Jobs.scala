@@ -244,6 +244,30 @@ object Jobs {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     kafkaSink(playerIdentification(stats, pid)(kafkaBinarySource(spark, cfg)), cfg)
 
+  /** One micro-batch written idempotently: the batch lands in its own
+    * `batch_id=` partition with DYNAMIC partition overwrite, so replaying
+    * a batch after a crash overwrites exactly its own partition — no
+    * duplicates, no clobbering of other batches. This is the standard
+    * exactly-once recipe for non-transactional sinks (plain parquet/object
+    * stores): checkpoint gives at-least-once replay, idempotent writes
+    * upgrade it to effective exactly-once. */
+  def writeBatchIdempotent(df: DataFrame, batchId: Long, path: String): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** foreachBatch parquet sink wired for exactly-once (checkpoint +
+    * idempotent per-batch overwrite). Ready to `.start()`. */
+  def idempotentParquetSink(out: DataFrame, path: String, checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    out.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, path))
+
   /** Run any streaming transform to completion over a bounded source using
     * the memory sink; returns the collected result. Test/demo harness —
     * production uses writeStream.format("kafka") + checkpointLocation.

@@ -96,6 +96,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
 
+  test("corrupt records quarantine instead of failing the batch (PERMISSIVE)") {
+    import java.nio.file.{Files, Path}
+    val dir = tmp("corrupt")
+    Files.writeString(Path.of(dir, "data.json"),
+      """{"id": 1, "v": 10}
+        |not json at all
+        |{"id": 2, "v": 20}
+        |{"id": "wrong-type", "v": 30}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v BIGINT, _corrupt_record STRING")
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    // clean rows parse; bad rows land in the quarantine column, batch survives
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 2)
+    // the 100 TB contract: a handful of rotten rows must not kill the job,
+    // and the quarantined originals stay available for a dead-letter sink
+    assert(bad.select("_corrupt_record").collect()
+      .exists(_.getString(0).contains("not json")))
+  }
+
   test("K1/P2: message format -> parse round trip is the identity") {
     // the Kafka value contract: format as '{a},{b}' then split back
     val src = Tables.orders(spark, "/root/testdata/sf0.001")

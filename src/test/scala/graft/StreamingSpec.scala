@@ -174,6 +174,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(startErr.getMessage.toLowerCase.contains("kafka"))
   }
 
+  test("idempotent foreachBatch sink: batch replay never duplicates rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idem-sink").toString
+    val data = s"$dir/data"
+    // streaming path: two batches land in their own partitions
+    val mem = MemoryStream[(Long, String)]
+    val q = Jobs.idempotentParquetSink(
+      mem.toDF().toDF("id", "value"), data, s"$dir/ckpt").start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(data).count() == 3)
+    // crash-replay simulation: re-writing batch 1 (as the checkpoint would
+    // after a failure between write and commit) must be a no-op overwrite
+    Jobs.writeBatchIdempotent(Seq((3L, "c")).toDF("id", "value"), 1L, data)
+    Jobs.writeBatchIdempotent(Seq((3L, "c")).toDF("id", "value"), 1L, data)
+    val after = spark.read.parquet(data)
+    assert(after.count() == 3, s"replay duplicated rows: ${after.collect().toSeq}")
+    assert(after.filter(col("batch_id") === 0).count() == 2, "other batches untouched")
+  }
+
   test("transformWithState: per-source running ingest stats across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
