@@ -109,19 +109,30 @@ object QuarterPrediction {
       .setRawPredictionCol("p1")
       .evaluate(scored)
 
-  /** End-to-end: train on the sfDir tables, score the same frame, emit the
-    * observable columns. Deterministic under the fixed seed. */
+  /** Fitted models per training dir — the reference's Q2 semantics: the
+    * model is trained offline once (ml_model.py) and LOADED ONCE per
+    * process for scoring (ml_k_to_ss.py:22-28); re-fitting per invocation
+    * was the reference's quirk Q1, fixed. Training is seeded, so the cached
+    * model is identical to a fresh fit. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, PipelineModel]
+
+  /** End-to-end: train on the sfDir tables (once per process, Q2), score
+    * the full frame, emit the observable columns. Deterministic under the
+    * fixed seed. */
   def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
     val df = trainingFrame(spark, sfDir).cache()
-    // Train on a deterministic 10% key-sample, score the full frame — the
-    // at-scale pattern (the model doesn't need 100 TB of rows; scoring is a
-    // narrow map over all of them). Sample is keyed, not random: stable
-    // across runs and engines.
-    // coalesce the (small) training side: RF's per-iteration tree
-    // aggregations pay per-partition overhead, which dominates when the
-    // sample is thousands of rows spread over 32 partitions
-    val trainDf = df.filter(pmod(col("rowId"), lit(10)) === 0).coalesce(4).cache()
-    val model = train(if (trainDf.isEmpty) df else trainDf)
+    val model = modelCache.getOrElseUpdate(sfDir, {
+      // Train on a deterministic 10% key-sample, score the full frame — the
+      // at-scale pattern (the model doesn't need 100 TB of rows; scoring is
+      // a narrow map over all of them). Sample is keyed, not random: stable
+      // across runs and engines.
+      // coalesce the (small) training side: RF's per-iteration tree
+      // aggregations pay per-partition overhead, which dominates when the
+      // sample is thousands of rows spread over 32 partitions
+      val trainDf = df.filter(pmod(col("rowId"), lit(10)) === 0).coalesce(4).cache()
+      train(if (trainDf.isEmpty) df else trainDf)
+    })
     score(model, df)
       .select("rowId", "winPeriod", "prediction", "prob", "msg")
       .orderBy("rowId")
