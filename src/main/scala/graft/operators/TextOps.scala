@@ -161,6 +161,8 @@ object TextOps {
     val pairs = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("common"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+    // sizes is per-doc (NOT broadcastable at corpus scale) — AQE converts
+    // these to broadcast joins at runtime when the aggregate turns out small
     pairs
       .join(sizes.toDF("doc_id", "na"), col("da") === col("doc_id")).drop("doc_id")
       .join(sizes.toDF("doc_id", "nb"), col("db") === col("doc_id")).drop("doc_id")
