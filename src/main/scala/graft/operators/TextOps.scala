@@ -201,8 +201,19 @@ object TextOps {
     sig.select(col("doc_id") +: bandCols: _*).orderBy("doc_id")
   }
 
+  /** LSH bucket-size cap: a band bucket with B members yields B(B−1)/2
+    * candidate pairs — a mega-cluster of near-identical documents (the
+    * boilerplate page repeated millions of times at 100 TB) turns one
+    * bucket quadratic exactly like a hot shingle. Buckets above this size
+    * emit STAR edges (min-doc hub ↔ each member) instead: linear in the
+    * bucket, connectivity preserved for clustering, and verifying C(B,2)
+    * pairs inside a mega-bucket is precisely the work one must not do —
+    * transitivity through the cluster stage covers it. */
+  val BandBucketCap = 100
+
   /** SQL CTE chain ending in `mp(da, db)` — the distinct MinHash-LSH
-    * candidate pairs (shared by the pair query and the cluster query). */
+    * candidate pairs with the bucket-size cap (shared by the pair query
+    * and the cluster/split queries). */
   private val minhashPairsSqlCte: String = {
     val mhs = (0 until NumHashes)
       .map(j => s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j").mkString(",\n       ")
@@ -214,13 +225,24 @@ object TextOps {
        |bands AS (
        |  $bandRows
        |),
-       |mp AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |       FROM bands a JOIN bands b
-       |         ON a.band_idx = b.band_idx AND a.v = b.v AND a.doc_id < b.doc_id)""".stripMargin
+       |bstat AS (SELECT band_idx, v, count(*) AS bn, min(doc_id) AS hub
+       |          FROM bands GROUP BY band_idx, v),
+       |mp AS (SELECT DISTINCT da, db FROM (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.v = b.v AND a.doc_id < b.doc_id
+       |  JOIN bstat s ON s.band_idx = a.band_idx AND s.v = a.v
+       |  WHERE s.bn <= $BandBucketCap
+       |  UNION ALL
+       |  SELECT s.hub AS da, c.doc_id AS db
+       |  FROM bands c JOIN bstat s ON s.band_idx = c.band_idx AND s.v = c.v
+       |  WHERE s.bn > $BandBucketCap AND c.doc_id <> s.hub
+       |))""".stripMargin
   }
 
-  /** Spark side of `mp(da, db)`: signatures → band explode → bucket
-    * self-join → distinct pairs. */
+  /** Spark side of `mp(da, db)`: signatures → band explode → per-bucket
+    * size stats → all-pairs for small buckets, star edges for oversized
+    * ones → distinct pairs. */
   private def minhashBandPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val sig = shingles(s, d)
       .withColumn("h", md5(col("sh")))
@@ -233,10 +255,22 @@ object TextOps {
       posexplode(array((0 until NumHashes / BandSize).map(b =>
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*))
         .as(Seq("band_idx", "v")))
-    val a = bands.toDF("da", "band_idx", "v")
-    val b = bands.toDF("db", "band_idx", "v")
-    a.join(b, Seq("band_idx", "v")).filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+      .cache() // read three ways: stats, pair join sides, star membership
+    val bstat = bands.groupBy("band_idx", "v")
+      .agg(count(lit(1)).as("bn"), min("doc_id").as("hub"))
+    val small = bstat.filter(col("bn") <= BandBucketCap).select("band_idx", "v")
+    // semi-filter BEFORE the self-join: a mega-bucket must never reach the
+    // pair join at all (filtering its B² output after would be the explosion)
+    val smallBands = bands.join(small, Seq("band_idx", "v"), "left_semi")
+    val a = smallBands.select(col("doc_id").as("da"), col("band_idx"), col("v"))
+    val b = smallBands.select(col("doc_id").as("db"), col("band_idx"), col("v"))
+    val allPairs = a.join(b, Seq("band_idx", "v")).filter(col("da") < col("db"))
+      .select("da", "db")
+    val starPairs = bands
+      .join(bstat.filter(col("bn") > BandBucketCap), Seq("band_idx", "v"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("da"), col("doc_id").as("db"))
+    allPairs.unionAll(starPairs).distinct()
   }
 
   /** MinHash-LSH candidate pairs: long-format (band_idx, band_val) → bucket

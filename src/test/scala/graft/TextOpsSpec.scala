@@ -46,6 +46,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"expected LeftAnti in:\n$plan")
   }
 
+  test("oversized LSH buckets emit star edges, not quadratic pairs (skew cap)") {
+    val mega = (1 to 12).map(i => s"mega$i").mkString(" ")
+    val pairTxt = (1 to 12).map(i => s"pair$i").mkString(" ")
+    val dir = writeDocs(
+      // 120 identical docs: every band bucket holds 120 members (> cap 100)
+      (0L until 120L).map(i => i -> mega) ++
+        Seq(500L -> pairTxt, 501L -> pairTxt)) // small bucket → all-pairs
+    assert(TextOps.BandBucketCap < 120)
+    val pairs = TextOps.dedupMinhashPairs.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val megaPairs = pairs.filter(_._2 < 500L)
+    // star: hub (min id 0) ↔ each of the other 119 — NOT C(120,2) = 7140
+    assert(megaPairs.length == 119, s"got ${megaPairs.length} mega-bucket pairs")
+    assert(megaPairs.forall(_._1 == 0L), "star edges must radiate from the min-id hub")
+    assert(pairs.contains((500L, 501L)), "small buckets keep genuine all-pairs")
+    // connectivity survives the cap: the whole mega group is ONE cluster
+    val clusters = TextOps.dedupClusters.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 120L).forall(clusters(_) == 0L))
+    assert(clusters(501L) == 500L)
+  }
+
   test("dedup_clusters: distributed rounds agree with the union-find fast path") {
     import spark.implicits._
     // a 6-chain (worst case for propagation), a triangle, and a singleton
