@@ -421,50 +421,62 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster"))
   }
 
-  private val SimhashBits = 16
+  /** 60-bit signature from the first 15 md5 hex digits. WIDTH IS A SCALE
+    * PARAMETER: block-LSH bucket sizes are ~corpus/2^blockBits, so a
+    * narrow signature (e.g. 16 bits / 4-bit blocks = 16 bucket values) is
+    * structurally quadratic at corpus scale no matter how the join is
+    * written. 60 bits = 4 blocks × 15 bits (32768 values each) keeps
+    * buckets bounded; 60 (not 64) keeps every value inside a signed
+    * BIGINT on both engines. */
+  private val SimhashBits = 60
+  private val SimhashBlocks = 4
+  private val BlockBits = SimhashBits / SimhashBlocks // 15
+  private val BlockMask = (1L << BlockBits) - 1
 
-  /** Shared SQL CTE chain ending in `sig(doc_id, simhash)`. */
+  /** Shared SQL CTE chain ending in `sig(doc_id, simhash)`. All bit math is
+    * integer shifts/masks — exact on both engines (no double division). */
   private val simhashSigSql: String = {
+    val v60 = (1 to 15)
+      .map(i => s"(position(substr(md5(tok), $i, 1) IN '0123456789abcdef') - 1) * ${1L << (4 * (15 - i))}")
+      .mkString("\n    + ")
     val sums = (0 until SimhashBits)
-      .map(j => s"sum(CASE WHEN CAST(floor(v16 / ${1 << j}) AS INT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .map(j => s"sum(CASE WHEN (v60 >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n         ")
     val bits = (0 until SimhashBits)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE CAST(0 AS BIGINT) END)").mkString("\n       + ")
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |vals AS (SELECT doc_id,
-       |    (position(substr(md5(tok), 1, 1) IN '0123456789abcdef') - 1) * 4096
-       |  + (position(substr(md5(tok), 2, 1) IN '0123456789abcdef') - 1) * 256
-       |  + (position(substr(md5(tok), 3, 1) IN '0123456789abcdef') - 1) * 16
-       |  + (position(substr(md5(tok), 4, 1) IN '0123456789abcdef') - 1) AS v16
+       |      $v60 AS v60
        |  FROM toks),
        |sums AS (SELECT doc_id,
        |         $sums
        |         FROM vals GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $bits AS simhash FROM sums)""".stripMargin
+       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)""".stripMargin
   }
 
-  /** Spark side of `sig(doc_id, simhash)`. */
+  /** Spark side of `sig(doc_id, simhash)`: one native `simhash_agg`
+    * aggregate (graft.functions.SimhashAgg) instead of 60 sum(CASE)
+    * columns — identical exact integer math, but a tight primitive buffer
+    * loop instead of a giant codegen unit that pays seconds of Janino
+    * compile on every cache eviction. */
   private def simhashSig(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val hexVal = (i: Int) =>
-      (expr(s"position(substr(md5(tok), $i, 1) IN '0123456789abcdef')") - 1)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val vals = toks.select(col("doc_id"),
-      (hexVal(1) * 4096 + hexVal(2) * 256 + hexVal(3) * 16 + hexVal(4)).as("v16"))
-    val sums = vals.groupBy("doc_id").agg(
-      sum(when(floor(col("v16") / (1 << 0)).cast("int") % 2 === 1, 1).otherwise(-1)).as("s0"),
-      (1 until SimhashBits).map(j =>
-        sum(when(floor(col("v16") / (1 << j)).cast("int") % 2 === 1, 1).otherwise(-1)).as(s"s$j")): _*)
-    val simhash = (0 until SimhashBits)
-      .map(j => when(col(s"s$j") > 0, 1 << j).otherwise(0))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), simhash.as("simhash"))
+    // v60 = integer value of the first 15 md5 hex digits: one md5 + one
+    // base conversion (the oracle's 15-term position() arithmetic computes
+    // the same value; a literal Spark mirror of it compiles a huge codegen
+    // unit for no benefit)
+    val v60 = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    toks.select(col("doc_id"), v60.as("v60"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimhashAgg.simhash_agg(col("v60"), SimhashBits)
+        .as("simhash"))
   }
 
-  /** SimHash (16-bit): per-token hash bits from the first 4 md5 hex digits;
-    * signature bit j is the sign of Σ_tokens (2·bit_j − 1). The hex→int
-    * arithmetic uses only position/substr/floor/% so the same formula runs
-    * on both engines. */
+  /** SimHash (60-bit): per-token hash bits from the first 15 md5 hex
+    * digits; signature bit j is the sign of Σ_tokens (2·bit_j − 1). The
+    * hex→int and bit arithmetic uses only position/substr/shift/mask so
+    * the identical formula runs exactly on both engines. */
   val dedupSimhash = sql(
     "dedup_simhash",
     s"""WITH $simhashSigSql
@@ -472,17 +484,18 @@ object TextOps {
     simhashSig(s, d).orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs via Hamming-LSH blocks: the 16-bit signature is
-    * split into 4 blocks of 4 bits; by pigeonhole, any pair at Hamming
+  /** SimHash near-dup pairs via Hamming-LSH blocks: the 60-bit signature is
+    * split into 4 blocks of 15 bits; by pigeonhole, any pair at Hamming
     * distance <= 3 shares at least one identical block, so joining on
     * (block_idx, block_val) finds ALL pairs at distance <= 1 (the emitted
-    * threshold) without the n² pair space.
+    * threshold) without the n² pair space — and with 32768 values per
+    * block the buckets stay bounded at corpus scale.
     * Verification uses the native codegen'd `hamming_distance` Catalyst
     * expression (graft.functions.HammingDistance) — not a Scala UDF. */
   val dedupSimhashPairs = sql(
     "dedup_simhash_pairs", {
-      val blockRows = (0 until 4)
-        .map(b => s"SELECT doc_id, simhash, $b AS bi, CAST(floor(simhash / ${1 << (4 * b)}) AS INT) % 16 AS bv FROM sig")
+      val blockRows = (0 until SimhashBlocks)
+        .map(b => s"SELECT doc_id, simhash, $b AS bi, (simhash >> ${BlockBits * b}) & $BlockMask AS bv FROM sig")
         .mkString("\n  UNION ALL ")
       s"""WITH $simhashSigSql,
          |blocks AS (
@@ -493,16 +506,16 @@ object TextOps {
          |         FROM blocks a JOIN blocks b
          |           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT da, db,
-         |       bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) AS dist
+         |       bit_count(xor(sa, sb)) AS dist
          |FROM cand
-         |WHERE bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) <= 1
+         |WHERE bit_count(xor(sa, sb)) <= 1
          |ORDER BY da, db""".stripMargin
     }) { (s, d) =>
     import graft.functions.HammingDistance.hamming_distance
     val sig = simhashSig(s, d)
     val blocks = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        floor(col("simhash") / (1 << (4 * b))).cast("int") % 16): _*))
+      posexplode(array((0 until SimhashBlocks).map(b =>
+        shiftright(col("simhash"), BlockBits * b).bitwiseAND(BlockMask)): _*))
         .as(Seq("bi", "bv")))
     val a = blocks.toDF("da", "sa", "bi", "bv")
     val b = blocks.toDF("db", "sb", "bi", "bv")
