@@ -653,9 +653,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary: top-50 tokens by document frequency with exact
+    * counts — the vocab/tokenizer-training precursor. One partial-agg
+    * shuffle on token; the top-k is a TakeOrderedAndProject (rank on
+    * exact integer counts, token tie-break: fully deterministic). */
+  val textVocabTopk = sql(
+    "text_vocab_topk",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+      |       FROM toks GROUP BY tok)
+      |SELECT tok, n, df FROM tf
+      |ORDER BY n DESC, tok LIMIT 50""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+  }
+
+  /** Per-language document-length distribution — the quality-filter
+    * thresholds (drop docs under p05 / over p95 length) every corpus
+    * pipeline derives before filtering. Exact interpolated percentiles,
+    * identical in both engines. */
+  val textLengthStats = sql(
+    "text_length_stats",
+    """SELECT lang, count(*) AS n,
+      |       quantile_cont(n_chars, 0.05) AS p05,
+      |       quantile_cont(n_chars, 0.50) AS p50,
+      |       quantile_cont(n_chars, 0.95) AS p95
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(n_chars, 0.05)").as("p05"),
+        expr("percentile(n_chars, 0.50)").as("p50"),
+        expr("percentile(n_chars, 0.95)").as("p95"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupSimhash, dedupSimhashPairs, textTokenBpe,
-    textRollingHash, textTfidf, textQuality)
+    textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats)
 }
