@@ -93,6 +93,18 @@ class PlanSpec extends AnyFunSuite {
       s"cumsum must partition by shard (global window = 1-partition sort):\n$plan")
   }
 
+  test("text_vocab_topk: exact top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("text_vocab_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "vocab top-k must merge per-partition top-k, not sort the vocabulary")
+  }
+
+  test("dedup_simhash_pairs: candidates come from an equi-join on blocks, never cartesian") {
+    val plan = executedPlan("dedup_simhash_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"block-LSH must stay an equi-join:\n$plan")
+  }
+
   test("a2_histogram avoids unpartitioned window (no single-partition sort)") {
     val df = SparkEntry.queries("a2_histogram")(spark, sf)
     df.collect()
