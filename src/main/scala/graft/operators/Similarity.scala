@@ -92,11 +92,13 @@ object Similarity {
     // Codebook fit: per-(label, dim) means rounded to 4 dp, then packed
     // into one ordered array per label (k rows — broadcastable model
     // state). Assignment is a broadcast cross join (n × k rows) with ONE
-    // small zip_with fold — no giant literal expressions (codegen stays
-    // tiny), no explode of the fact side, no window. Summation order
-    // (index-ascending fold) matches the oracle's unnest group-sum, so
-    // distances are bit-identical; min(struct(dist, label)) is the
-    // deterministic tie-broken argmin.
+    // native squared-distance loop (graft.functions.SquaredDistance — same
+    // ascending-index double accumulation as the declarative
+    // aggregate(zip_with) fold and the oracle's unnest group-sum, so
+    // distances are bit-identical, but codegen'd instead of 64 interpreted
+    // lambda calls per candidate) — no giant literal expressions (codegen
+    // stays tiny), no explode of the fact side, no window.
+    // min(struct(dist, label)) is the deterministic tie-broken argmin.
     val cent = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
       .groupBy("label", "pos0")
@@ -104,11 +106,8 @@ object Similarity {
       .groupBy(col("label").as("clabel"))
       .agg(expr("transform(array_sort(collect_list(struct(pos0, c))), s -> s.c)")
         .as("cvec"))
-    val dist = aggregate(
-      zip_with(col("embedding"), col("cvec"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0),
-      (acc, v) => acc + v)
+    val dist = graft.functions.SquaredDistance.squared_distance(
+      col("embedding"), col("cvec"))
     emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("clabel"), dist.as("dist"))
       .groupBy("vec_id")
@@ -240,6 +239,113 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization codes — the ANN memory-compression path at
+    * 100 TB: each vector is split into `M = 4` contiguous 16-dim subvectors
+    * and each subvector is assigned to its nearest sub-centroid
+    * independently, so a 256-byte float vector becomes M small codes
+    * (here one per label-codebook entry; a production codebook would be
+    * k-means per subspace — the assignment plan is identical). Scale shape:
+    * the codebook is k·M tiny rows (broadcast); assignment is one
+    * broadcast join + native squared-distance per (vector, sub, centroid)
+    * and one partial-aggregable argmin — no shuffle of the embedding table
+    * beyond the final per-vector pivot.
+    *
+    * Float discipline: sub-centroids are rounded to 4 dp BEFORE distance
+    * math (the IVF rule); distances are never output, only argmin labels,
+    * and inter-label distance margins dwarf accumulation-order epsilon. */
+  val simPqCodes = sql(
+    "sim_pq_codes",
+    """WITH cex AS (SELECT label, unnest(embedding) AS x,
+      |                    generate_subscripts(embedding, 1) AS pos
+      |             FROM embeddings),
+      |cent AS (SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c
+      |         FROM cex GROUP BY label, pos),
+      |ex AS (SELECT vec_id, unnest(embedding) AS x,
+      |              generate_subscripts(embedding, 1) AS pos
+      |       FROM embeddings),
+      |dists AS (SELECT e.vec_id, ct.label,
+      |                 CAST(floor((e.pos - 1) / 16) AS INT) AS sub,
+      |                 sum((CAST(e.x AS DOUBLE) - ct.c) * (CAST(e.x AS DOUBLE) - ct.c)) AS dist
+      |          FROM ex e JOIN cent ct ON e.pos = ct.pos
+      |          GROUP BY e.vec_id, ct.label, 3),
+      |ranked AS (SELECT vec_id, sub, label,
+      |                  row_number() OVER (PARTITION BY vec_id, sub
+      |                                     ORDER BY dist, label) AS rn
+      |           FROM dists),
+      |codes AS (SELECT vec_id, sub, label FROM ranked WHERE rn = 1)
+      |SELECT vec_id,
+      |       CAST(max(CASE WHEN sub = 0 THEN label END) AS INT) AS c0,
+      |       CAST(max(CASE WHEN sub = 1 THEN label END) AS INT) AS c1,
+      |       CAST(max(CASE WHEN sub = 2 THEN label END) AS INT) AS c2,
+      |       CAST(max(CASE WHEN sub = 3 THEN label END) AS INT) AS c3
+      |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    // codebook: per-(label, sub) 16-dim sub-centroids, 4-dp rounded
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .groupBy("label", "pos0")
+      .agg(round(avg(col("x").cast("double")), 4).as("c"))
+      .groupBy(col("label").as("clabel"), (col("pos0") / 16).cast("int").as("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos0, c))), s -> s.c)")
+        .as("cvec"))
+    // facts: 4 subvector rows per vector (slice, not explode-per-dim)
+    val sub = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(3))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr("slice(embedding, sub * 16 + 1, 16)").as("subvec"))
+    val dist = graft.functions.SquaredDistance.squared_distance(
+      col("subvec"), col("cvec"))
+    sub.join(broadcast(cent), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("clabel"), dist.as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("clabel"))).getField("clabel").as("code"))
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("sub") === 0, col("code"))).cast("int").as("c0"),
+        max(when(col("sub") === 1, col("code"))).cast("int").as("c1"),
+        max(when(col("sub") === 2, col("code"))).cast("int").as("c2"),
+        max(when(col("sub") === 3, col("code"))).cast("int").as("c3"))
+      .orderBy("vec_id")
+  }
+
+  /** Symmetric int8 quantization per vector (max-abs scaling) — the other
+    * half of the 100 TB ANN memory story: 4× smaller vectors, checkable
+    * exactly. Code rule `floor(x·127/scale + 0.5)` is pure IEEE double ops
+    * + an exact floor, identical on both engines (no round-half ambiguity);
+    * `scale = max(|x|)` is exact float math. The query emits the exact
+    * integer summary (min/max/sum of codes, index-order irrelevant for int
+    * sums) rather than 64 code columns. */
+  val embInt8Quantize = sql(
+    "emb_int8_quantize",
+    """WITH s AS (SELECT vec_id, embedding,
+      |                  list_max([abs(x) for x in embedding]) AS scale
+      |           FROM embeddings),
+      |q AS (SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
+      |             [CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE) + 0.5) AS BIGINT)
+      |              for x in embedding] AS codes
+      |      FROM s)
+      |SELECT vec_id, scale,
+      |       CAST(list_min(codes) AS BIGINT) AS qlo,
+      |       CAST(list_max(codes) AS BIGINT) AS qhi,
+      |       CAST(list_reduce(codes, (a, b) -> a + b) AS BIGINT) AS qsum
+      |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(x)))").as("scalef"))
+      .select(col("vec_id"),
+        col("scalef").cast("double").as("scale"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / CAST(scalef AS DOUBLE) + 0.5D) AS BIGINT))")
+          .as("codes"))
+      .select(col("vec_id"), col("scale"),
+        expr("array_min(codes)").as("qlo"),
+        expr("array_max(codes)").as("qhi"),
+        expr("aggregate(codes, 0L, (a, v) -> a + v)").as("qsum"))
+      .orderBy("vec_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    simTopK, simIvfAssign, simIvfTopk, simNearDup, simLshBuckets)
+    simTopK, simIvfAssign, simIvfTopk, simNearDup, simLshBuckets,
+    simPqCodes, embInt8Quantize)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SquaredDistance}
 
 /** Optimizer rule: rewrite the declarative dot-product fold
   *
@@ -50,7 +50,16 @@ object NativeDotProductRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** `(x − y)` modulo widening casts, as a (left, right) var pair. */
+  private def asDiff(e: Expression, x: NamedLambdaVariable,
+      y: NamedLambdaVariable): Boolean = e match {
+    case s: Subtract => s.dataType == DoubleType &&
+      isVar(stripWideningCast(s.left), x) && isVar(stripWideningCast(s.right), y)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // dot product: zip_with multiply is `x * y`
     case ArrayAggregate(
         ZipWith(la, ra,
           LambdaFunction(mul: Multiply,
@@ -68,5 +77,22 @@ object NativeDotProductRule extends Rule[LogicalPlan] {
         isVar(finishBody, f) &&
         isFloatOrDoubleArray(la.dataType) && isFloatOrDoubleArray(ra.dataType) =>
       DotProduct(la, ra)
+    // squared L2: zip_with multiply is `(x − y) * (x − y)` — same fold shell
+    case ArrayAggregate(
+        ZipWith(la, ra,
+          LambdaFunction(mul: Multiply,
+            Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+        Literal(0.0, DoubleType),
+        LambdaFunction(add: Add,
+          Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+        LambdaFunction(finishBody,
+          Seq(f: NamedLambdaVariable), _))
+      if mul.dataType == DoubleType &&
+        asDiff(mul.left, x, y) && asDiff(mul.right, x, y) &&
+        add.dataType == DoubleType &&
+        isVar(add.left, acc) && isVar(add.right, v) &&
+        isVar(finishBody, f) &&
+        isFloatOrDoubleArray(la.dataType) && isFloatOrDoubleArray(ra.dataType) =>
+      SquaredDistance(la, ra)
   }
 }
