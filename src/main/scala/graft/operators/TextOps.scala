@@ -693,9 +693,58 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Gopher/MassiveText-style REPETITION gates — the quality signal the
+    * stop/digit gates in `text_quality` don't see: machine-generated or
+    * boilerplate text repeats n-grams. Per document: total and distinct
+    * bigram counts, the most-frequent bigram's count, its share of all
+    * bigrams (Gopher's "top-2-gram fraction"), and the duplicate-bigram
+    * share. Exact integer counts; shares are the only computed doubles
+    * (4-dp rounded both sides).
+    *
+    * Scale shape: tokenize once per row, one explode (n_tokens−1 rows per
+    * doc), two partial-aggregable groupBys keyed by doc — linear, no join,
+    * parallel across documents. */
+  val textRepetition = sql(
+    "text_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id,
+      |              unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS g
+      |       FROM toks),
+      |cnt AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g),
+      |agg AS (SELECT doc_id,
+      |               CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |               CAST(count(*) AS BIGINT) AS n_distinct,
+      |               CAST(max(n) AS BIGINT) AS top_n
+      |        FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, n_distinct, top_n,
+      |       round(top_n * 1.0 / n_bigrams, 4) AS top_share,
+      |       round((n_bigrams - n_distinct) * 1.0 / n_bigrams, 4) AS dup_share
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // 0-based w[i]; sequence guarded: size<2 → no bigrams (Spark's
+      // sequence(1, 0) would DESCEND, not return empty)
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i])) END"))
+        .as("g"))
+    bg.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max("n").as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_n"),
+        round(col("top_n") * lit(1.0) / col("n_bigrams"), 4).as("top_share"),
+        round((col("n_bigrams") - col("n_distinct")) * lit(1.0) / col("n_bigrams"), 4)
+          .as("dup_share"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupSimhash, dedupSimhashPairs, textTokenBpe,
-    textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats)
+    textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats,
+    textRepetition)
 }
