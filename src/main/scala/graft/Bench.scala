@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   * plan (projections included) executes — `count()` would let Catalyst
   * prune most of a map-only query. One untimed warmup executes the
   * flagship query to absorb JVM/codegen/session warmup.
+  *
+  * Noise robustness (this host has contended phases that once recorded a
+  * 2.7× phantom "regression"): every raw timing is kept and reported in
+  * `"raw"`, so a contended run is self-evident from the artifact alone —
+  * per-query spread plus `"wall_sec"` (sweep wall-clock) vs `"value"`
+  * (sum of best-of timings) expose environment noise without a re-run.
+  * When a query's two back-to-back passes disagree by >3×, a third pass
+  * runs and the best of three is taken (one GC/compile outlier can't
+  * masquerade as the query's cost).
+  *
+  * Failure honesty: a query that throws is recorded in `"failed"` with
+  * its message, its timing is NOT reported, and the process exits
+  * nonzero — a regression can't hide behind a fast-looking number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,31 +39,66 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () } // warmup only
 
-    // Best-of-2 per query, runs BACK-TO-BACK: absorbs one-off
+    // One timed execution; Left(error) if the query throws.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      spark.catalog.clearCache() // no cross-query/cross-run cache interference
+      val t0 = System.nanoTime()
+      // gate-only ORDER BY stripped: time the operator, not hash plumbing
+      try {
+        org.apache.spark.sql.GraftSqlBridge.dropTopLevelSort(fn(spark, sfDir))
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+      }
+    }
+
+    val wall0 = System.nanoTime()
+    // Best-of-N per query, passes BACK-TO-BACK: absorbs one-off
     // codegen-compile and GC outliers so the reported number is
     // steady-state throughput. Back-to-back matters: Spark's codegen cache
     // holds only 100 entries, so two full sweeps over 60+ queries evict
     // everything in between and the second sweep re-pays Janino compile
     // for every query — consecutive runs hit the still-warm cache.
-    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
-      spark.catalog.clearCache() // no cross-query/cross-run cache interference
-      val t0 = System.nanoTime()
-      // gate-only ORDER BY stripped: time the operator, not hash plumbing
-      try org.apache.spark.sql.GraftSqlBridge.dropTopLevelSort(fn(spark, sfDir))
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val raw = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      (timeOnce(fn), timeOnce(fn)) match {
+        case (Right(a), Right(b)) =>
+          // >3× disagreement between back-to-back passes = an environment
+          // hiccup hit one of them; a third pass breaks the tie.
+          val ts = if (math.max(a, b) > 3 * math.min(a, b))
+            timeOnce(fn).fold(_ => List(a, b), c => List(a, b, c))
+          else List(a, b)
+          raw(name) = ts
+          Some(name -> ts.min)
+        case (ra, rb) =>
+          val err = ra.left.toOption.orElse(rb.left.toOption).get
+          System.err.println(s"[bench] $name FAILED: $err")
+          failed(name) = err
+          raw(name) = List(ra, rb).flatMap(_.toOption)
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+
+    def jarr(ts: List[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    def jstr(s: String) =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val rawJson = raw.map { case (k, ts) => jstr(k) + ":" + jarr(ts) }
+      .mkString("{", ",", "}")
+    val failedJson = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"wall_sec":$wallSec,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

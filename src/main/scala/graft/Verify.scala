@@ -38,6 +38,29 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // Determinism gate for rows-only queries (no DuckDB oracle exists for
+    // them): run each twice and compare a canonical content hash — catches
+    // nondeterminism regressions the rows-count check cannot.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(c => org.apache.spark.sql.functions.col(c)
+        .cast("string")): _*)
+        .collect().map(_.mkString("\u0001")).sorted.toSeq
+    }
+    val rowsOnlyNames =
+      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    val selfJson = rowsOnlyNames.map { name =>
+      val ok =
+        try canon(SparkEntry.queries(name)(spark, sfDir)) ==
+          canon(SparkEntry.queries(name)(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] self-consistency $name failed: ${e.getMessage}")
+          false
+        }
+      s"${q(name)}: {${q("self_consistent")}: $ok}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/self_consistency.json"), selfJson)
     spark.stop()
   }
 }

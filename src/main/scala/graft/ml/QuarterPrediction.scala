@@ -59,7 +59,12 @@ object QuarterPrediction {
       (sum("l_suppkey") % 3).cast("int").as("block"),
       (max("l_quantity") % 8).cast("int").as("foul"),
       (min("l_quantity") % 9).cast("int").as("turnover"),
-      (sum("l_extendedprice") % 30).cast("int").as("enemyPeriodScore"))
+      // cents-exact: l_extendedprice is a 2-dp double whose sum is
+      // accumulation-order-sensitive (and ~1/100 groups sum to .00, right
+      // on the int-cast boundary); per-row round-to-cents makes the sum an
+      // exact integer on every engine — the oracle-stable formulation
+      (sum(round(col("l_extendedprice") * 100).cast("long")) % 30)
+        .cast("int").as("enemyPeriodScore"))
       .join(o.select(col("o_orderkey"), col("o_totalprice")),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn(labelCol, (col("o_totalprice") > 150000).cast("int"))

@@ -27,6 +27,22 @@ object Multimodal {
   final case class MetaOut(id: Long, width: Int, height: Int, nBytes: Long, format: String)
   final case class FeatureOut(id: Long, dim: Int, features: Array[Float])
   final case class FrameOut(id: Long, frameIdx: Int, frame: Array[Byte])
+  final case class MetaFeatOut(id: Long, width: Int, height: Int, nBytes: Long,
+      format: String, dim: Int, features: Array[Float])
+
+  /** Mean-pooled pixel statistics → fixed-dim embedding (the deterministic
+    * stub feature map; shared by the standalone and fused passes). */
+  private def featuresOf(img: Image, dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    var i = 0
+    while (i < img.pixels.length) {
+      f(i % dim) += (img.pixels(i) & 0xff) / 255.0f
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { f(j) /= (img.pixels.length / dim.toFloat); j += 1 }
+    f
+  }
 
   /** Decode + metadata extraction, batched per partition (codec init happens
     * once per partition, not per row — the mapInPandas batch-shape). */
@@ -51,17 +67,24 @@ object Multimodal {
     media.mapPartitions { rows =>
       val decoder = StubDecoder
       rows.flatMap { r =>
-        decoder.decode(r.content).map { img =>
-          val f = new Array[Float](dim)
-          var i = 0
-          while (i < img.pixels.length) {
-            f(i % dim) += (img.pixels(i) & 0xff) / 255.0f
-            i += 1
-          }
-          var j = 0
-          while (j < dim) { f(j) /= (img.pixels.length / dim.toFloat); j += 1 }
-          FeatureOut(r.id, dim, f)
-        }
+        decoder.decode(r.content).map(img => FeatureOut(r.id, dim, featuresOf(img, dim)))
+      }
+    }
+  }
+
+  /** Fused metadata + features in ONE decode pass: with a real codec the
+    * decode dominates, so running `imageMeta` and `imageFeatures` as two
+    * passes over the same payloads (then joining) doubles the dominant cost
+    * AND adds a shuffle — the fused partition map does neither. */
+  def imageMetaFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MetaFeatOut] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = StubDecoder // per-partition codec init seam
+      rows.flatMap { r =>
+        decoder.decode(r.content).map(img =>
+          MetaFeatOut(r.id, img.w, img.h,
+            if (r.content == null) 0L else r.content.length.toLong, "stub-rgb",
+            dim, featuresOf(img, dim)))
       }
     }
   }
@@ -114,17 +137,44 @@ object Multimodal {
   }
 
   /** Declared query: metadata + 16-dim features for every document payload
-    * (rows-only — stub decode is not SQL-expressible). */
+    * (rows-only — stub decode is not SQL-expressible). One fused decode
+    * pass per payload; no join. */
   val mmImageFeatures = rowsOnly("mm_image_features") { (s, d) =>
     import s.implicits._
     val media = Tables.documents(s, d)
       .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
       .as[MediaRow]
-    val meta = imageMeta(media).toDF()
-    val feats = imageFeatures(media).toDF()
-      .select(col("id"), col("dim"),
+    imageMetaFeatures(media).toDF()
+      .select(col("id"), col("width"), col("height"), col("nBytes"),
+        col("format"), col("dim"),
         round(element_at(col("features"), 1), 4).as("f0"))
-    meta.join(feats, "id").orderBy("id")
+      .orderBy("id")
+  }
+
+  /** Frame sampling as an oracle-checked query: `sampleFrames`' offset
+    * arithmetic (n = max(1, bytes/16) stub frames, k = 3 evenly spaced,
+    * idx = i·n/k, 16-byte slice at idx·16) replayed in DuckDB via substr.
+    * The documents corpus is pure ASCII (verified: strlen = length at every
+    * sf), so byte offsets and character offsets coincide and the sliced
+    * frame compares as a string. Narrow flatMap — no shuffle. */
+  val mmFrameSample = sql(
+    "mm_frame_sample",
+    """WITH f AS (SELECT doc_id AS id, text,
+      |                  greatest(1, strlen(text) // 16) AS n
+      |           FROM documents),
+      |idx AS (SELECT id, text, CAST(i * n // 3 AS INT) AS frame_idx
+      |        FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS i))
+      |SELECT id, frame_idx,
+      |       substr(text, frame_idx * 16 + 1, 16) AS frame
+      |FROM idx ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+    sampleFrames(media, k = 3).toDF()
+      .select(col("id"), col("frameIdx").as("frame_idx"),
+        col("frame").cast("string").as("frame"))
+      .orderBy("id", "frame_idx")
   }
 
   /** Codec-independent media metadata over the binary column — byte size,
@@ -151,5 +201,5 @@ object Multimodal {
       .orderBy("id")
   }
 
-  val defs: Seq[QueryDef] = Seq(mmImageFeatures, mmMediaMeta)
+  val defs: Seq[QueryDef] = Seq(mmImageFeatures, mmMediaMeta, mmFrameSample)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
-import graft.core.QueryDef.rowsOnly
+import graft.core.QueryDef.{rowsOnly, sql}
 import graft.cv.PlayerIdent
 import graft.ml.QuarterPrediction
 
@@ -15,6 +15,43 @@ object Pipelines {
     * over features derived from the sfDir tables (SURVEY §3.1/§3.3). */
   val mlRfScore = rowsOnly("ml_rf_score") { (s, d) =>
     QuarterPrediction.trainAndScore(s, d)
+  }
+
+  /** The ML pipeline's deterministic feature frame, oracle-checked: every
+    * column of `QuarterPrediction.trainingFrame` is integer groupBy/join
+    * arithmetic (quantity doubles are integer-valued, prices are rounded to
+    * exact cents per row before summing), so the entire surface up to the
+    * RandomForest boundary hash-verifies against DuckDB — only the model
+    * transform itself stays rows-only (`ml_rf_score`). */
+  val mlFeatures = sql(
+    "ml_features",
+    """WITH feat AS (
+      |  SELECT l_orderkey,
+      |         CAST(max(l_partkey) % 3 AS INT) AS "enemyStyle",
+      |         CAST(sum(l_quantity) AS INT) AS "teamNumber",
+      |         CAST(fmod(sum(l_quantity), 19) AS INT) AS "enemyNumber",
+      |         CAST(count(*) AS INT) AS "fastBreak",
+      |         CAST(sum(l_linenumber) % 7 AS INT) AS "restrictedNumber",
+      |         CAST(max(l_suppkey) % 11 AS INT) AS "perimeterNumber",
+      |         CAST(min(l_partkey) % 5 AS INT) AS "threeNumber",
+      |         CAST(sum(l_partkey) % 6 AS INT) AS "freethrowNumber",
+      |         CAST(max(l_linenumber) AS INT) AS "assist",
+      |         CAST(min(l_suppkey) % 4 AS INT) AS "steal",
+      |         CAST(sum(l_suppkey) % 3 AS INT) AS "block",
+      |         CAST(fmod(max(l_quantity), 8) AS INT) AS "foul",
+      |         CAST(fmod(min(l_quantity), 9) AS INT) AS "turnover",
+      |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) % 30 AS INT)
+      |           AS "enemyPeriodScore"
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT f.l_orderkey AS "rowId", f."enemyStyle", f."teamNumber",
+      |       f."enemyNumber", f."fastBreak", f."restrictedNumber",
+      |       f."perimeterNumber", f."threeNumber", f."freethrowNumber",
+      |       f."assist", f."steal", f."block", f."foul", f."turnover",
+      |       f."enemyPeriodScore",
+      |       CAST(o.o_totalprice > 150000 AS INT) AS "winPeriod"
+      |FROM feat f JOIN orders o ON f.l_orderkey = o.o_orderkey
+      |ORDER BY "rowId"""".stripMargin) { (s, d) =>
+    QuarterPrediction.trainingFrame(s, d).orderBy("rowId")
   }
 
   /** Player identification: binary image column → pose/digit/color stub
@@ -37,5 +74,5 @@ object Pipelines {
       .orderBy("doc_id", "team", "num")
   }
 
-  val defs: Seq[QueryDef] = Seq(mlRfScore, cvPlayerPipeline)
+  val defs: Seq[QueryDef] = Seq(mlRfScore, mlFeatures, cvPlayerPipeline)
 }

@@ -150,6 +150,44 @@ object Similarity {
       .limit(10)
   }
 
+  /** ANN quality measurement: recall@10 of the IVF probe against the
+    * brute-force ground truth — the number that justifies probe-vs-scan at
+    * 100 TB (a probe that touches 1/k of the corpus is only a win if its
+    * recall holds). Both sides are deterministic (bit-identical cosines,
+    * rounded 4 dp, unique vec_id tie-break), so the intersection is
+    * oracle-checkable exactly. Cost: two TakeOrdered top-10s + a 10-row
+    * join — the measurement never scans more than the queries it grades. */
+  val simIvfRecall = sql(
+    "sim_ivf_recall",
+    s"""WITH $ivfAssignSqlCte,
+       |qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qcell AS (SELECT cell FROM assign WHERE vec_id = 0),
+       |bf AS (SELECT vec_id,
+       |              round(${dotSql("embedding", "qv")}
+       |                    / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |       FROM embeddings, qr
+       |       WHERE vec_id <> 0
+       |       ORDER BY cos DESC, vec_id LIMIT 10),
+       |ivf AS (SELECT e.vec_id,
+       |               round(${dotSql("e.embedding", "qv")}
+       |                     / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |        FROM embeddings e
+       |        JOIN assign a ON a.vec_id = e.vec_id
+       |        JOIN qcell ON a.cell = qcell.cell
+       |        CROSS JOIN qr
+       |        WHERE e.vec_id <> 0
+       |        ORDER BY cos DESC, e.vec_id LIMIT 10)
+       |SELECT 10 AS k, count(*) AS n_probe_hits,
+       |       round(count(*) / 10.0, 4) AS recall
+       |FROM bf JOIN ivf USING (vec_id)""".stripMargin) { (s, d) =>
+    val bf = simTopK.fn(s, d).select(col("vec_id"))
+    val ivf = simIvfTopk.fn(s, d).select(col("vec_id"))
+    bf.join(ivf, "vec_id")
+      .agg(count(lit(1)).as("n_probe_hits"))
+      .select(lit(10).as("k"), col("n_probe_hits"),
+        round(col("n_probe_hits") / 10.0, 4).as("recall"))
+  }
+
   /** Embedding-cosine near-dup pairs, bucket-bounded: candidate pairs only
     * within the same label cell (the IVF bucket), cosine >= 0.35. This is
     * the within-bucket block join — linear in Σ bucket², not corpus². */
@@ -346,6 +384,6 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    simTopK, simIvfAssign, simIvfTopk, simNearDup, simLshBuckets,
+    simTopK, simIvfAssign, simIvfTopk, simIvfRecall, simNearDup, simLshBuckets,
     simPqCodes, embInt8Quantize)
 }

@@ -368,6 +368,11 @@ object TextOps {
     * distributed rounds run. */
   val SmallGraphEdgeLimit = 1000000L
 
+  /** Pointer jumping contracts chains exponentially, so 25 rounds cover a
+    * graph diameter of ~2^25; the loop throws rather than returning
+    * non-minimal labels if a graph somehow needs more. */
+  val MaxCcRounds = 25
+
   /** Distributed connected components over undirected pairs `mp(da, db)`:
     * per round, hash-min over neighbors (join + partial-aggregable groupBy)
     * then a pointer-jumping relabel (label := label(label)) that contracts
@@ -391,7 +396,7 @@ object TextOps {
     var labels = verts.select(col("doc_id"), col("doc_id").as("cluster"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < MaxCcRounds) {
       // hash-min via neighbor-min groupBy + left join + least() — NO Union:
       // Union's constraint rewrite rejects localCheckpoint leaves whose
       // carried constraints reference pre-checkpoint attributes (Spark 4.1
@@ -416,6 +421,13 @@ object TextOps {
         println(s"[cc] round=$rounds changed=$changed")
     }
     edges.unpersist()
+    // Never return silently-non-minimal labels: pointer jumping converges in
+    // O(log diameter) rounds, so hitting the cap with labels still moving
+    // means a pathological graph (or a bug) — fail loudly, don't mislabel.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge after $MaxCcRounds rounds " +
+          s"($changed labels still changing) — raise MaxCcRounds or inspect the graph")
     // edge-less docs keep their own id: one left join, no union/anti-join
     docs.join(labels.withColumnRenamed("cluster", "cl"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster"))

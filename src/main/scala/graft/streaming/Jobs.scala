@@ -91,32 +91,61 @@ object Jobs {
   final case class SessionOut(userId: Long, start: Long, end: Long, n: Int, total: Double)
 
   /** Custom stateful operator (mapGroupsWithState): per-user session
-    * aggregation with a 30-minute inactivity gap, emitted on timeout.
-    * The reference has no stateful streaming at all; this is the
-    * KeyValueGroupedDataset state surface the prompt requires. */
+    * aggregation with a 30-minute inactivity gap. A session closes either
+    * when the same user's next event arrives past the gap, or — the idle
+    * case — when the event-time watermark passes `last + gap` with no
+    * further events from that user (EventTimeTimeout): a user who stops
+    * clicking still gets their final session emitted, and their state is
+    * cleared rather than living forever. The watermark also bounds input:
+    * events older than it are dropped as late (the standard trade for
+    * bounded state + guaranteed emission). The reference has no stateful
+    * streaming at all; this is the KeyValueGroupedDataset state surface
+    * the prompt requires. */
   def sessionize(events: Dataset[Event],
-      gapMicros: Long = 30L * 60 * 1000000): Dataset[SessionOut] = {
+      gapMicros: Long = 30L * 60 * 1000000,
+      delay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(_.tsMicros)
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(st) if e.tsMicros - st.last > gapMicros =>
-                closed += SessionOut(userId, st.start, st.last, st.n, st.total)
-                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
-              case Some(st) =>
-                cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, total = st.total + e.value))
-              case None =>
-                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+    // EventTimeTimeout needs a watermarked event-time column in the plan;
+    // carry it through the grouping as a 4th tuple field.
+    val marked = events.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", delay)
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+    marked
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+            state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close idle session
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.start, st.last, st.n, st.total))
+          } else {
+            val sorted = rows.map(r => Event(r._1, r._2, r._3)).toSeq.sortBy(_.tsMicros)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.tsMicros - st.last > gapMicros =>
+                  closed += SessionOut(userId, st.start, st.last, st.n, st.total)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+                case Some(st) =>
+                  cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, total = st.total + e.value))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // timeout must stay ahead of the current watermark (late rows
+              // can put last+gap behind it); the +1 ms floor keeps the call legal
+              state.setTimeoutTimestamp(
+                math.max(st.last / 1000 + gapMicros / 1000,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
         })
   }
 

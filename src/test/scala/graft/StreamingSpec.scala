@@ -221,21 +221,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
-  test("stateful sessionization with mapGroupsWithState") {
+  test("stateful sessionization: gap-close AND idle-timeout emission") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val gap = 30L * 60 * 1000000
+    val min = 60L * 1000000
+    val t0 = 1700000000000000L // µs; events AT the initial watermark (epoch
+    // 0) would be dropped as late — use a realistic base like production
     val mem = MemoryStream[Jobs.Event]
-    mem.addData(
-      Jobs.Event(1, 0, 1.0), Jobs.Event(1, 1000000, 2.0),          // session 1
-      Jobs.Event(1, gap * 2, 5.0),                                  // session 2 (1 closes)
-      Jobs.Event(2, 0, 7.0))                                        // other user, stays open
     val sessions = Jobs.sessionize(mem.toDS())
     val q = sessions.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
-    q.processAllAvailable(); q.stop()
+    // batch 1: user 1 has two sessions (third event past the gap closes the
+    // first); user 2 has one event and then goes idle FOREVER
+    mem.addData(
+      Jobs.Event(1, t0, 1.0), Jobs.Event(1, t0 + min, 2.0),
+      Jobs.Event(1, t0 + gap * 2, 5.0),
+      Jobs.Event(2, t0, 7.0))
+    q.processAllAvailable()
+    // batch 2: only ANOTHER user's event, far in the future — advances the
+    // watermark past users 1/2's last+gap; their idle sessions must be
+    // emitted by EventTimeTimeout with no further event from either user
+    mem.addData(Jobs.Event(9, t0 + gap * 10, 0.5))
+    q.processAllAvailable()
+    // batch 3: timeouts fire in a batch that EXECUTES after the watermark
+    // advanced; one more unrelated event makes that batch deterministic
+    // (not dependent on the async no-data micro-batch racing q.stop())
+    mem.addData(Jobs.Event(9, t0 + gap * 10 + 1000000, 0.5))
+    q.processAllAvailable()
+    q.stop()
     val closed = spark.table("sessions").as[Jobs.SessionOut].collect()
-    assert(closed.length == 1)
-    assert(closed.head.userId == 1 && closed.head.n == 2 && closed.head.total == 3.0)
+    // gap-close: user 1's first session (2 events, closed by its 3rd event)
+    val u1 = closed.filter(_.userId == 1).sortBy(_.start)
+    assert(u1.length == 2)
+    assert(u1.head.n == 2 && u1.head.total == 3.0 && u1.head.end == t0 + min)
+    // idle-timeout: user 1's final session emitted with NO later user-1 event
+    assert(u1.last.start == t0 + gap * 2 && u1.last.n == 1 && u1.last.total == 5.0)
+    // idle-timeout: one-time user 2's only session emitted, state cleared
+    val u2 = closed.filter(_.userId == 2)
+    assert(u2.length == 1 && u2.head.n == 1 && u2.head.total == 7.0)
+    // user 9's session is still within its gap horizon → not yet emitted
+    assert(!closed.exists(_.userId == 9))
   }
 }

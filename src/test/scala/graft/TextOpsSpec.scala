@@ -81,6 +81,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(20L) == 20L) // singleton attached without iterating
   }
 
+  test("dedup_clusters: 64-chain converges well inside the round cap (no silent stop)") {
+    import spark.implicits._
+    // worst-case diameter graph: pointer jumping must contract it in
+    // O(log n) rounds; a silent round-cap stop would leave non-min labels
+    val n = 64L
+    val mp = (1L until n).map(i => (i, i + 1)).toDF("da", "db")
+    val docs = (1L to n).toDF("doc_id")
+    val got = TextOps.connectedComponentsDistributed(docs, mp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to n).forall(got(_) == 1L), s"chain must collapse to 1: $got")
+  }
+
   test("dedup_clusters: min-label propagation produces consistent components") {
     // three identical docs (one near-dup clique) + two other identical docs
     // + a singleton: clusters {0,1,2}, {10,11}, {20}
