@@ -188,6 +188,18 @@ object Similarity {
         round(col("n_probe_hits") / 10.0, 4).as("recall"))
   }
 
+  /** CTE `cos_pairs(da, db)` — the embedding-cosine near-dup edge set of
+    * `simNearDup`, reusable inside a larger WITH clause (consumed by the
+    * multi-signal dedup cluster oracle in TextOps). */
+  private[operators] val cosinePairsSqlCte: String =
+    s"""cn AS (SELECT vec_id, label, embedding,
+       |              sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |       FROM embeddings),
+       |cos_pairs AS (SELECT a.vec_id AS da, b.vec_id AS db
+       |              FROM cn a JOIN cn b
+       |                ON a.label = b.label AND a.vec_id < b.vec_id
+       |              WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)""".stripMargin
+
   /** Embedding-cosine near-dup pairs, bucket-bounded: candidate pairs only
     * within the same label cell (the IVF bucket), cosine >= 0.35. This is
     * the within-bucket block join — linear in Σ bucket², not corpus². */

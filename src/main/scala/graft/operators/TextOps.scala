@@ -312,11 +312,19 @@ object TextOps {
        |cc AS (SELECT doc_id, min(root) AS root FROM reach GROUP BY doc_id)""".stripMargin
 
   /** Spark side of `cc`: every document's near-dup cluster label
-    * (doc_id, cluster). See `dedupClusters` for the two execution paths. */
+    * (doc_id, cluster) over the MinHash-LSH pair graph. */
   private[operators] def clusterLabels(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val mp = minhashBandPairs(s, d).cache()
+      d: String): org.apache.spark.sql.DataFrame =
+    labelsFromPairs(Tables.documents(s, d).select(col("doc_id")),
+      minhashBandPairs(s, d))
+
+  /** Connected-component labels for `docs` over an arbitrary undirected
+    * pair graph `mpIn(da, db)` — the edge source is pluggable (MinHash,
+    * SimHash, embedding-cosine, or any union of them). Two execution paths
+    * chosen by pair-graph size; see `dedupClusters`. */
+  private[operators] def labelsFromPairs(docs: org.apache.spark.sql.DataFrame,
+      mpIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mp = mpIn.cache()
     val nEdges = mp.count()
     val labeled =
       if (nEdges <= SmallGraphEdgeLimit) {
@@ -340,7 +348,8 @@ object TextOps {
           }
         }
         val lookup = parent.keys.toSeq.map(v => (v, find(v)))
-        import s.implicits._
+        val sp = docs.sparkSession
+        import sp.implicits._
         docs.join(broadcast(lookup.toDF("doc_id", "cl")), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("cl"), col("doc_id")).as("cluster"))
@@ -445,9 +454,11 @@ object TextOps {
   private val BlockBits = SimhashBits / SimhashBlocks // 15
   private val BlockMask = (1L << BlockBits) - 1
 
-  /** Shared SQL CTE chain ending in `sig(doc_id, simhash)`. All bit math is
-    * integer shifts/masks — exact on both engines (no double division). */
-  private val simhashSigSql: String = {
+  /** Shared SQL CTE chain ending in `<p>sig(doc_id, simhash)`. All bit math
+    * is integer shifts/masks — exact on both engines (no double division).
+    * CTE names take a prefix so the chain can coexist with the MinHash
+    * chain (which also names a `sig`) inside one WITH clause. */
+  private def simhashSigSqlWith(p: String): String = {
     val v60 = (1 to 15)
       .map(i => s"(position(substr(md5(tok), $i, 1) IN '0123456789abcdef') - 1) * ${1L << (4 * (15 - i))}")
       .mkString("\n    + ")
@@ -456,15 +467,16 @@ object TextOps {
       .mkString(",\n         ")
     val bits = (0 until SimhashBits)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE CAST(0 AS BIGINT) END)").mkString("\n       + ")
-    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-       |vals AS (SELECT doc_id,
+    s"""${p}toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |${p}vals AS (SELECT doc_id,
        |      $v60 AS v60
-       |  FROM toks),
-       |sums AS (SELECT doc_id,
+       |  FROM ${p}toks),
+       |${p}sums AS (SELECT doc_id,
        |         $sums
-       |         FROM vals GROUP BY doc_id),
-       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)""".stripMargin
+       |         FROM ${p}vals GROUP BY doc_id),
+       |${p}sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM ${p}sums)""".stripMargin
   }
+  private val simhashSigSql: String = simhashSigSqlWith("")
 
   /** Spark side of `sig(doc_id, simhash)`: one native `simhash_agg`
     * aggregate (graft.functions.SimhashAgg) instead of 60 sum(CASE)
@@ -539,6 +551,61 @@ object TextOps {
       .filter(dist <= 1)
       .select(col("da"), col("db"), dist.as("dist")).distinct()
       .orderBy("da", "db")
+  }
+
+  /** Unified MULTI-SIGNAL dedup — the composition a production pipeline
+    * actually runs: near-dup edges from three independent detectors
+    * (MinHash-LSH n-gram shingles, SimHash Hamming blocks, embedding-cosine
+    * within IVF cells) unioned into ONE pair graph, then connected
+    * components over the union. A pair caught by ANY signal lands in the
+    * same cluster, so the canonical-member choice is consistent across
+    * signals instead of three conflicting dedup verdicts. Embeddings are
+    * keyed by the document id (`vec_id` ≡ `doc_id` in the corpus; documents
+    * without an embedding row simply contribute no cosine edges). Scale:
+    * each edge source is already bucketed/banded/capped linear; the union
+    * is a distinct over edge sets, and clustering runs once instead of
+    * three times. Oracle: the same recursive min-reachable-id CTE as
+    * `dedup_clusters`, over the unioned edge set. */
+  val dedupClustersMulti = sql(
+    "dedup_clusters_multi", {
+      val sxBlocks = (0 until SimhashBlocks)
+        .map(b => s"SELECT doc_id, simhash, $b AS bi, (simhash >> ${BlockBits * b}) & $BlockMask AS bv FROM sx_sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE $minhashPairsSqlCte,
+         |${simhashSigSqlWith("sx_")},
+         |sx_blocks AS (
+         |  $sxBlocks
+         |),
+         |sx_pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |             FROM sx_blocks a JOIN sx_blocks b
+         |               ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |             WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |${Similarity.cosinePairsSqlCte},
+         |alledges AS (SELECT da, db FROM mp
+         |             UNION SELECT da, db FROM sx_pairs
+         |             UNION SELECT da, db FROM cos_pairs),
+         |edges AS (SELECT da AS u, db AS v FROM alledges
+         |          UNION ALL SELECT db, da FROM alledges),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.doc_id
+         |),
+         |cc AS (SELECT doc_id, min(root) AS root FROM reach GROUP BY doc_id)
+         |SELECT c.doc_id, c.root AS cluster, c.root = c.doc_id AS keep
+         |FROM cc c JOIN documents dd ON c.doc_id = dd.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.GraftSqlBridge.dropTopLevelSort
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val mh = minhashBandPairs(s, d)
+    val sx = dropTopLevelSort(dedupSimhashPairs.fn(s, d)).select("da", "db")
+    val cosE = dropTopLevelSort(Similarity.simNearDup.fn(s, d)).select("da", "db")
+    val edges = mh.unionByName(sx).unionByName(cosE).distinct()
+    labelsFromPairs(docs, edges)
+      .select(col("doc_id"), col("cluster"),
+        (col("cluster") === col("doc_id")).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** BPE-ish regex token counting: word / number / punctuation-free token
@@ -756,7 +823,7 @@ object TextOps {
   val defs: Seq[QueryDef] = Seq(
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
-    dedupClusters, dedupSimhash, dedupSimhashPairs, textTokenBpe,
+    dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
     textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats,
     textRepetition)
 }
