@@ -151,6 +151,31 @@ object Multimodal {
       .orderBy("id")
   }
 
+  /** Resize as a declared query (rows-only — decode is the stub seam):
+    * decode → 8×8 box-filter downsample → exact integer channel sums.
+    * The pixel math is genuine and the output is pure integers, so the
+    * run-twice determinism gate pins it bit-exactly. One fused decode +
+    * resize pass per payload; narrow map, no shuffle. */
+  val mmImageResize = rowsOnly("mm_image_resize") { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      val decoder = StubDecoder // per-partition codec init seam
+      rows.flatMap { r =>
+        decoder.decode(r.content).map { img =>
+          val out = resize(img, 8, 8)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          out.pixels.foreach { p =>
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+          }
+          (r.id, out.w, out.h, rs, gs, bs)
+        }
+      }
+    }.toDF("id", "w", "h", "sum_r", "sum_g", "sum_b").orderBy("id")
+  }
+
   /** Frame sampling as an oracle-checked query: `sampleFrames`' offset
     * arithmetic (n = max(1, bytes/16) stub frames, k = 3 evenly spaced,
     * idx = i·n/k, 16-byte slice at idx·16) replayed in DuckDB via substr.
@@ -201,5 +226,5 @@ object Multimodal {
       .orderBy("id")
   }
 
-  val defs: Seq[QueryDef] = Seq(mmImageFeatures, mmMediaMeta, mmFrameSample)
+  val defs: Seq[QueryDef] = Seq(mmImageFeatures, mmMediaMeta, mmFrameSample, mmImageResize)
 }

@@ -48,6 +48,36 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** STRATIFIED downsampling to a per-language cap (~100 docs expected per
+    * lang): overrepresented languages are hash-gated down to the cap's
+    * rate, underrepresented ones pass whole — the balanced-corpus
+    * construction step of a multilingual pipeline. The per-lang threshold
+    * is exact integer arithmetic (`cap·65536 div cnt`, identical on both
+    * engines); membership stays a function of the doc key alone, so the
+    * sample is reproducible under retries and engine swaps. Scale shape:
+    * one tiny lang-count aggregate broadcast back onto the corpus, then a
+    * narrow filter — the 100 TB fact side is never shuffled. */
+  val sampleStratified = sql(
+    "sample_stratified",
+    s"""WITH lc AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+       |thr AS (SELECT lang, least(65536, 6553600 // cnt) AS keep_thr FROM lc)
+       |SELECT d.doc_id, d.lang,
+       |       ${hexBucketSql("d.doc_id")} AS bucket, t.keep_thr
+       |FROM documents d JOIN thr t ON d.lang = t.lang
+       |WHERE ${hexBucketSql("d.doc_id")} < t.keep_thr
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val thr = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"),
+        least(lit(65536L), expr("6553600 div cnt")).as("keep_thr"))
+    val b = hexBucketCol(col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), b.as("bucket"))
+      .join(broadcast(thr), "lang")
+      .filter(col("bucket") < col("keep_thr"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("keep_thr"))
+      .orderBy("doc_id")
+  }
+
   /** Train/val/test assignment by hash range (8/1/1): the standard
     * leakage-resistant split — membership depends only on the KEY, so
     * re-runs, late-arriving rows, and other engines agree row-by-row.
@@ -124,5 +154,5 @@ object Sampling {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    sampleHash, splitAssign, splitLeakageSafe, packSequences)
+    sampleHash, sampleStratified, splitAssign, splitLeakageSafe, packSequences)
 }

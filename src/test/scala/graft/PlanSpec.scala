@@ -105,6 +105,24 @@ class PlanSpec extends AnyFunSuite {
       s"block-LSH must stay an equi-join:\n$plan")
   }
 
+  test("dedup_minhash_pairs: band buckets join by equi-key, never cartesian") {
+    val plan = executedPlan("dedup_minhash_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH banding must stay an equi-join:\n$plan")
+  }
+
+  test("sim_neardup_pairs: within-cell block join by equi-key, never cartesian") {
+    val plan = executedPlan("sim_neardup_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell-bounded near-dup must stay an equi-join:\n$plan")
+  }
+
+  test("sample_stratified: per-lang thresholds broadcast, fact side never shuffled for the join") {
+    val plan = executedPlan("sample_stratified")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny lang-count table must broadcast:\n$plan")
+  }
+
   test("a2_histogram avoids unpartitioned window (no single-partition sort)") {
     val df = SparkEntry.queries("a2_histogram")(spark, sf)
     df.collect()
