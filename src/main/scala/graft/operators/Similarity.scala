@@ -86,12 +86,22 @@ object Similarity {
     ivfAssignDf(s, d).orderBy("vec_id")
   }
 
+  /** Codebook fit: per-(label, dim) means rounded to 4 dp, then packed
+    * into one ordered array per label (k rows — broadcastable model
+    * state). */
+  private def ivfCodebook(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .groupBy("label", "pos0")
+      .agg(round(avg(col("x").cast("double")), 4).as("c"))
+      .groupBy(col("label").as("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos0, c))), s -> s.c)")
+        .as("cvec"))
+
   /** Spark side of `assign(vec_id, cell)`. */
   private def ivfAssignDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     val emb = Tables.embeddings(s, d)
-    // Codebook fit: per-(label, dim) means rounded to 4 dp, then packed
-    // into one ordered array per label (k rows — broadcastable model
-    // state). Assignment is a broadcast cross join (n × k rows) with ONE
+    // Assignment is a broadcast cross join (n × k rows) with ONE
     // native squared-distance loop (graft.functions.SquaredDistance — same
     // ascending-index double accumulation as the declarative
     // aggregate(zip_with) fold and the oracle's unnest group-sum, so
@@ -99,19 +109,29 @@ object Similarity {
     // lambda calls per candidate) — no giant literal expressions (codegen
     // stays tiny), no explode of the fact side, no window.
     // min(struct(dist, label)) is the deterministic tie-broken argmin.
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .groupBy("label", "pos0")
-      .agg(round(avg(col("x").cast("double")), 4).as("c"))
-      .groupBy(col("label").as("clabel"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos0, c))), s -> s.c)")
-        .as("cvec"))
+    val cent = ivfCodebook(s, d)
     val dist = graft.functions.SquaredDistance.squared_distance(
       col("embedding"), col("cvec"))
     emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("clabel"), dist.as("dist"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("clabel"))).getField("clabel").as("cell"))
+  }
+
+  /** The query vector's `nProbe` nearest cells — a k-row argsort over the
+    * broadcast codebook (deterministic: bit-identical distances, label
+    * tie-break), itself broadcastable downstream. */
+  private def ivfQueryCells(s: org.apache.spark.sql.SparkSession, d: String,
+      nProbe: Int) = {
+    val emb = Tables.embeddings(s, d)
+    val dist = graft.functions.SquaredDistance.squared_distance(
+      col("embedding"), col("cvec"))
+    emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .crossJoin(broadcast(ivfCodebook(s, d)))
+      .select(col("clabel"), dist.as("dist"))
+      .orderBy(col("dist"), col("clabel"))
+      .limit(nProbe)
+      .select(col("clabel").as("cell"))
   }
 
   /** IVF PROBE — the actual ANN query path: assign the query vector to its
@@ -148,6 +168,74 @@ object Similarity {
           / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("qv", "qv"))), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** MULTI-PROBE IVF top-k (nprobe = 3): search the union of the query's 3
+    * nearest cells instead of 1 — the standard quality/cost lever of IVF at
+    * scale (single-cell recall@10 is 0.3 on this corpus; see
+    * `sim_ivf_recall` / `sim_ivf_recall_mp` for the measured lift). Still
+    * touches only nprobe/k of the corpus; the probed-cell list is a tiny
+    * broadcast, the top-k a TakeOrderedAndProject. */
+  val simIvfTopkMp = sql(
+    "sim_ivf_topk_mp",
+    s"""WITH $ivfAssignSqlCte,
+       |qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qcells AS (SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 3)
+       |SELECT e.vec_id,
+       |       round(${dotSql("e.embedding", "qv")}
+       |             / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |FROM embeddings e
+       |JOIN assign a ON a.vec_id = e.vec_id
+       |JOIN qcells qc ON a.cell = qc.cell
+       |CROSS JOIN qr
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val assign = ivfAssignDf(s, d)
+    val qcells = ivfQueryCells(s, d, nProbe = 3)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(assign, "vec_id")
+      .join(broadcast(qcells), "cell") // 3-row probed-cell filter
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotCol("embedding", "qv")
+          / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("qv", "qv"))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Recall@10 of the 3-cell multi-probe vs brute force — paired with
+    * `sim_ivf_recall` this measures exactly what raising nprobe buys. */
+  val simIvfRecallMp = sql(
+    "sim_ivf_recall_mp",
+    s"""WITH $ivfAssignSqlCte,
+       |qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qcells AS (SELECT label AS cell FROM ranked WHERE vec_id = 0 AND rn <= 3),
+       |bf AS (SELECT vec_id,
+       |              round(${dotSql("embedding", "qv")}
+       |                    / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |       FROM embeddings, qr
+       |       WHERE vec_id <> 0
+       |       ORDER BY cos DESC, vec_id LIMIT 10),
+       |ivf AS (SELECT e.vec_id,
+       |               round(${dotSql("e.embedding", "qv")}
+       |                     / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |        FROM embeddings e
+       |        JOIN assign a ON a.vec_id = e.vec_id
+       |        JOIN qcells qc ON a.cell = qc.cell
+       |        CROSS JOIN qr
+       |        WHERE e.vec_id <> 0
+       |        ORDER BY cos DESC, e.vec_id LIMIT 10)
+       |SELECT 10 AS k, 3 AS n_probe, count(*) AS n_probe_hits,
+       |       round(count(*) / 10.0, 4) AS recall
+       |FROM bf JOIN ivf USING (vec_id)""".stripMargin) { (s, d) =>
+    val bf = simTopK.fn(s, d).select(col("vec_id"))
+    val ivf = simIvfTopkMp.fn(s, d).select(col("vec_id"))
+    bf.join(ivf, "vec_id")
+      .agg(count(lit(1)).as("n_probe_hits"))
+      .select(lit(10).as("k"), lit(3).as("n_probe"), col("n_probe_hits"),
+        round(col("n_probe_hits") / 10.0, 4).as("recall"))
   }
 
   /** ANN quality measurement: recall@10 of the IVF probe against the
@@ -396,6 +484,6 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    simTopK, simIvfAssign, simIvfTopk, simIvfRecall, simNearDup, simLshBuckets,
-    simPqCodes, embInt8Quantize)
+    simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
+    simIvfRecallMp, simNearDup, simLshBuckets, simPqCodes, embInt8Quantize)
 }
