@@ -130,6 +130,70 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** N-GRAM DECONTAMINATION — the benchmark-overlap check run before
+    * training: flag every TRAIN document that shares an 8-token shingle
+    * with ANY eval (test-split) document. This is the long-n-gram overlap
+    * test of GPT-3-style decontamination, expressed as an inverted-index
+    * semi-join: train shingles ⋈ distinct eval shingles on the md5 key —
+    * never a doc×doc product. Shingles with document frequency above 50
+    * are boilerplate and excluded BEFORE the join on both engines (no hot
+    * join key; standard practice — too-common n-grams carry no
+    * contamination signal). Output is every train doc with its matched-
+    * shingle count and a contaminated flag. */
+  val decontamNgram = sql(
+    "decontam_ngram",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+       |                  ${hexBucketSql("doc_id")} AS b
+       |           FROM documents),
+       |sp AS (SELECT doc_id, t,
+       |              CASE WHEN b < 52429 THEN 'train'
+       |                   WHEN b < 58982 THEN 'val'
+       |                   ELSE 'test' END AS split
+       |       FROM t),
+       |sh AS (SELECT DISTINCT doc_id, split,
+       |              unnest([md5(array_to_string(t[i:i+7], ' '))
+       |                      for i in range(1, len(t) - 6)]) AS sh
+       |       FROM sp WHERE len(t) >= 8),
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |shc AS (SELECT s.doc_id, s.split, s.sh FROM sh s JOIN df USING (sh)
+       |        WHERE df.df <= 50),
+       |ev AS (SELECT DISTINCT sh FROM shc WHERE split = 'test'),
+       |hits AS (SELECT s.doc_id, count(*) AS n_hits
+       |         FROM shc s JOIN ev USING (sh)
+       |         WHERE s.split = 'train'
+       |         GROUP BY s.doc_id)
+       |SELECT p.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       |       coalesce(h.n_hits, 0) > 0 AS contaminated
+       |FROM sp p LEFT JOIN hits h ON p.doc_id = h.doc_id
+       |WHERE p.split = 'train'
+       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    val b = hexBucketCol(col("doc_id"))
+    val sp = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+          .as("split"))
+    // tokenize once, slide an 8-token window, hash each shingle
+    val sh = sp.filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 8), i -> md5(concat_ws(' ', slice(t, i + 1, 8))))")))
+          .as("sh"))
+      .cache() // read three ways: df cap, eval side, train side
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50).select("sh")
+    val shc = sh.join(hot, Seq("sh"), "left_anti")
+    val ev = shc.filter(col("split") === "test").select("sh").distinct()
+    val hits = shc.filter(col("split") === "train")
+      .join(ev, "sh") // inverted-index semi-shape: key is the shingle hash
+      .groupBy("doc_id").agg(count(lit(1)).as("h"))
+    sp.filter(col("split") === "train")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** LEAKAGE-SAFE split: membership is decided by the hash of the near-dup
     * CLUSTER id, not the doc id — every member of a duplicate cluster lands
     * in the same split, so paraphrases/near-copies of training documents
@@ -154,5 +218,6 @@ object Sampling {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    sampleHash, sampleStratified, splitAssign, splitLeakageSafe, packSequences)
+    sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
+    decontamNgram, packSequences)
 }

@@ -553,6 +553,33 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  /** Corpus composition report — the per-(source, language) mixture table
+    * every data pipeline publishes before training: doc counts, token and
+    * byte volumes, and each cell's fraction of the corpus. One partial-
+    * aggregable groupBy plus a broadcast scalar total (no global window);
+    * the byte count is octet length (binary cast) so multi-byte text
+    * reports true storage volume. */
+  val corpusMix = sql(
+    "corpus_mix",
+    """SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens,
+      |       CAST(sum(strlen(text)) AS BIGINT) AS tot_bytes,
+      |       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 4) AS doc_frac
+      |FROM documents GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val total = docs.agg(count(lit(1)).as("tot"))
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("tot_tokens"),
+        sum(length(col("text").cast("binary"))).as("tot_bytes"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("tot_tokens"),
+        col("tot_bytes"),
+        round(col("n_docs") * lit(1.0) / col("tot"), 4).as("doc_frac"))
+      .orderBy("source", "lang")
+  }
+
   /** Unified MULTI-SIGNAL dedup — the composition a production pipeline
     * actually runs: near-dup edges from three independent detectors
     * (MinHash-LSH n-gram shingles, SimHash Hamming blocks, embedding-cosine
@@ -825,5 +852,5 @@ object TextOps {
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
     textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats,
-    textRepetition)
+    textRepetition, corpusMix)
 }
