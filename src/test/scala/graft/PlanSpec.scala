@@ -123,6 +123,20 @@ class PlanSpec extends AnyFunSuite {
       s"the tiny lang-count table must broadcast:\n$plan")
   }
 
+  test("sim_ivf_topk_mp: multi-probe top-k is TakeOrderedAndProject with broadcast cell list") {
+    val plan = executedPlan("sim_ivf_topk_mp")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "multi-probe top-k should be a partial per-partition top-k merge")
+    assert(plan.contains("BroadcastExchange"),
+      "the 3-row probed-cell list must broadcast, not shuffle the corpus")
+  }
+
+  test("decontam_ngram: shingle overlap is an equi-join on the hash key, never cartesian") {
+    val plan = executedPlan("decontam_ngram")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay an inverted-index equi-join:\n$plan")
+  }
+
   test("a2_histogram avoids unpartitioned window (no single-partition sort)") {
     val df = SparkEntry.queries("a2_histogram")(spark, sf)
     df.collect()
