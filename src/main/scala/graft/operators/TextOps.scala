@@ -553,6 +553,39 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  /** Unigram LM quality score — mean surprisal −ln p(tok) under the
+    * corpus unigram MLE, the cheap language-model quality proxy used to
+    * rank/filter documents before training (gibberish and boilerplate
+    * score high/low respectively). Scale shape: vocabulary aggregate +
+    * token⋈vocab equi-join (AQE broadcasts the vocab when it's small; at
+    * 100 TB it's a standard shuffled equi-join), broadcast scalar token
+    * total, partial-aggregable per-doc mean. Float policy: identical
+    * `cnt/tot` rationals feed each engine's ln (agreement demonstrated by
+    * the hash-green `text_tfidf`), and the per-doc mean is rounded 4 dp to
+    * absorb accumulation order. */
+  val textUnigramLogprob = sql(
+    "text_unigram_logprob",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |tot AS (SELECT count(*) AS tot FROM toks)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(sum(-ln(cnt * 1.0 / tot)) / count(*), 4) AS avg_surprisal
+      |FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("tot"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(-log(col("cnt") * lit(1.0) / col("tot"))) / count(lit(1)), 4)
+          .as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus composition report — the per-(source, language) mixture table
     * every data pipeline publishes before training: doc counts, token and
     * byte volumes, and each cell's fraction of the corpus. One partial-
@@ -852,5 +885,5 @@ object TextOps {
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
     textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats,
-    textRepetition, corpusMix)
+    textRepetition, corpusMix, textUnigramLogprob)
 }
