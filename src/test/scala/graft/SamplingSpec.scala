@@ -41,6 +41,59 @@ class SamplingSpec extends AnyFunSuite {
       "fixture corpus should contain non-trivial clusters")
   }
 
+  test("sample_stratified: overrepresented languages capped, small ones pass whole") {
+    val docs = Tables.documents(spark, sf)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = SparkEntry.queries("sample_stratified")(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en is ~44% of the corpus (218/500): must be downsampled toward ~100
+    assert(after("en") < before("en"), s"en not downsampled: $after vs $before")
+    assert(after("en") > 60 && after("en") < 140,
+      s"en should land near the 100-doc cap, got ${after("en")}")
+    // languages under the cap keep EVERY doc (threshold saturates at 65536)
+    before.filter(_._2 <= 100).keys.foreach { l =>
+      assert(after(l) == before(l), s"$l under the cap must pass whole")
+    }
+    // determinism: membership survives re-runs
+    val a = SparkEntry.queries("sample_stratified")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val b = SparkEntry.queries("sample_stratified")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("decontam_ngram: planted 8-gram overlap across the split boundary is flagged") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // find one doc id the hash assigns to 'test' and one to 'train'
+    // (same thresholds as split_assign: bucket < 52429 → train, >= 58982 → test)
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(md.substring(0, 4), 16)
+    }
+    val trainId = (0L to 500L).find(bucket(_) < 52429).get
+    val testId = (0L to 500L).find(bucket(_) >= 58982).get
+    val cleanId = (0L to 500L).filter(bucket(_) < 52429).find(_ != trainId).get
+    val overlap = (1 to 8).map(i => s"shared$i").mkString(" ") // one 8-gram
+    val dir = Files.createTempDirectory("decontam-docs").toString
+    Seq(
+      trainId -> s"$overlap plus unrelated trailing text here",
+      testId -> s"completely different prefix then $overlap",
+      cleanId -> (1 to 12).map(i => s"clean$i").mkString(" "))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("decontam_ngram")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(trainId), "train doc sharing an 8-gram with the eval split must be flagged")
+    assert(!got(cleanId), "train doc with no eval overlap must stay clean")
+    assert(!got.contains(testId), "eval docs are not part of the report")
+  }
+
   test("pack_sequences: token budget holds — a sequence overflows only via its last doc") {
     import org.apache.spark.sql.expressions.Window
     val out = SparkEntry.queries("pack_sequences")(spark, sf).cache()
