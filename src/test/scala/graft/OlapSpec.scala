@@ -9,6 +9,17 @@ class OlapSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Tables.localSession("olap-spec", cores = 8)
   val sf = "/root/testdata/sf0.01"
 
+  test("approx_percentile sketch within 5% of exact — the 100 TB percentile path") {
+    val c = graft.core.Tables.customer(spark, sf)
+    val r = c.agg(
+      org.apache.spark.sql.functions.expr("percentile(c_acctbal, 0.5)").as("exact"),
+      org.apache.spark.sql.functions.expr("approx_percentile(c_acctbal, 0.5, 1000)").as("approx"))
+      .collect().head
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / math.abs(exact) < 0.05,
+      s"approx p50 $approx too far from exact $exact")
+  }
+
   test("approx_count_distinct (HLL++) within 5% of exact — the 100 TB distinct path") {
     val r = Tables.lineitem(spark, sf).agg(
       countDistinct(col("l_partkey")).as("exact"),

@@ -139,6 +139,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.toSeq == Seq("alpha", "alpha", "bump"))
   }
 
+  test("sessionize: streaming operator agrees with the batch gaps-and-islands twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // batch truth: olap_sessionize's per-event session ids → per-session spans
+    val batchSessions = SparkEntry.queries("olap_sessionize")(spark, sf)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min("t_us").as("s"), max("t_us").as("e"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4).toInt))
+      .toSet
+    // streaming: same events through the stateful operator; two sentinel
+    // batches from a synthetic user push the watermark past every real
+    // user's last+gap so ALL sessions flush (gap-close or idle-timeout)
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"))
+      .collect().map(r => Jobs.Event(r.getLong(0), r.getLong(1), 0.0))
+    val maxTs = events.map(_.tsMicros).max
+    val mem = MemoryStream[Jobs.Event]
+    val q = Jobs.sessionize(mem.toDS()).writeStream.format("memory")
+      .queryName("sess_parity").outputMode("append").start()
+    mem.addData(events.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(Jobs.Event(-1L, maxTs + 100L * 60 * 1000000, 0.0))
+    q.processAllAvailable()
+    mem.addData(Jobs.Event(-1L, maxTs + 101L * 60 * 1000000, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_parity").as[Jobs.SessionOut].collect()
+      .filter(_.userId >= 0)
+      .map(s => (s.userId, s.start, s.end, s.n)).toSet
+    assert(streamed == batchSessions,
+      s"batch-only: ${(batchSessions -- streamed).take(3)}; stream-only: ${(streamed -- batchSessions).take(3)}")
+  }
+
   test("kafka production wiring: source/sink/job builders carry the full config") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
