@@ -289,7 +289,103 @@ object Olap {
       .orderBy("user_id", "t_us")
   }
 
+  /** RANGE-frame rolling window: per-customer 7-day rolling revenue via
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the integer day key —
+    * the value-based frame class (rowsBetween is used elsewhere; range
+    * frames bound by the ORDER BY value are their own windowing semantics).
+    * Revenue is exact integer cents (per-row round before summing — the
+    * ml_features rule), so every sum is engine-exact with no float policy
+    * needed. Partitioned by customer: parallel, no global window. */
+  val rollingWindow = sql(
+    "olap_rolling_window",
+    """WITH d AS (SELECT o_custkey,
+      |                  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |           FROM orders),
+      |g AS (SELECT o_custkey, day, CAST(sum(cents) AS BIGINT) AS day_cents
+      |      FROM d GROUP BY o_custkey, day)
+      |SELECT o_custkey, day, day_cents,
+      |       CAST(sum(day_cents) OVER (PARTITION BY o_custkey ORDER BY day
+      |            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_cents
+      |FROM g ORDER BY o_custkey, day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+    val g = Tables.orders(s, d)
+      .select(col("o_custkey"), day.as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey", "day").agg(sum("cents").as("day_cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    g.select(col("o_custkey"), col("day"), col("day_cents"),
+      sum("day_cents").over(w).as("roll7_cents"))
+      .orderBy("o_custkey", "day")
+  }
+
+  /** RANGE JOIN, decomposed to scale: orders matched to 25 nation-keyed
+    * 14-day promo windows. The naive `day BETWEEN start AND end` theta-join
+    * is a BroadcastNestedLoopJoin (every fact row probes every interval);
+    * instead the INTERVAL side explodes into its member days (|dim|·len
+    * tiny rows, broadcast) and the fact joins on the day EQUI-key — linear
+    * in facts, never a nested-loop. This is the standard bucketed interval
+    * decomposition (coarser buckets for longer intervals at scale). */
+  val rangeJoin = sql(
+    "olap_range_join",
+    """WITH win AS (SELECT n_nationkey,
+      |                    9131 + n_nationkey * 90 AS start_day
+      |             FROM nation),
+      |days AS (SELECT n_nationkey,
+      |                unnest(generate_series(start_day, start_day + 13)) AS day
+      |         FROM win),
+      |o AS (SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |      FROM orders)
+      |SELECT d.n_nationkey, count(*) AS n_orders,
+      |       CAST(sum(o.cents) AS BIGINT) AS rev_cents
+      |FROM days d JOIN o ON o.day = d.day
+      |GROUP BY d.n_nationkey ORDER BY d.n_nationkey""".stripMargin) { (s, dd) =>
+    val days = Tables.nation(s, dd)
+      .select(col("n_nationkey"),
+        (lit(9131) + col("n_nationkey").cast("int") * 90).as("start_day"))
+      .select(col("n_nationkey"),
+        explode(sequence(col("start_day"), col("start_day") + 13)).as("day"))
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+    val o = Tables.orders(s, dd).select(day.as("day"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.join(broadcast(days), "day")
+      .groupBy("n_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Time-series RESAMPLE with gap fill: per-type daily event counts with
+    * missing days zero-filled between each type's first and last day — the
+    * regularization step before any rolling/windowed time-series math.
+    * The day grid is GENERATED from the tiny per-key bounds aggregate
+    * (keys × span rows), never shuffled out of the fact table; the fill is
+    * a left join of grid onto aggregated counts. Day bucketing goes through
+    * µs truncation identically on both engines (TIMESTAMP_NS discipline). */
+  val resample = sql(
+    "olap_resample",
+    """WITH e AS (SELECT event_type,
+      |                  epoch_us(ts) // 86400000000 AS day
+      |           FROM events),
+      |g AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY event_type, day),
+      |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM g GROUP BY event_type),
+      |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM b)
+      |SELECT f.event_type, f.day, coalesce(g.n, 0) AS n
+      |FROM grid f LEFT JOIN g ON f.event_type = g.event_type AND f.day = g.day
+      |ORDER BY f.event_type, f.day""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+    val g = e.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val grid = g.groupBy("event_type").agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    grid.join(g, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
-    groupingSets, windowFamily, percentiles, dateOps, sessionize)
+    groupingSets, windowFamily, percentiles, dateOps, sessionize,
+    rollingWindow, rangeJoin, resample)
 }

@@ -137,6 +137,13 @@ class PlanSpec extends AnyFunSuite {
       s"decontamination must stay an inverted-index equi-join:\n$plan")
   }
 
+  test("olap_range_join: interval decomposition keeps it an equi-join (no nested loop over intervals)") {
+    val plan = executedPlan("olap_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must decompose to a day equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "exploded interval days must broadcast")
+  }
+
   test("a2_histogram avoids unpartitioned window (no single-partition sort)") {
     val df = SparkEntry.queries("a2_histogram")(spark, sf)
     df.collect()
