@@ -179,6 +179,45 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** J6 (beyond ref): SKEW-SALTED shuffle join — the explicit remedy when a
+    * shuffle join key has a few mega-groups and the dimension is too large
+    * to broadcast (AQE's skew join SPLITS oversized partitions reactively;
+    * salting prevents them by construction — the production belt+braces).
+    * The fact side derives `salt = pmod(xxhash64(row keys), 8)`; the dim
+    * side replicates each row ×8 with every salt; the join key widens from
+    * 5 hot values to 40 evenly-spread composites, and each fact row still
+    * matches exactly one dim copy. The shuffle_hash hint pins the shuffled
+    * path (at demo scale the 40-row dim would otherwise broadcast and hide
+    * the skew story). The ORACLE runs the plain UNSALTED join — proof the
+    * rewrite preserves semantics exactly. */
+  val j6Salted = sql(
+    "j6_salted_join",
+    """WITH f AS (SELECT l_orderkey % 5 AS hot, l_quantity FROM lineitem),
+      |dim AS (SELECT o_orderkey % 5 AS hot,
+      |               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS grp_cents
+      |        FROM orders GROUP BY 1)
+      |SELECT f.hot, count(*) AS n_li,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |       max(dim.grp_cents) AS grp_cents
+      |FROM f JOIN dim ON f.hot = dim.hot
+      |GROUP BY f.hot ORDER BY f.hot""".stripMargin) { (s, d) =>
+    val Salts = 8L
+    val f = Tables.lineitem(s, d).select(
+      (col("l_orderkey") % 5).as("hot"), col("l_quantity"),
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salts)).as("salt"))
+    val dim = Tables.orders(s, d)
+      .groupBy((col("o_orderkey") % 5).as("hot"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("grp_cents"))
+      .select(col("hot"), col("grp_cents"),
+        explode(sequence(lit(0L), lit(Salts - 1))).as("salt"))
+    f.join(dim.hint("shuffle_hash"), Seq("hot", "salt"))
+      .groupBy("hot")
+      .agg(count(lit(1)).as("n_li"),
+        sum("l_quantity").cast("long").as("sum_qty"),
+        max("grp_cents").as("grp_cents"))
+      .orderBy("hot")
+  }
+
   // ---------------------------------------------------------------- A-family
 
   /** A1: exact group-by median (dl_k_to_ss.py:67-69 — pandas
@@ -407,7 +446,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     p1Project, p2CsvRoundtrip, p6ElementAt, p8Filter, pJsonParse,
-    j1LookupJoin, j2NearestCentroid, j4Semi, j5Anti,
+    j1LookupJoin, j2NearestCentroid, j4Semi, j5Anti, j6Salted,
     a1Median, a2Histogram, a3Argmax, a6GlobalMean, a7Metrics,
     q1Agg, q3RevenueByNation,
     t1TopK, t2MaxBy, w1Running,

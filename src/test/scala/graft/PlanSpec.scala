@@ -144,6 +144,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "exploded interval days must broadcast")
   }
 
+  test("j6_salted_join: join key carries the salt and the shuffled path is pinned") {
+    val df = SparkEntry.queries("j6_salted_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salting demonstrates the SHUFFLED join; broadcast would hide it:\n$plan")
+    assert(plan.contains("salt"), "join key must include the salt column")
+  }
+
   test("a2_histogram avoids unpartitioned window (no single-partition sort)") {
     val df = SparkEntry.queries("a2_histogram")(spark, sf)
     df.collect()
