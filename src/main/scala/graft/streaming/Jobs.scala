@@ -215,6 +215,23 @@ object Jobs {
     docs.withColumn("h", md5(col(contentCol).cast("binary")))
       .dropDuplicates("h")
 
+  /** End-to-end streaming DOCUMENT INGEST — the streaming shape of the
+    * batch training-data pipeline: cheap stateless quality gate FIRST
+    * (length + alphabetic-ratio, so junk never reaches the state store),
+    * then watermark-bounded exact dedup, then the enrichment columns the
+    * batch operators key on (token count, content hash). Pure
+    * `DataFrame => DataFrame`: the same plan runs in batch or behind a
+    * Kafka source/sink. Input needs (`text`, event-time `ts`). */
+  def documentIngest(docs: DataFrame, minTokens: Int = 5,
+      delay: String = "10 minutes"): DataFrame = {
+    val toks = size(split(col("text"), " "))
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * 1.0 >=
+      length(col("text")) * 0.5
+    docs.filter(toks >= minTokens && alpha)
+      .transform(streamingDedup(_, "text", "ts", delay))
+      .withColumn("n_tokens", toks)
+  }
+
   /** Production Kafka wiring (S1/S2 sources, K1/K2 sinks;
     * ml_k_to_ss.py:63, dl_k_to_ss.py:429). The transforms above are pure
     * `DataFrame => DataFrame`, so production is exactly: kafka source →

@@ -173,6 +173,27 @@ class StreamingSpec extends AnyFunSuite {
       s"batch-only: ${(batchSessions -- streamed).take(3)}; stream-only: ${(streamed -- batchSessions).take(3)}")
   }
 
+  test("streaming document ingest: quality gate before dedup, enrichment after") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L
+    val mem = MemoryStream[(Long, String, Long)]
+    val shaped = mem.toDF().toDF("id", "text", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val q = Jobs.documentIngest(shaped).writeStream.format("memory")
+      .queryName("ingest").outputMode("append").start()
+    mem.addData(
+      (1L, "a clean document with enough tokens here", t0),
+      (2L, "too short", t0),                                  // gated: < 5 tokens
+      (3L, "1234 5678 9012 3456 7890 1111", t0),              // gated: not alphabetic
+      (4L, "a clean document with enough tokens here", t0))   // dup of 1 → dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ingest").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    assert(rows.head.getAs[Int]("n_tokens") == 7)
+  }
+
   test("kafka production wiring: source/sink/job builders carry the full config") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
