@@ -83,7 +83,11 @@ object Bench {
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
 
-    def jarr(ts: List[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: a comma-decimal default locale would render 1.234 as
+    // "1,234" and silently corrupt the JSON array
+    def jarr(ts: List[Double]) = ts
+      .map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+      .mkString("[", ",", "]")
     def jstr(s: String) =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -30,6 +30,13 @@ object Multimodal {
   final case class MetaFeatOut(id: Long, width: Int, height: Int, nBytes: Long,
       format: String, dim: Int, features: Array[Float])
 
+  /** Decoded-image metadata row (shared by the standalone and fused passes
+    * — the format literal and null-content byte count live in ONE place, so
+    * swapping the stub codec for a real one can't desynchronize them). */
+  private def metaOf(id: Long, img: Image, content: Array[Byte]): MetaOut =
+    MetaOut(id, img.w, img.h,
+      if (content == null) 0L else content.length.toLong, "stub-rgb")
+
   /** Mean-pooled pixel statistics → fixed-dim embedding (the deterministic
     * stub feature map; shared by the standalone and fused passes). */
   private def featuresOf(img: Image, dim: Int): Array[Float] = {
@@ -51,9 +58,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       val decoder = StubDecoder // per-partition codec init seam
       rows.flatMap { r =>
-        decoder.decode(r.content).map(img =>
-          MetaOut(r.id, img.w, img.h,
-            if (r.content == null) 0L else r.content.length.toLong, "stub-rgb"))
+        decoder.decode(r.content).map(img => metaOf(r.id, img, r.content))
       }
     }
   }
@@ -81,10 +86,11 @@ object Multimodal {
     media.mapPartitions { rows =>
       val decoder = StubDecoder // per-partition codec init seam
       rows.flatMap { r =>
-        decoder.decode(r.content).map(img =>
-          MetaFeatOut(r.id, img.w, img.h,
-            if (r.content == null) 0L else r.content.length.toLong, "stub-rgb",
-            dim, featuresOf(img, dim)))
+        decoder.decode(r.content).map { img =>
+          val m = metaOf(r.id, img, r.content)
+          MetaFeatOut(m.id, m.width, m.height, m.nBytes, m.format,
+            dim, featuresOf(img, dim))
+        }
       }
     }
   }
@@ -178,7 +184,8 @@ object Multimodal {
 
   /** Frame sampling as an oracle-checked query: `sampleFrames`' offset
     * arithmetic (n = max(1, bytes/16) stub frames, k = 3 evenly spaced,
-    * idx = i·n/k, 16-byte slice at idx·16) replayed in DuckDB via substr.
+    * idx = i·n/k, 16-byte slice at idx·16) replayed in DuckDB via substr;
+    * empty payloads emit no frames on either side.
     * The documents corpus is pure ASCII (verified: strlen = length at every
     * sf), so byte offsets and character offsets coincide and the sliced
     * frame compares as a string. Narrow flatMap — no shuffle. */
@@ -186,7 +193,8 @@ object Multimodal {
     "mm_frame_sample",
     """WITH f AS (SELECT doc_id AS id, text,
       |                  greatest(1, strlen(text) // 16) AS n
-      |           FROM documents),
+      |           FROM documents
+      |           WHERE strlen(text) > 0),
       |idx AS (SELECT id, text, CAST(i * n // 3 AS INT) AS frame_idx
       |        FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS i))
       |SELECT id, frame_idx,

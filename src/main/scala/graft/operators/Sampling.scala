@@ -31,6 +31,12 @@ object Sampling {
   private def hexBucketCol(key: org.apache.spark.sql.Column) =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
 
+  /** 8/1/1 split boundaries over the 65536-bucket space — the SINGLE source
+    * for split_assign, split_leakage_safe, and decontam_ngram (both engine
+    * sides); rebalancing the split is a one-place edit. */
+  val TrainThr = 52429 // 0.8 * 65536
+  val ValThr = 58982 // 0.9 * 65536
+
   /** Deterministic ~10% Bernoulli sample: keep iff hash-bucket < 6554
     * (6554/65536 ≈ 0.1). Reproducible under retries, re-partitioning and
     * engine swaps; no shuffle (narrow filter). */
@@ -86,14 +92,14 @@ object Sampling {
   val splitAssign = sql(
     "split_assign",
     s"""SELECT doc_id,
-       |       CASE WHEN ${hexBucketSql("doc_id")} < 52429 THEN 'train'
-       |            WHEN ${hexBucketSql("doc_id")} < 58982 THEN 'val'
+       |       CASE WHEN ${hexBucketSql("doc_id")} < $TrainThr THEN 'train'
+       |            WHEN ${hexBucketSql("doc_id")} < $ValThr THEN 'val'
        |            ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     val b = hexBucketCol(col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+        when(b < TrainThr, "train").when(b < ValThr, "val").otherwise("test")
           .as("split"))
       .orderBy("doc_id")
   }
@@ -146,8 +152,8 @@ object Sampling {
        |                  ${hexBucketSql("doc_id")} AS b
        |           FROM documents),
        |sp AS (SELECT doc_id, t,
-       |              CASE WHEN b < 52429 THEN 'train'
-       |                   WHEN b < 58982 THEN 'val'
+       |              CASE WHEN b < $TrainThr THEN 'train'
+       |                   WHEN b < $ValThr THEN 'val'
        |                   ELSE 'test' END AS split
        |       FROM t),
        |sh AS (SELECT DISTINCT doc_id, split,
@@ -170,7 +176,7 @@ object Sampling {
     val b = hexBucketCol(col("doc_id"))
     val sp = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"),
-        when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+        when(b < TrainThr, "train").when(b < ValThr, "val").otherwise("test")
           .as("split"))
     // tokenize once, slide an 8-token window, hash each shingle
     val sh = sp.filter(size(col("t")) >= 8)
@@ -205,14 +211,14 @@ object Sampling {
     "split_leakage_safe",
     s"""WITH RECURSIVE ${TextOps.clusterLabelsSqlCte}
        |SELECT doc_id, root AS cluster,
-       |       CASE WHEN ${hexBucketSql("root")} < 52429 THEN 'train'
-       |            WHEN ${hexBucketSql("root")} < 58982 THEN 'val'
+       |       CASE WHEN ${hexBucketSql("root")} < $TrainThr THEN 'train'
+       |            WHEN ${hexBucketSql("root")} < $ValThr THEN 'val'
        |            ELSE 'test' END AS split
        |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
     val b = hexBucketCol(col("cluster"))
     TextOps.clusterLabels(s, d)
       .select(col("doc_id"), col("cluster"),
-        when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+        when(b < TrainThr, "train").when(b < ValThr, "val").otherwise("test")
           .as("split"))
       .orderBy("doc_id")
   }

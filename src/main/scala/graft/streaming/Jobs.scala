@@ -131,7 +131,14 @@ object Jobs {
                   closed += SessionOut(userId, st.start, st.last, st.n, st.total)
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
                 case Some(st) =>
-                  cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, total = st.total + e.value))
+                  // min/max merge, not assignment: a LATE event (older than
+                  // the stored bounds but inside the watermark delay) must
+                  // never move `last` backward — that would make later gap
+                  // checks measure from the wrong timestamp and break parity
+                  // with the batch twin
+                  cur = Some(SessionState(
+                    math.min(st.start, e.tsMicros), math.max(st.last, e.tsMicros),
+                    st.n + 1, st.total + e.value))
                 case None =>
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
               }

@@ -150,7 +150,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"),
       s"salting demonstrates the SHUFFLED join; broadcast would hide it:\n$plan")
-    assert(plan.contains("salt"), "join key must include the salt column")
+    // the JOIN NODE's key list must carry the salt — salt merely appearing
+    // in a projection elsewhere in the plan would not widen the shuffle key
+    val joinLine = plan.linesIterator.find(_.contains("ShuffledHashJoin")).get
+    assert(joinLine.contains("salt") && joinLine.contains("hot"),
+      s"join keys must be (hot, salt): $joinLine")
   }
 
   test("a2_histogram avoids unpartitioned window (no single-partition sort)") {

@@ -68,15 +68,15 @@ class SamplingSpec extends AnyFunSuite {
     import spark.implicits._
     import java.nio.file.Files
     // find one doc id the hash assigns to 'test' and one to 'train'
-    // (same thresholds as split_assign: bucket < 52429 → train, >= 58982 → test)
+    // (thresholds from the single source: graft.operators.Sampling)
     def bucket(id: Long): Int = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
       Integer.parseInt(md.substring(0, 4), 16)
     }
-    val trainId = (0L to 500L).find(bucket(_) < 52429).get
-    val testId = (0L to 500L).find(bucket(_) >= 58982).get
-    val cleanId = (0L to 500L).filter(bucket(_) < 52429).find(_ != trainId).get
+    val trainId = (0L to 500L).find(bucket(_) < graft.operators.Sampling.TrainThr).get
+    val testId = (0L to 500L).find(bucket(_) >= graft.operators.Sampling.ValThr).get
+    val cleanId = (0L to 500L).filter(bucket(_) < graft.operators.Sampling.TrainThr).find(_ != trainId).get
     val overlap = (1 to 8).map(i => s"shared$i").mkString(" ") // one 8-gram
     val dir = Files.createTempDirectory("decontam-docs").toString
     Seq(

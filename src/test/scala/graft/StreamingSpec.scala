@@ -173,6 +173,37 @@ class StreamingSpec extends AnyFunSuite {
       s"batch-only: ${(batchSessions -- streamed).take(3)}; stream-only: ${(streamed -- batchSessions).take(3)}")
   }
 
+  test("sessionize: late-but-within-watermark event merges without corrupting session bounds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val min = 60L * 1000000
+    val gap = 30L * 60 * 1000000
+    val t0 = 1700000000000000L
+    val mem = MemoryStream[Jobs.Event]
+    val q = Jobs.sessionize(mem.toDS()).writeStream.format("memory")
+      .queryName("sess_late").outputMode("append").start()
+    mem.addData(Jobs.Event(1, t0, 1.0), Jobs.Event(1, t0 + 20 * min, 2.0))
+    q.processAllAvailable() // state.last = t0+20min; watermark = t0+10min
+    // late event BEHIND the stored last but inside the watermark delay: it
+    // must merge (n,total) without moving `last` backward
+    mem.addData(Jobs.Event(1, t0 + 15 * min, 3.0))
+    q.processAllAvailable()
+    // 47min: gap from the TRUE last (20min) is 27min < 30min → same session;
+    // a backward-moving `last` (15min) would wrongly measure 32min and close
+    mem.addData(Jobs.Event(1, t0 + 47 * min, 4.0))
+    q.processAllAvailable()
+    // flush via watermark advance from another user
+    mem.addData(Jobs.Event(9, t0 + gap * 10, 0.0))
+    q.processAllAvailable()
+    mem.addData(Jobs.Event(9, t0 + gap * 10 + min, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sess_late").as[Jobs.SessionOut].collect().filter(_.userId == 1)
+    assert(u1.length == 1, s"late event must not split the session: ${u1.toSeq}")
+    assert(u1.head.n == 4 && u1.head.total == 10.0)
+    assert(u1.head.start == t0 && u1.head.end == t0 + 47 * min)
+  }
+
   test("streaming document ingest: quality gate before dedup, enrichment after") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
