@@ -234,5 +234,45 @@ object Multimodal {
       .orderBy("id")
   }
 
-  val defs: Seq[QueryDef] = Seq(mmImageFeatures, mmMediaMeta, mmFrameSample, mmImageResize)
+  /** Audio-shaped feature extraction, oracle-checked: treat the payload as
+    * PCM-ish samples (one byte per sample — the codec stub), frame it with
+    * the same evenly-spaced 16-byte windows as `sampleFrames`, and emit
+    * each frame's exact integer ENERGY Σ(sample−96)² — the per-frame
+    * energy/loudness contour every audio pipeline starts from (silence
+    * trimming, VAD, segment ranking). All integer arithmetic over ASCII
+    * code points, so DuckDB replays it exactly; narrow map, no shuffle. */
+  val mmAudioEnergy = sql(
+    "mm_audio_energy",
+    """WITH f AS (SELECT doc_id AS id, text,
+      |                  greatest(1, strlen(text) // 16) AS n
+      |           FROM documents
+      |           WHERE strlen(text) > 0),
+      |idx AS (SELECT id, text, CAST(i * n // 3 AS INT) AS frame_idx
+      |        FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+      |fr AS (SELECT id, frame_idx,
+      |              substr(text, frame_idx * 16 + 1, 16) AS frame
+      |       FROM idx)
+      |SELECT id, frame_idx,
+      |       CAST(list_sum([(ascii(substr(frame, i, 1)) - 96)
+      |                      * (ascii(substr(frame, i, 1)) - 96)
+      |                      for i in range(1, strlen(frame) + 1)]) AS BIGINT) AS energy
+      |FROM fr ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+    sampleFrames(media, k = 3).toDF()
+      .select(col("id"), col("frameIdx").as("frame_idx"),
+        col("frame").cast("string").as("f"))
+      .select(col("id"), col("frame_idx"),
+        expr("""aggregate(
+                 transform(sequence(1, length(f)),
+                   i -> CAST((ascii(substr(f, i, 1)) - 96)
+                             * (ascii(substr(f, i, 1)) - 96) AS BIGINT)),
+                 0L, (a, v) -> a + v)""").as("energy"))
+      .orderBy("id", "frame_idx")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    mmImageFeatures, mmMediaMeta, mmFrameSample, mmImageResize, mmAudioEnergy)
 }
