@@ -251,9 +251,13 @@ object TextOps {
         min(substring(col("h"), 1, 4)).as("mh0"),
         (1 until NumHashes).map(j =>
           min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
+    // unhex: the band value is only ever an equality key, so carry the
+    // 16-byte binary digest through the shuffle instead of the 32-char hex
+    // string — half the exchanged key width at corpus scale (the oracle is
+    // unaffected: pairs depend on equality classes, not key encoding)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until NumHashes / BandSize).map(b =>
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*))
+        unhex(md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))): _*))
         .as(Seq("band_idx", "v")))
       .cache() // read three ways: stats, pair join sides, star membership
     val bstat = bands.groupBy("band_idx", "v")
