@@ -178,11 +178,13 @@ object Sampling {
       .select(col("doc_id"), split(col("text"), " ").as("t"),
         when(b < TrainThr, "train").when(b < ValThr, "val").otherwise("test")
           .as("split"))
-    // tokenize once, slide an 8-token window, hash each shingle
+    // tokenize once, slide an 8-token window, hash each shingle; the hash
+    // is ONLY an equality key (never output), so carry the 16-byte binary
+    // digest through the joins instead of the 32-char hex string
     val sh = sp.filter(size(col("t")) >= 8)
       .select(col("doc_id"), col("split"),
         explode(array_distinct(expr(
-          "transform(sequence(0, size(t) - 8), i -> md5(concat_ws(' ', slice(t, i + 1, 8))))")))
+          "transform(sequence(0, size(t) - 8), i -> unhex(md5(concat_ws(' ', slice(t, i + 1, 8)))))")))
           .as("sh"))
       .cache() // read three ways: df cap, eval side, train side
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
