@@ -19,6 +19,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("registry integrity: query names are unique (toMap would silently drop a duplicate)") {
+    val names = SparkEntry.allDefs.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(names.size == SparkEntry.queries.size)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs and returns rows") {
       assert(fn(spark, sf).count() > 0, s"$name returned no rows")
