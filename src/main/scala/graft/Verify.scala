@@ -9,6 +9,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -54,6 +55,7 @@ object Verify {
     val rowsOnlyNames =
       (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     val selfJson = rowsOnlyNames.map { name =>
+      spark.catalog.clearCache() // same storage discipline as the dump loop
       val ok =
         try canon(SparkEntry.queries(name)(spark, sfDir)) ==
           canon(SparkEntry.queries(name)(spark, sfDir))

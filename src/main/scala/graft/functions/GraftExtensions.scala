@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("squared_distance"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "squared_distance"),
+      (exprs: Seq[Expression]) => SquaredDistance(exprs(0), exprs(1))))
     // declarative aggregate(zip_with(...)) dot-product folds → native
     // codegen'd DotProduct (bit-preserving; see NativeDotProductRule)
     ext.injectOptimizerRule(_ => graft.plans.NativeDotProductRule)

@@ -14,40 +14,55 @@ import graft.core.QueryDef.sql
 object Olap {
 
   /** ROLLUP over (returnflag, linestatus): subtotals + grand total.
-    * grouping_id() disambiguates NULL-as-subtotal from NULL data. */
+    * `grouping()` disambiguates a SUBTOTAL row's NULL from a genuine NULL
+    * data value (which renders "(null)") — coalesce alone would silently
+    * merge a null-keyed data group into the subtotal line. */
   val rollupAgg = sql(
     "olap_rollup",
-    """SELECT coalesce(l_returnflag, '(all)') AS rf,
-      |       coalesce(l_linestatus, '(all)') AS ls,
+    """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+      |            ELSE coalesce(l_returnflag, '(null)') END AS rf,
+      |       CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+      |            ELSE coalesce(l_linestatus, '(null)') END AS ls,
       |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"),
+        round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
       .select(
-        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
-        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        when(col("g_rf") === 1, "(all)")
+          .otherwise(coalesce(col("l_returnflag"), lit("(null)"))).as("rf"),
+        when(col("g_ls") === 1, "(all)")
+          .otherwise(coalesce(col("l_linestatus"), lit("(null)"))).as("ls"),
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")
   }
 
-  /** CUBE over (orderstatus, orderpriority). */
+  /** CUBE over (orderstatus, orderpriority); same `grouping()` rule as
+    * ROLLUP — subtotal NULLs render "(all)", data NULLs "(null)". */
   val cubeAgg = sql(
     "olap_cube",
-    """SELECT coalesce(o_orderstatus, '(all)') AS st,
-      |       coalesce(o_orderpriority, '(all)') AS pri,
+    """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+      |            ELSE coalesce(o_orderstatus, '(null)') END AS st,
+      |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+      |            ELSE coalesce(o_orderpriority, '(null)') END AS pri,
       |       count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY st, pri""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(grouping(col("o_orderstatus")).as("g_st"),
+        grouping(col("o_orderpriority")).as("g_pri"),
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
       .select(
-        coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
-        coalesce(col("o_orderpriority"), lit("(all)")).as("pri"),
+        when(col("g_st") === 1, "(all)")
+          .otherwise(coalesce(col("o_orderstatus"), lit("(null)"))).as("st"),
+        when(col("g_pri") === 1, "(all)")
+          .otherwise(coalesce(col("o_orderpriority"), lit("(null)"))).as("pri"),
         col("n"), col("total"))
       .orderBy("st", "pri")
   }
@@ -183,8 +198,10 @@ object Olap {
   /** GROUPING SETS with an explicit set list (distinct from rollup/cube). */
   val groupingSets = sql(
     "olap_grouping_sets",
-    """SELECT coalesce(l_returnflag, '(all)') AS rf,
-      |       coalesce(l_linestatus, '(all)') AS ls,
+    """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+      |            ELSE coalesce(l_returnflag, '(null)') END AS rf,
+      |       CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+      |            ELSE coalesce(l_linestatus, '(null)') END AS ls,
       |       count(*) AS n
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -192,8 +209,10 @@ object Olap {
     val li = Tables.lineitem(s, d)
     li.createOrReplaceTempView("lineitem")
     s.sql(
-      """SELECT coalesce(l_returnflag, '(all)') AS rf,
-        |       coalesce(l_linestatus, '(all)') AS ls,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+        |            ELSE coalesce(l_returnflag, '(null)') END AS rf,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+        |            ELSE coalesce(l_linestatus, '(null)') END AS ls,
         |       count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

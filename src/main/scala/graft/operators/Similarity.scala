@@ -276,31 +276,32 @@ object Similarity {
         round(col("n_probe_hits") / 10.0, 4).as("recall"))
   }
 
-  /** CTE `cos_pairs(da, db)` — the embedding-cosine near-dup edge set of
-    * `simNearDup`, reusable inside a larger WITH clause (consumed by the
-    * multi-signal dedup cluster oracle in TextOps). */
+  /** Near-dup cosine cutoff — single source for the pair query, its CTE,
+    * and (via `simNearDup.fn`) the multi-signal cluster edges. */
+  private[operators] val CosineNearDupThreshold = 0.35
+
+  /** CTE `cos_pairs(da, db, cosv)` — the embedding-cosine near-dup edge
+    * set, the ONE definition of the label-block join + threshold (used by
+    * `simNearDup`'s own oracle and by the multi-signal dedup cluster
+    * oracle in TextOps — they cannot drift apart). */
   private[operators] val cosinePairsSqlCte: String =
     s"""cn AS (SELECT vec_id, label, embedding,
        |              sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |       FROM embeddings),
-       |cos_pairs AS (SELECT a.vec_id AS da, b.vec_id AS db
+       |cos_pairs AS (SELECT a.vec_id AS da, b.vec_id AS db,
+       |                     ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosv
        |              FROM cn a JOIN cn b
        |                ON a.label = b.label AND a.vec_id < b.vec_id
-       |              WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)""".stripMargin
+       |              WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $CosineNearDupThreshold)""".stripMargin
 
   /** Embedding-cosine near-dup pairs, bucket-bounded: candidate pairs only
-    * within the same label cell (the IVF bucket), cosine >= 0.35. This is
-    * the within-bucket block join — linear in Σ bucket², not corpus². */
+    * within the same label cell (the IVF bucket). This is the
+    * within-bucket block join — linear in Σ bucket², not corpus². */
   val simNearDup = sql(
     "sim_neardup_pairs",
-    s"""WITH n AS (SELECT vec_id, label, embedding,
-       |                  sqrt(${dotSql("embedding", "embedding")}) AS nrm
-       |           FROM embeddings)
-       |SELECT a.vec_id AS da, b.vec_id AS db,
-       |       round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
-       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
-       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    s"""WITH $cosinePairsSqlCte
+       |SELECT da, db, round(cosv, 4) AS cos
+       |FROM cos_pairs ORDER BY da, db""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val n = emb.select(col("vec_id"), col("label"), col("embedding"),
       sqrt(dotCol("embedding", "embedding")).as("nrm"))
@@ -310,7 +311,7 @@ object Similarity {
       col("embedding").as("eb"), col("nrm").as("nb"))
     val cos = dotCol("ea", "eb") / (col("na") * col("nb"))
     a.join(b, Seq("label")).filter(col("da") < col("db"))
-      .filter(cos >= 0.35)
+      .filter(cos >= CosineNearDupThreshold)
       .select(col("da"), col("db"), round(cos, 4).as("cos"))
       .orderBy("da", "db")
   }

@@ -174,6 +174,22 @@ object TextOps {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.8
 
+  /** The ONE definition of the 8-window signature aggregation — SQL
+    * column list and Spark agg, consumed by both the signature query and
+    * the pairs/cluster family (they cannot fork). */
+  private val minhashSigSqlCols: String = (0 until NumHashes)
+    .map(j => s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j").mkString(",\n       ")
+
+  /** Spark side of `sig(doc_id, mh0..mh7)`. */
+  private def minhashSig(s: org.apache.spark.sql.SparkSession, d: String) =
+    shingles(s, d)
+      .withColumn("h", md5(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(substring(col("h"), 1, 4)).as("mh0"),
+        (1 until NumHashes).map(j =>
+          min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
+
   /** MinHash signatures: one md5 per shingle, sliced into 8 disjoint 4-hex
     * (16-bit) windows — md5 bits are independent, so the windows act as 8
     * independent hash permutations at 1/8 the hashing cost. mh_j is the
@@ -181,24 +197,15 @@ object TextOps {
     * md5 over consecutive signature pairs. */
   val dedupMinhashSig = sql(
     "dedup_minhash_sig", {
-      val mhs = (0 until NumHashes)
-        .map(j => s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j").mkString(",\n       ")
       val bands = (0 until NumHashes / BandSize)
         .map(b => s"md5(mh${2 * b} || mh${2 * b + 1}) AS band$b").mkString(", ")
       s"""WITH $shinglesSql,
-         |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id)
+         |sig AS (SELECT doc_id, $minhashSigSqlCols FROM sh GROUP BY doc_id)
          |SELECT doc_id, $bands FROM sig ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val sig = shingles(s, d)
-      .withColumn("h", md5(col("sh")))
-      .groupBy("doc_id")
-      .agg(
-        min(substring(col("h"), 1, 4)).as("mh0"),
-        (1 until NumHashes).map(j =>
-          min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
     val bandCols = (0 until NumHashes / BandSize).map(b =>
       md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as(s"band$b"))
-    sig.select(col("doc_id") +: bandCols: _*).orderBy("doc_id")
+    minhashSig(s, d).select(col("doc_id") +: bandCols: _*).orderBy("doc_id")
   }
 
   /** LSH bucket-size cap: a band bucket with B members yields B(B−1)/2
@@ -215,13 +222,11 @@ object TextOps {
     * candidate pairs with the bucket-size cap (shared by the pair query
     * and the cluster/split queries). */
   private val minhashPairsSqlCte: String = {
-    val mhs = (0 until NumHashes)
-      .map(j => s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j").mkString(",\n       ")
     val bandRows = (0 until NumHashes / BandSize)
       .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS v FROM sig")
       .mkString("\n  UNION ALL ")
     s"""$shinglesSql,
-       |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $minhashSigSqlCols FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandRows
        |),
@@ -244,13 +249,7 @@ object TextOps {
     * size stats → all-pairs for small buckets, star edges for oversized
     * ones → distinct pairs. */
   private def minhashBandPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sig = shingles(s, d)
-      .withColumn("h", md5(col("sh")))
-      .groupBy("doc_id")
-      .agg(
-        min(substring(col("h"), 1, 4)).as("mh0"),
-        (1 until NumHashes).map(j =>
-          min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
+    val sig = minhashSig(s, d)
     // unhex: the band value is only ever an equality key, so carry the
     // 16-byte binary digest through the shuffle instead of the 32-char hex
     // string — half the exchanged key width at corpus scale (the oracle is
@@ -333,10 +332,11 @@ object TextOps {
     val labeled =
       if (nEdges <= SmallGraphEdgeLimit) {
         // FAST PATH: the pair graph is a bounded driver-side structure
-        // (≤ ~16 MB of longs). Union-find with min-root + path compression
-        // beats dragging Spark's per-job overhead through diameter rounds.
-        // The collect is NOT a corpus collect — only the near-dup PAIRS,
-        // whose count the LSH banding already made linear-in-dups.
+        // (tens of MB transient at the 1M-edge cap — boxed long pairs, not
+        // the raw 16 MB of primitives). Union-find with min-root + path
+        // compression beats dragging Spark's per-job overhead through
+        // diameter rounds. The collect is NOT a corpus collect — only the
+        // near-dup PAIRS, whose count the LSH banding made linear-in-dups.
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -405,7 +405,7 @@ object TextOps {
     val edges = mp.select(col("da").as("u"), col("db").as("v"))
       .unionAll(mp.select(col("db").as("u"), col("da").as("v")))
       .cache()
-    val verts = edges.select(col("u").as("doc_id")).distinct().cache()
+    val verts = edges.select(col("u").as("doc_id")).distinct() // read once
     var labels = verts.select(col("doc_id"), col("doc_id").as("cluster"))
     var changed = 1L
     var rounds = 0
@@ -482,6 +482,25 @@ object TextOps {
   }
   private val simhashSigSql: String = simhashSigSqlWith("")
 
+  /** The ONE definition of the SimHash block-LSH candidate-pair join — a
+    * prefixable CTE chain ending in `<p>pairs(da, sa, db, sb)` already
+    * filtered to Hamming distance <= 1 (consumed by the pair query and the
+    * multi-signal cluster oracle; the join shape cannot fork). */
+  private def simhashPairsSqlWith(p: String): String = {
+    val blockRows = (0 until SimhashBlocks)
+      .map(b => s"SELECT doc_id, simhash, $b AS bi, (simhash >> ${BlockBits * b}) & $BlockMask AS bv FROM ${p}sig")
+      .mkString("\n  UNION ALL ")
+    s"""${simhashSigSqlWith(p)},
+       |${p}blocks AS (
+       |  $blockRows
+       |),
+       |${p}pairs AS (SELECT DISTINCT a.doc_id AS da, a.simhash AS sa,
+       |                              b.doc_id AS db, b.simhash AS sb
+       |              FROM ${p}blocks a JOIN ${p}blocks b
+       |                ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |              WHERE bit_count(xor(a.simhash, b.simhash)) <= 1)""".stripMargin
+  }
+
   /** Spark side of `sig(doc_id, simhash)`: one native `simhash_agg`
     * aggregate (graft.functions.SimhashAgg) instead of 60 sum(CASE)
     * columns — identical exact integer math, but a tight primitive buffer
@@ -521,24 +540,12 @@ object TextOps {
     * Verification uses the native codegen'd `hamming_distance` Catalyst
     * expression (graft.functions.HammingDistance) — not a Scala UDF. */
   val dedupSimhashPairs = sql(
-    "dedup_simhash_pairs", {
-      val blockRows = (0 until SimhashBlocks)
-        .map(b => s"SELECT doc_id, simhash, $b AS bi, (simhash >> ${BlockBits * b}) & $BlockMask AS bv FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH $simhashSigSql,
-         |blocks AS (
-         |  $blockRows
-         |),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, a.simhash AS sa,
-         |                         b.doc_id AS db, b.simhash AS sb
-         |         FROM blocks a JOIN blocks b
-         |           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT da, db,
-         |       bit_count(xor(sa, sb)) AS dist
-         |FROM cand
-         |WHERE bit_count(xor(sa, sb)) <= 1
-         |ORDER BY da, db""".stripMargin
-    }) { (s, d) =>
+    "dedup_simhash_pairs",
+    s"""WITH ${simhashPairsSqlWith("")}
+       |SELECT da, db,
+       |       bit_count(xor(sa, sb)) AS dist
+       |FROM pairs
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
     import graft.functions.HammingDistance.hamming_distance
     val sig = simhashSig(s, d)
     val blocks = sig.select(col("doc_id"), col("simhash"),
@@ -631,20 +638,10 @@ object TextOps {
     * three times. Oracle: the same recursive min-reachable-id CTE as
     * `dedup_clusters`, over the unioned edge set. */
   val dedupClustersMulti = sql(
-    "dedup_clusters_multi", {
-      val sxBlocks = (0 until SimhashBlocks)
-        .map(b => s"SELECT doc_id, simhash, $b AS bi, (simhash >> ${BlockBits * b}) & $BlockMask AS bv FROM sx_sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH RECURSIVE $minhashPairsSqlCte,
-         |${simhashSigSqlWith("sx_")},
-         |sx_blocks AS (
-         |  $sxBlocks
-         |),
-         |sx_pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |             FROM sx_blocks a JOIN sx_blocks b
-         |               ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |             WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
-         |${Similarity.cosinePairsSqlCte},
+    "dedup_clusters_multi",
+    s"""WITH RECURSIVE $minhashPairsSqlCte,
+       |${simhashPairsSqlWith("sx_")},
+       |${Similarity.cosinePairsSqlCte},
          |alledges AS (SELECT da, db FROM mp
          |             UNION SELECT da, db FROM sx_pairs
          |             UNION SELECT da, db FROM cos_pairs),
@@ -658,8 +655,7 @@ object TextOps {
          |cc AS (SELECT doc_id, min(root) AS root FROM reach GROUP BY doc_id)
          |SELECT c.doc_id, c.root AS cluster, c.root = c.doc_id AS keep
          |FROM cc c JOIN documents dd ON c.doc_id = dd.doc_id
-         |ORDER BY c.doc_id""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.GraftSqlBridge.dropTopLevelSort
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val mh = minhashBandPairs(s, d)

@@ -105,6 +105,17 @@ object Jobs {
       gapMicros: Long = 30L * 60 * 1000000,
       delay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    // correctness precondition: a late event can arrive up to `delay` after
+    // the frontier; if delay >= gap it could merge into a session whose
+    // true distance exceeds the gap (min/max merge can't re-split). The
+    // batch twin (olap_sessionize) would disagree — reject the config.
+    val delayIv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    val delayMicros = delayIv.months * 2592000000000L +
+      delayIv.days * 86400000000L + delayIv.microseconds
+    require(delayMicros < gapMicros,
+      s"watermark delay ($delay) must be shorter than the session gap " +
+        s"($gapMicros us): a late event older than the gap could otherwise merge")
     // EventTimeTimeout needs a watermarked event-time column in the plan;
     // carry it through the grouping as a 4th tuple field.
     val marked = events.toDF()
