@@ -403,8 +403,36 @@ object Olap {
       .orderBy("event_type", "day")
   }
 
+  /** Sketch-based distinct counting, certified against exact. At 100 TB,
+    * `count(DISTINCT user)` is the expensive shape (it expands every group
+    * into per-value rows before the final dedup shuffle) while
+    * `approx_count_distinct` is a single-pass partial-aggregable HLL++
+    * sketch (constant bytes per group, mergeable map-side). This query runs
+    * BOTH and emits the exact count plus a within-5%-error certificate —
+    * the number that justifies switching the production path to the sketch.
+    * The sketch at rsd=0.01 is deterministic for a given input, so the
+    * certificate is a stable oracle-checkable value (5% = 5 sigma here),
+    * not a flaky assertion. Oracle emits the same exact count and literal
+    * TRUE. */
+  val approxDistinct = sql(
+    "olap_approx_distinct",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS approx_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("approx_within_5pct"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
-    rollingWindow, rangeJoin, resample)
+    rollingWindow, rangeJoin, resample, approxDistinct)
 }

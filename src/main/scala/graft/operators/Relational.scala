@@ -356,6 +356,48 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Full TPC-H Q5 shape: region-filtered revenue where the SUPPLIER and the
+    * customer share a nation — a six-table join tree. Scale plan: the order
+    * date filter prunes the orders scan before its shuffle join with
+    * lineitem; customer joins on the shuffled o_custkey; supplier, nation
+    * and the pre-filtered region are broadcast (no fact shuffle for any
+    * dimension). The c_nationkey = s_nationkey condition rides on the
+    * broadcast supplier join rather than forming its own join. */
+  val q5RegionRevenue = sql(
+    "q5_region_revenue",
+    """SELECT n.n_name,
+      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |                AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      |JOIN region r   ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    Tables.lineitem(s, d)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   // ---------------------------------------------------------------- T-family
 
   /** T1/T2-style top-k per group: top 3 customers by acctbal per segment —
@@ -448,7 +490,7 @@ object Relational {
     p1Project, p2CsvRoundtrip, p6ElementAt, p8Filter, pJsonParse,
     j1LookupJoin, j2NearestCentroid, j4Semi, j5Anti, j6Salted,
     a1Median, a2Histogram, a3Argmax, a6GlobalMean, a7Metrics,
-    q1Agg, q3RevenueByNation,
+    q1Agg, q3RevenueByNation, q5RegionRevenue,
     t1TopK, t2MaxBy, w1Running,
     u1Union, k2Explode)
 }

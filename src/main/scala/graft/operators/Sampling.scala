@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.core.QueryDef.sql
@@ -136,18 +137,34 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  /** N-GRAM DECONTAMINATION — the benchmark-overlap check run before
-    * training: flag every TRAIN document that shares an 8-token shingle
-    * with ANY eval (test-split) document. This is the long-n-gram overlap
-    * test of GPT-3-style decontamination, expressed as an inverted-index
-    * semi-join: train shingles ⋈ distinct eval shingles on the md5 key —
-    * never a doc×doc product. Shingles with document frequency above 50
-    * are boilerplate and excluded BEFORE the join on both engines (no hot
-    * join key; standard practice — too-common n-grams carry no
-    * contamination signal). Output is every train doc with its matched-
-    * shingle count and a contaminated flag. */
-  val decontamNgram = sql(
-    "decontam_ngram",
+  /** Shared decontamination plumbing: split-tagged tokenized docs (`sp`)
+    * and the df-capped split-tagged 8-token shingle index (`shc`, 16-byte
+    * binary md5 keys). `shc`'s upstream is cached — it is read three ways
+    * (df cap, eval side, train side) by each consumer. */
+  private def decontamShingleIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val b = hexBucketCol(col("doc_id"))
+    val sp = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        when(b < TrainThr, "train").when(b < ValThr, "val").otherwise("test")
+          .as("split"))
+    // tokenize once, slide an 8-token window, hash each shingle; the hash
+    // is ONLY an equality key (never output), so carry the 16-byte binary
+    // digest through the joins instead of the 32-char hex string
+    val sh = sp.filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 8), i -> unhex(md5(concat_ws(' ', slice(t, i + 1, 8)))))")))
+          .as("sh"))
+      .cache()
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50).select("sh")
+    (sp, sh.join(hot, Seq("sh"), "left_anti"))
+  }
+
+  /** The one decontamination oracle: both the exact inverted-index query and
+    * the bloom-prefiltered variant must produce exactly these rows. */
+  private val decontamOracleSql =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
        |                  ${hexBucketSql("doc_id")} AS b
        |           FROM documents),
@@ -172,27 +189,56 @@ object Sampling {
        |       coalesce(h.n_hits, 0) > 0 AS contaminated
        |FROM sp p LEFT JOIN hits h ON p.doc_id = h.doc_id
        |WHERE p.split = 'train'
-       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
-    val b = hexBucketCol(col("doc_id"))
-    val sp = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"),
-        when(b < TrainThr, "train").when(b < ValThr, "val").otherwise("test")
-          .as("split"))
-    // tokenize once, slide an 8-token window, hash each shingle; the hash
-    // is ONLY an equality key (never output), so carry the 16-byte binary
-    // digest through the joins instead of the 32-char hex string
-    val sh = sp.filter(size(col("t")) >= 8)
-      .select(col("doc_id"), col("split"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(t) - 8), i -> unhex(md5(concat_ws(' ', slice(t, i + 1, 8)))))")))
-          .as("sh"))
-      .cache() // read three ways: df cap, eval side, train side
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 50).select("sh")
-    val shc = sh.join(hot, Seq("sh"), "left_anti")
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** N-GRAM DECONTAMINATION — the benchmark-overlap check run before
+    * training: flag every TRAIN document that shares an 8-token shingle
+    * with ANY eval (test-split) document. This is the long-n-gram overlap
+    * test of GPT-3-style decontamination, expressed as an inverted-index
+    * semi-join: train shingles ⋈ distinct eval shingles on the md5 key —
+    * never a doc×doc product. Shingles with document frequency above 50
+    * are boilerplate and excluded BEFORE the join on both engines (no hot
+    * join key; standard practice — too-common n-grams carry no
+    * contamination signal). Output is every train doc with its matched-
+    * shingle count and a contaminated flag. */
+  val decontamNgram = sql("decontam_ngram", decontamOracleSql) { (s, d) =>
+    val (sp, shc) = decontamShingleIndex(s, d)
     val ev = shc.filter(col("split") === "test").select("sh").distinct()
     val hits = shc.filter(col("split") === "train")
       .join(ev, "sh") // inverted-index semi-shape: key is the shingle hash
+      .groupBy("doc_id").agg(count(lit(1)).as("h"))
+    sp.filter(col("split") === "train")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** BLOOM-PREFILTERED decontamination — the 100 TB shape of the same
+    * check. The exact query shuffles EVERY capped train shingle into the
+    * equi-join with the eval set, but almost none of them match: eval
+    * benchmark suites are tiny relative to a web-scale train corpus. Here
+    * a bloom filter is built over the eval shingles (distributed aggregate
+    * via `stat.bloomFilter`, ~1.2 MB at fpp 1%) and broadcast; train
+    * shingles are filtered executor-side BEFORE the join, so the shuffle
+    * carries only true overlaps plus the fpp fraction — a ~100× volume cut
+    * when overlap is rare. Bloom filters have no false negatives and the
+    * exact join still runs behind the prefilter, so the result is
+    * bit-identical to `decontam_ngram` (the oracle is the SAME SQL — that
+    * equality IS the test). The bloom keys are xxhash64 of the shingle
+    * digest (Spark-internal only, never output, so the md5-only oracle
+    * hash discipline is untouched). */
+  val decontamBloom = sql("decontam_bloom", decontamOracleSql) { (s, d) =>
+    val (sp, shc) = decontamShingleIndex(s, d)
+    val ev = shc.filter(col("split") === "test").select("sh").distinct()
+    val bloom = ev.select(xxhash64(col("sh")).as("k"))
+      .stat.bloomFilter("k", 1000000L, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val evMightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    val hits = shc.filter(col("split") === "train")
+      .filter(evMightContain(xxhash64(col("sh")))) // no false negatives
+      .join(ev, "sh") // exact confirm: false positives die here
       .groupBy("doc_id").agg(count(lit(1)).as("h"))
     sp.filter(col("split") === "train")
       .join(hits, Seq("doc_id"), "left")
@@ -227,5 +273,5 @@ object Sampling {
 
   val defs: Seq[QueryDef] = Seq(
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
-    decontamNgram, packSequences)
+    decontamNgram, decontamBloom, packSequences)
 }

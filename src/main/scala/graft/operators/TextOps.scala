@@ -171,6 +171,49 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) over the same capped
+    * inverted shingle index as Jaccard. Containment catches the
+    * doc-inside-doc case symmetric Jaccard structurally misses: a short
+    * document fully quoted inside a much longer one has all its shingles
+    * common, so containment = 1.0 while Jaccard = |A|/|B| ≈ 0 — exactly the
+    * quotation/boilerplate-wrapper duplicates an LLM corpus is full of.
+    * Same scale shape as `dedup_ngram_jaccard`: linear in the shingle index
+    * plus output pairs, hot shingles df-capped before the self-join. */
+  val dedupContainment = sql(
+    "dedup_containment",
+    s"""WITH $shinglesSql,
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
+       |        WHERE df.df <= $ShingleDfCap),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT da, db, common,
+       |       round(common * 1.0 / least(sa.n, sb.n), 4) AS containment
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE common * 1.0 / least(sa.n, sb.n) >= 0.9
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    val raw = shingles(s, d).cache() // read twice: df aggregation + anti join
+    val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("sh")
+    val sh = raw.join(hot, Seq("sh"), "left_anti").cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("sh"))
+    val b = sh.select(col("doc_id").as("db"), col("sh"))
+    val pairs = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    val cont = col("common") * lit(1.0) / least(col("na"), col("nb"))
+    pairs
+      .join(sizes.toDF("doc_id", "na"), col("da") === col("doc_id")).drop("doc_id")
+      .join(sizes.toDF("doc_id", "nb"), col("db") === col("doc_id")).drop("doc_id")
+      .filter(cont >= 0.9)
+      .select(col("da"), col("db"), col("common"), round(cont, 4).as("containment"))
+      .orderBy("da", "db")
+  }
+
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.8
 
@@ -812,6 +855,58 @@ object TextOps {
       .limit(50)
   }
 
+  /** Top adjacent-token-pair counts — the candidate-scoring step of one BPE
+    * merge iteration (count all symbol pairs, merge the most frequent).
+    * Corpus-frequency counting (NOT per-doc distinct), so the numbers are
+    * exactly what a BPE trainer would consume. Scale shape: tokenize once,
+    * slide the 2-window, one partial-aggregable count, TakeOrdered top-20 —
+    * no global sort of the pair vocabulary. */
+  val textBigramTopk = sql(
+    "text_bigram_topk",
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+      |       FROM toks WHERE len(t) >= 2)
+      |SELECT bigram, count(*) AS n
+      |FROM bg GROUP BY bigram
+      |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Per-source duplication report from the near-dup cluster labels: how
+    * much of each source is redundant (cluster non-roots) — the number that
+    * decides which crawls/dumps are worth keeping at 100 TB. One broadcast-
+    * size join of the label frame back to the documents table, then a tiny
+    * per-source aggregate. */
+  val corpusDupStats = sql(
+    "corpus_dup_stats",
+    s"""WITH RECURSIVE $clusterLabelsSqlCte
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT c.root) AS BIGINT) AS n_clusters,
+       |       CAST(sum(CASE WHEN c.root <> c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |       round(sum(CASE WHEN c.root <> c.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_rate
+       |FROM cc c JOIN documents d ON c.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    val labels = clusterLabels(s, d)
+    val dup = (col("cluster") =!= col("doc_id")).cast("long")
+    labels.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("cluster").as("n_clusters"),
+        sum(dup).as("n_dup_docs"),
+        round(sum(dup) * lit(1.0) / count(lit(1)), 4).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Per-language document-length distribution — the quality-filter
     * thresholds (drop docs under p05 / over p95 length) every corpus
     * pipeline derives before filtering. Exact interpolated percentiles,
@@ -885,5 +980,6 @@ object TextOps {
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
     textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats,
-    textRepetition, corpusMix, textUnigramLogprob)
+    textRepetition, corpusMix, textUnigramLogprob,
+    dedupContainment, textBigramTopk, corpusDupStats)
 }

@@ -163,4 +163,36 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "global window would single-partition at scale")
   }
+
+  test("q5_region_revenue: all dimensions broadcast, orders filter pushed to the scan") {
+    val plan = executedPlan("q5_region_revenue")
+    // supplier/nation/region ride broadcast joins; only orders⋈lineitem and
+    // customer shuffle — a fact-side shuffle per dimension would be the
+    // classic Q5 scale mistake
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast dimension joins")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"),
+      "order-date range not pushed into the orders scan")
+  }
+
+  test("text_bigram_topk: top-20 is TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("text_bigram_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bigram top-k should be a partial per-partition top-k merge")
+  }
+
+  test("dedup_containment: pair candidates come from the shingle equi-join, never cartesian") {
+    val plan = executedPlan("dedup_containment")
+    assert(!plan.contains("CartesianProduct"), "containment join must not be cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "containment join must not be a nested loop")
+  }
+
+  test("decontam_bloom: bloom prefilter sits before the eval equi-join, never cartesian") {
+    val plan = executedPlan("decontam_bloom")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the executor-side prefilter is a plain Filter with the bloom UDF
+    assert(plan.contains("mightContainLong") || plan.contains("UDF"),
+      "expected the broadcast bloom-filter prefilter in the physical plan")
+  }
 }

@@ -94,6 +94,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(!got.contains(testId), "eval docs are not part of the report")
   }
 
+  test("decontam_bloom: bit-identical to the exact inverted-index check") {
+    // bloom filters have no false negatives and the exact confirm join
+    // removes false positives, so the prefiltered path must reproduce the
+    // exact result row-for-row — this equality is the whole contract
+    val exact = SparkEntry.queries("decontam_ngram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val bloom = SparkEntry.queries("decontam_bloom")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(exact == bloom, "bloom prefilter changed the decontamination result")
+    assert(exact.exists(_._3), "fixture corpus should contain contaminated docs")
+  }
+
   test("pack_sequences: token budget holds — a sequence overflows only via its last doc") {
     import org.apache.spark.sql.expressions.Window
     val out = SparkEntry.queries("pack_sequences")(spark, sf).cache()

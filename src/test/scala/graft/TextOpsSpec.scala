@@ -121,4 +121,34 @@ class TextOpsSpec extends AnyFunSuite {
       .filter("tok = 'shared' AND tfidf > 0").count()
     assert(sharedRows == 0, "corpus-wide terms must have zero tf-idf")
   }
+
+  test("dedup_containment: catches a short doc quoted inside a long one that Jaccard misses") {
+    // doc 1 is fully contained in doc 2, which is 4x longer: every shingle
+    // of doc 1 is common → containment = 1.0, but jaccard = |A|/|B| ≈ 0.25
+    val short = (1 to 12).map(i => s"quoted$i").mkString(" ")
+    val padding = (1 to 36).map(i => s"pad$i").mkString(" ")
+    val dir = writeDocs(Seq(1L -> short, 2L -> s"$short $padding",
+      3L -> (1 to 12).map(i => s"other$i").mkString(" ")))
+    val cont = TextOps.dedupContainment.fn(spark, dir).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "exactly the quoted-inside pair must be flagged")
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    val jac = TextOps.dedupNgramJaccard.fn(spark, dir).collect()
+    assert(jac.isEmpty, "symmetric Jaccard at 0.8 must miss the quotation pair")
+  }
+
+  test("containment >= jaccard on every candidate pair (corpus invariant)") {
+    // common/min(a,b) >= common/(a+b-common) always; check on real data by
+    // joining the two outputs on the pair key
+    val sf = "/root/testdata/sf0.01"
+    val c = TextOps.dedupContainment.fn(spark, sf)
+      .selectExpr("da", "db", "containment")
+    val j = TextOps.dedupNgramJaccard.fn(spark, sf)
+      .selectExpr("da", "db", "jaccard")
+    val joined = c.join(j, Seq("da", "db")).collect()
+    assert(joined.nonEmpty, "fixture corpus has near-dups in both outputs")
+    joined.foreach { r =>
+      assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard") - 1e-9)
+    }
+  }
 }
