@@ -420,10 +420,17 @@ object Olap {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
       |       TRUE AS approx_within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    // distinct-first shape: pre-aggregate on (type, user) so duplicate
+    // events combine MAP-SIDE before the one shuffle; the per-type pass then
+    // counts rows for the exact value and feeds the sketch unique values
+    // (HLL over distinct inputs ≡ HLL over the raw stream — insertion is
+    // idempotent). Avoids planAggregateWithOneDistinct's double aggregation
+    // of the fact table that `countDistinct + other aggs` would plan.
     Tables.events(s, d)
+      .select("event_type", "user_id").distinct()
       .groupBy("event_type")
       .agg(
-        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=

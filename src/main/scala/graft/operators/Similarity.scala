@@ -316,6 +316,44 @@ object Similarity {
       .orderBy("da", "db")
   }
 
+  /** k-NN GRAPH over the IVF cells: every vector's top-3 cosine neighbors
+    * WITHIN its assigned cell — the building block of graph-based semantic
+    * dedup and of IVF/HNSW-style index construction. Scale shape: the
+    * candidate join is the within-cell block join (Σ cell², never corpus²),
+    * ranking is a window partitioned by the source vector (one shuffle on
+    * src, no global sort). Ranking happens on the 4-dp-rounded cosine with
+    * a dst tie-break so both engines rank bit-identical values. */
+  val simKnnGraph = sql(
+    "sim_knn_graph",
+    s"""WITH $ivfAssignSqlCte,
+       |emb2 AS (SELECT e.vec_id, e.embedding, a.cell,
+       |                sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+       |         FROM embeddings e JOIN assign a USING (vec_id)),
+       |pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |              round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
+       |       FROM emb2 a JOIN emb2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |rk AS (SELECT src, dst, cos,
+       |              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rn
+       |       FROM pr)
+       |SELECT src, dst, cos, rn FROM rk WHERE rn <= 3
+       |ORDER BY src, dst""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val withCell = Tables.embeddings(s, d).join(ivfAssignDf(s, d), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        sqrt(dotCol("embedding", "embedding")).as("nrm"))
+    val a = withCell.select(col("cell"), col("vec_id").as("src"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withCell.select(col("cell"), col("vec_id").as("dst"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(dotCol("ea", "eb") / (col("na") * col("nb")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("src", "dst")
+  }
+
   /** Random-hyperplane (sign) LSH — the alternative scale path to IVF:
     * `nBits` deterministic pseudo-random planes (splitmix64-seeded), bucket
     * key = the sign-bit signature of the vector. Vectors in the same bucket
@@ -486,5 +524,6 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
-    simIvfRecallMp, simNearDup, simLshBuckets, simPqCodes, embInt8Quantize)
+    simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
+    embInt8Quantize)
 }

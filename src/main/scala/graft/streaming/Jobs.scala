@@ -250,6 +250,32 @@ object Jobs {
       .withColumn("n_tokens", toks)
   }
 
+  /** STREAMING DECONTAMINATION GATE: drop incoming train documents that
+    * share an 8-token shingle with the (static) eval benchmark set — the
+    * arrival-time twin of the batch `decontam_ngram` check, so contaminated
+    * crawl pages never even land in the corpus. The eval set is compiled
+    * ONCE into a driver-built bloom filter (benchmark suites are tiny;
+    * `expectedItems` sizes it) and broadcast; each micro-batch then runs a
+    * stateless executor-side filter — no stream-static join, no state
+    * store, no per-batch scan of the eval table. A bloom hit only MIGHT be
+    * contamination (fpp), so the gate is conservative in the safe
+    * direction: it can drop an extra clean doc, never keep a dirty one. */
+  def contaminationGate(docs: DataFrame, evalTexts: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    // xxhash64 of every 8-token shingle (hash is an internal key only)
+    val shingleKeys = expr(
+      """transform(sequence(0, size(split(text, ' ')) - 8),
+        |          i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 8))))""".stripMargin)
+    val bloom = evalTexts
+      .filter(size(split(col("text"), " ")) >= 8)
+      .select(explode(shingleKeys).as("k"))
+      .stat.bloomFilter("k", expectedItems, fpp)
+    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
+    val anyHit = udf((ks: Seq[Long]) =>
+      ks != null && ks.exists(bloomB.value.mightContainLong))
+    docs.filter(size(split(col("text"), " ")) < 8 || !anyHit(shingleKeys))
+  }
+
   /** Production Kafka wiring (S1/S2 sources, K1/K2 sinks;
     * ml_k_to_ss.py:63, dl_k_to_ss.py:429). The transforms above are pure
     * `DataFrame => DataFrame`, so production is exactly: kafka source →

@@ -187,6 +187,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "containment join must not be a nested loop")
   }
 
+  test("sim_knn_graph: candidates from the within-cell equi-join, ranking windowed per src") {
+    val plan = executedPlan("sim_knn_graph")
+    assert(!plan.contains("CartesianProduct"), "knn candidates must not be corpus²")
+    // the only nested-loop join allowed is the 1-row broadcast of the codebook
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "cell join must be an equi-join")
+  }
+
   test("decontam_bloom: bloom prefilter sits before the eval equi-join, never cartesian") {
     val plan = executedPlan("decontam_bloom")
     assert(!plan.contains("CartesianProduct"))

@@ -349,4 +349,26 @@ class StreamingSpec extends AnyFunSuite {
     // user 9's session is still within its gap horizon → not yet emitted
     assert(!closed.exists(_.userId == 9))
   }
+
+  test("streaming contamination gate: bloom-flagged docs dropped at arrival, clean pass") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val benchGram = (1 to 8).map(i => s"bench$i").mkString(" ")
+    val evalSet = Seq(s"prefix words then $benchGram and a suffix")
+      .toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    val gated = Jobs.contaminationGate(
+      mem.toDF().toDF("id", "text"), evalSet, expectedItems = 1000L)
+    val q = gated.writeStream.format("memory").queryName("decontam_gate")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, s"a train doc quoting $benchGram inside it"), // contaminated → drop
+      (2L, (1 to 12).map(i => s"clean$i").mkString(" ")), // clean → keep
+      (3L, "short doc"))                                  // < 8 tokens → keep
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("decontam_gate").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L),
+      s"gate must drop exactly the benchmark-overlapping doc, got $kept")
+  }
 }
