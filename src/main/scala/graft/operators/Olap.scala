@@ -438,8 +438,74 @@ object Olap {
       .orderBy("event_type")
   }
 
+  /** Ordered FUNNEL analysis (signup → view → click → purchase), the
+    * standard product-analytics shape using each step's FIRST occurrence:
+    * a user advances to step k only if its first step-k event is strictly
+    * after their first step-(k−1) event. One conditional-min aggregation
+    * per user (single shuffle, partial-aggregable mins), then a global
+    * roll-up of the boolean chain — no self-joins, no per-step passes over
+    * the fact table. Timestamps compared as µs longs (the cross-engine-safe
+    * resolution for the nanos event clock). */
+  val eventsFunnel = sql(
+    "events_funnel",
+    """WITH p AS (SELECT user_id,
+      |  min(CASE WHEN event_type = 'signup'   THEN epoch_us(ts) END) AS t1,
+      |  min(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t2,
+      |  min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t3,
+      |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t4
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN t1 < t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(sum(CASE WHEN t1 < t2 AND t2 < t3 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN t1 < t2 AND t2 < t3 AND t3 < t4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+      |FROM p""".stripMargin) { (s, d) =>
+    def stepMin(t: String) =
+      min(when(col("event_type") === t, expr("ts div 1000")))
+    val p = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(stepMin("signup").as("t1"), stepMin("view").as("t2"),
+        stepMin("click").as("t3"), stepMin("purchase").as("t4"))
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    p.agg(
+      count(lit(1)).as("n_users"),
+      cnt(col("t1").isNotNull).as("n_signup"),
+      cnt(col("t1") < col("t2")).as("n_view"),
+      cnt(col("t1") < col("t2") && col("t2") < col("t3")).as("n_click"),
+      cnt(col("t1") < col("t2") && col("t2") < col("t3") &&
+        col("t3") < col("t4")).as("n_purchase"))
+  }
+
+  /** COHORT RETENTION: users grouped by their first-activity day, counted
+    * on each later day they return (day offset from cohort). The classic
+    * engagement triangle. Shape: distinct (user, day) → per-user min-day
+    * cohort → one equi-join back on user_id → (cohort, offset) counts.
+    * Every step is a single-shuffle partial-aggregable pattern; the
+    * distinct pre-shrinks the fact table before any join. */
+  val eventsRetention = sql(
+    "events_retention",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |            FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+      |SELECT c.cohort, u.day - c.cohort AS "offset",
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM ud u JOIN c ON u.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val c = ud.groupBy("user_id").agg(min("day").as("cohort"))
+    ud.join(c, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "offset")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
-    rollingWindow, rangeJoin, resample, approxDistinct)
+    rollingWindow, rangeJoin, resample, approxDistinct,
+    eventsFunnel, eventsRetention)
 }
