@@ -398,6 +398,36 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q10 shape: top-20 customers by revenue from RETURNED items —
+    * top-k AFTER a join-aggregate, the "worst offenders" report pattern.
+    * The returnflag filter is pushed into the lineitem scan (prunes before
+    * the first shuffle); the final top-20 is TakeOrderedAndProject over the
+    * aggregate (per-partition top-k merge, never a global sort of all
+    * customers). Ranked on the 4-dp-rounded revenue with a custkey
+    * tie-break so both engines order bit-identical values. */
+  val q10ReturnedTopk = sql(
+    "q10_returned_topk",
+    """SELECT c.c_custkey, c.c_name,
+      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------- T-family
 
   /** T1/T2-style top-k per group: top 3 customers by acctbal per segment —
@@ -490,7 +520,7 @@ object Relational {
     p1Project, p2CsvRoundtrip, p6ElementAt, p8Filter, pJsonParse,
     j1LookupJoin, j2NearestCentroid, j4Semi, j5Anti, j6Salted,
     a1Median, a2Histogram, a3Argmax, a6GlobalMean, a7Metrics,
-    q1Agg, q3RevenueByNation, q5RegionRevenue,
+    q1Agg, q3RevenueByNation, q5RegionRevenue, q10ReturnedTopk,
     t1TopK, t2MaxBy, w1Running,
     u1Union, k2Explode)
 }

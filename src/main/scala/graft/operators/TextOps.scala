@@ -128,28 +128,27 @@ object TextOps {
     * identically on both engines. */
   val ShingleDfCap = 50
 
-  /** N-gram Jaccard near-dup pairs via the inverted shingle index: join on
-    * shingle → count common → |A∪B| from per-doc sizes. Linear in corpus
-    * size + output pairs; never materializes the n² pair space. Shingles
-    * above the document-frequency cap are dropped BEFORE the self-join so
-    * no single join key can go quadratic at scale. */
-  val dedupNgramJaccard = sql(
-    "dedup_ngram_jaccard",
-    s"""WITH $shinglesSql,
+  /** The df-capped shingle pair scaffolding shared by the Jaccard and
+    * containment near-dup queries — SQL CTE chain ending in
+    * `sizes(doc_id, n)` + `pairs(da, db, common)`, and the matching Spark
+    * builder. One definition so the cap/shingle-universe semantics cannot
+    * fork between the two metrics. */
+  private val cappedPairsSqlCte: String =
+    s"""$shinglesSql,
        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
        |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
        |        WHERE df.df <= $ShingleDfCap),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
        |          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT da, db, common,
-       |       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
-       |FROM pairs
-       |JOIN sizes sa ON sa.doc_id = da
-       |JOIN sizes sb ON sb.doc_id = db
-       |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
-       |ORDER BY da, db""".stripMargin) { (s, d) =>
+       |          GROUP BY 1, 2)""".stripMargin
+
+  /** Spark side of the scaffolding: `pairs(da, db, common)` joined with the
+    * per-doc sizes as `na`/`nb`. The sizes aggregate is per-doc (NOT
+    * broadcastable at corpus scale) — AQE converts the joins to broadcast
+    * at runtime when it turns out small. */
+  private def cappedPairsWithSizes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val raw = shingles(s, d).cache() // read twice: df aggregation + anti join
     val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select("sh")
@@ -158,14 +157,29 @@ object TextOps {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("sh"))
     val b = sh.select(col("doc_id").as("db"), col("sh"))
-    val pairs = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
+    a.join(b, a("sh") === b("sh") && col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("common"))
-    val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
-    // sizes is per-doc (NOT broadcastable at corpus scale) — AQE converts
-    // these to broadcast joins at runtime when the aggregate turns out small
-    pairs
       .join(sizes.toDF("doc_id", "na"), col("da") === col("doc_id")).drop("doc_id")
       .join(sizes.toDF("doc_id", "nb"), col("db") === col("doc_id")).drop("doc_id")
+  }
+
+  /** N-gram Jaccard near-dup pairs via the inverted shingle index: join on
+    * shingle → count common → |A∪B| from per-doc sizes. Linear in corpus
+    * size + output pairs; never materializes the n² pair space. Shingles
+    * above the document-frequency cap are dropped BEFORE the self-join so
+    * no single join key can go quadratic at scale. */
+  val dedupNgramJaccard = sql(
+    "dedup_ngram_jaccard",
+    s"""WITH $cappedPairsSqlCte
+       |SELECT da, db, common,
+       |       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+    cappedPairsWithSizes(s, d)
       .filter(jac >= 0.8)
       .select(col("da"), col("db"), col("common"), round(jac, 4).as("jaccard"))
       .orderBy("da", "db")
@@ -181,14 +195,7 @@ object TextOps {
     * plus output pairs, hot shingles df-capped before the self-join. */
   val dedupContainment = sql(
     "dedup_containment",
-    s"""WITH $shinglesSql,
-       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-       |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
-       |        WHERE df.df <= $ShingleDfCap),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
-       |          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
+    s"""WITH $cappedPairsSqlCte
        |SELECT da, db, common,
        |       round(common * 1.0 / least(sa.n, sb.n), 4) AS containment
        |FROM pairs
@@ -196,19 +203,8 @@ object TextOps {
        |JOIN sizes sb ON sb.doc_id = db
        |WHERE common * 1.0 / least(sa.n, sb.n) >= 0.9
        |ORDER BY da, db""".stripMargin) { (s, d) =>
-    val raw = shingles(s, d).cache() // read twice: df aggregation + anti join
-    val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap).select("sh")
-    val sh = raw.join(hot, Seq("sh"), "left_anti").cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("sh"))
-    val b = sh.select(col("doc_id").as("db"), col("sh"))
-    val pairs = a.join(b, a("sh") === b("sh") && col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("common"))
     val cont = col("common") * lit(1.0) / least(col("na"), col("nb"))
-    pairs
-      .join(sizes.toDF("doc_id", "na"), col("da") === col("doc_id")).drop("doc_id")
-      .join(sizes.toDF("doc_id", "nb"), col("db") === col("doc_id")).drop("doc_id")
+    cappedPairsWithSizes(s, d)
       .filter(cont >= 0.9)
       .select(col("da"), col("db"), col("common"), round(cont, 4).as("containment"))
       .orderBy("da", "db")

@@ -37,22 +37,37 @@ object Shards {
 
   /** Compact a fragmented parquet directory into ~`targetBytes` files.
     * The output partition count comes from the actual input byte size
-    * (HDFS/file-status metadata, no data read), so the rewrite is ONE
-    * round-robin shuffle into right-sized shards. Returns the partition
-    * count used. Compression ratios mean output files land near
-    * targetBytes × (parquet-recompression factor ≈ 1); callers tune
-    * targetBytes to their reader's preferred split size (e.g. 128 MB). */
+    * (one `listStatus` per input DIRECTORY — never a per-file RPC, which
+    * on an object store with 50k small files would stall the driver for
+    * minutes before the rewrite starts; no data read), so the rewrite is
+    * ONE round-robin shuffle into right-sized shards. Returns the
+    * partition count used.
+    *
+    * `partitionCols` must name the input's hive partition columns (if
+    * any): the rewrite re-applies `partitionBy` so compaction preserves
+    * the pruning layout `writeSized` created — omitting it on partitioned
+    * input would silently flatten the directory tree and cost every
+    * downstream reader its partition pruning.
+    *
+    * Compression ratios mean output files land near targetBytes ×
+    * (parquet-recompression factor ≈ 1); callers tune targetBytes to
+    * their reader's preferred split size (e.g. 128 MB). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-      targetBytes: Long): Int = {
+      targetBytes: Long, partitionCols: Seq[String] = Nil): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val df = spark.read.parquet(inPath)
     val conf = spark.sparkContext.hadoopConfiguration
-    val totalBytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
+    val dirs = df.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent)
+      .distinct
+    val totalBytes = dirs.flatMap { dir =>
+      dir.getFileSystem(conf).listStatus(dir)
+        .filter(_.isFile).map(_.getLen)
     }.sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    df.repartition(n).write.mode("overwrite").parquet(outPath)
+    val w = df.repartition(n).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(outPath)
     n
   }
 }

@@ -262,18 +262,24 @@ object Jobs {
     * direction: it can drop an extra clean doc, never keep a dirty one. */
   def contaminationGate(docs: DataFrame, evalTexts: DataFrame,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    // xxhash64 of every 8-token shingle (hash is an internal key only)
+    // tokenize ONCE into a column, then window over the array — a lambda
+    // that re-splits the text would re-tokenize per shingle (~N splits/doc,
+    // the trap TextOps.shingles documents). Hash is an internal key only.
+    val toks = split(col("text"), " ")
     val shingleKeys = expr(
-      """transform(sequence(0, size(split(text, ' ')) - 8),
-        |          i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 8))))""".stripMargin)
+      """transform(sequence(0, size(__toks) - 8),
+        |          i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, 8))))""".stripMargin)
     val bloom = evalTexts
-      .filter(size(split(col("text"), " ")) >= 8)
+      .select(toks.as("__toks"))
+      .filter(size(col("__toks")) >= 8)
       .select(explode(shingleKeys).as("k"))
       .stat.bloomFilter("k", expectedItems, fpp)
     val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
     val anyHit = udf((ks: Seq[Long]) =>
       ks != null && ks.exists(bloomB.value.mightContainLong))
-    docs.filter(size(split(col("text"), " ")) < 8 || !anyHit(shingleKeys))
+    docs.withColumn("__toks", toks)
+      .filter(size(col("__toks")) < 8 || !anyHit(shingleKeys))
+      .drop("__toks")
   }
 
   /** Production Kafka wiring (S1/S2 sources, K1/K2 sinks;

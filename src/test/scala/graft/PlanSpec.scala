@@ -166,13 +166,21 @@ class PlanSpec extends AnyFunSuite {
 
   test("q5_region_revenue: all dimensions broadcast, orders filter pushed to the scan") {
     val plan = executedPlan("q5_region_revenue")
-    // supplier/nation/region ride broadcast joins; only orders⋈lineitem and
-    // customer shuffle — a fact-side shuffle per dimension would be the
-    // classic Q5 scale mistake
-    assert(plan.contains("BroadcastHashJoin"), "expected broadcast dimension joins")
+    // supplier/nation/region EACH ride a broadcast join; only
+    // orders⋈lineitem and customer shuffle — a fact-side shuffle per
+    // dimension would be the classic Q5 scale mistake
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3, s"expected 3 broadcast dimension joins, found $nBroadcast")
     assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
       plan.contains("LessThan(o_orderdate"),
       "order-date range not pushed into the orders scan")
+  }
+
+  test("q10_returned_topk: returnflag pushed to scan, top-20 is TakeOrderedAndProject") {
+    val plan = executedPlan("q10_returned_topk")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), "returnflag filter not pushed")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "post-aggregate top-k should be a partial per-partition merge")
   }
 
   test("text_bigram_topk: top-20 is TakeOrderedAndProject, not a global sort") {

@@ -42,11 +42,15 @@ class ShardsSpec extends AnyFunSuite {
     val langDirs = new java.io.File(out).listFiles()
       .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
     assert(langDirs.size >= 3, s"expected per-lang dirs, got $langDirs")
-    // pruning: a lang filter must scan only that partition's files
+    // pruning: the lang predicate must land in the scan's PartitionFilters
+    // (directory-level pruning), not survive as a post-scan data filter
     val pruned = spark.read.parquet(out).filter("lang = 'en'")
     pruned.collect()
-    val scanned = pruned.queryExecution.executedPlan.toString
-    assert(!scanned.contains("lang=de"), "reader scanned an unrelated partition")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"lang predicate not in PartitionFilters:\n$scan")
   }
 
   test("compact: fragmented output collapses to byte-sized shard count, content preserved") {
@@ -60,6 +64,19 @@ class ShardsSpec extends AnyFunSuite {
     val n = Shards.compact(spark, frag, out, targetBytes = totalBytes / 2 + 1)
     assert(n == 2, s"expected 2 partitions from byte sizing, got $n")
     assert(parquetFiles(out).size == 2)
+    assert(spark.read.parquet(out).count() == 500)
+  }
+
+  test("compact: partitionCols preserves the hive layout through the rewrite") {
+    val docs = Tables.documents(spark, sf)
+    val frag = Files.createTempDirectory("shards-frag-part").toString
+    docs.repartition(20).write.mode("overwrite").partitionBy("lang").parquet(frag)
+    val out = Files.createTempDirectory("shards-compact-part").toString
+    Shards.compact(spark, frag, out, targetBytes = Long.MaxValue,
+      partitionCols = Seq("lang"))
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
+    assert(langDirs.size >= 3, s"hive layout lost in compaction: $langDirs")
     assert(spark.read.parquet(out).count() == 500)
   }
 }
