@@ -503,9 +503,49 @@ object Olap {
       .orderBy("cohort", "offset")
   }
 
+  /** Daily-revenue ANOMALY detection — |z| > 2 outlier days — computed in
+    * EXACT integer arithmetic: the float z-score test (x−μ)² > k²σ² is
+    * cross-multiplied into (n·x − S)² > k²·(n·Q − S²) over integer cents
+    * (S=Σx, Q=Σx², population σ). No float mean/variance ever exists, so
+    * the flag is bit-identical across engines and immune to summation
+    * order. Wide intermediates ride DECIMAL(38)/HUGEINT: at 100 TB a day
+    * can hold ~1e13 cents, whose square (1e26) overflows int64 but sits
+    * comfortably in 38 digits.
+    *
+    * Shape: one partial-aggregable daily roll-up, a 1-row stats aggregate
+    * broadcast back over the 365-row day frame — no window, no second
+    * pass over the fact table. */
+  val eventsAnomaly = sql(
+    "events_anomaly",
+    """WITH g AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
+      |           FROM events GROUP BY 1),
+      |st AS (SELECT count(*) AS n, sum(day_cents) AS s,
+      |              sum(CAST(day_cents AS HUGEINT) * day_cents) AS q
+      |       FROM g)
+      |SELECT day, day_cents,
+      |       (CAST(n AS HUGEINT) * day_cents - s) * (CAST(n AS HUGEINT) * day_cents - s)
+      |         > 4 * (n * q - CAST(s AS HUGEINT) * s) AS is_anomaly
+      |FROM g CROSS JOIN st ORDER BY day""".stripMargin) { (s, d) =>
+    val g = Tables.events(s, d)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("day_cents"))
+    val st = g.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("day_cents").cast("decimal(38,0)").as("s"),
+      sum(col("day_cents").cast("decimal(19,0)") * col("day_cents")).as("q"))
+    val dev = col("n") * col("day_cents") - col("s")
+    g.crossJoin(broadcast(st))
+      .select(col("day"), col("day_cents"),
+        (dev * dev > lit(4) * (col("n") * col("q") - col("s") * col("s")))
+          .as("is_anomaly"))
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,
-    eventsFunnel, eventsRetention)
+    eventsFunnel, eventsRetention, eventsAnomaly)
 }

@@ -428,6 +428,40 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q18 shape (large-volume orders): aggregate → HAVING → semi-join
+    * back to the facts — the "find the whales, then pull their detail"
+    * pattern. The qualifying-order set is a lineitem aggregate filtered to
+    * sum(qty) > 350 (66 orders at sf0.1): AQE sees the tiny post-HAVING
+    * side and broadcasts it, so neither orders nor lineitem re-shuffles for
+    * the semi-join. Quantities are integral by data contract and summed as
+    * BIGINT — the HAVING cut is an exact integer comparison, never a float
+    * boundary. Final order rides the exact cents total. */
+  val q18LargeOrders = sql(
+    "q18_large_orders",
+    """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |             FROM lineitem GROUP BY l_orderkey
+      |             HAVING sum(CAST(l_quantity AS BIGINT)) > 350)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+      |       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+      |       b.total_qty
+      |FROM big b
+      |JOIN orders o   ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 350)
+    big
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("total_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   // ---------------------------------------------------------------- T-family
 
   /** T1/T2-style top-k per group: top 3 customers by acctbal per segment —
@@ -520,7 +554,7 @@ object Relational {
     p1Project, p2CsvRoundtrip, p6ElementAt, p8Filter, pJsonParse,
     j1LookupJoin, j2NearestCentroid, j4Semi, j5Anti, j6Salted,
     a1Median, a2Histogram, a3Argmax, a6GlobalMean, a7Metrics,
-    q1Agg, q3RevenueByNation, q5RegionRevenue, q10ReturnedTopk,
+    q1Agg, q3RevenueByNation, q5RegionRevenue, q10ReturnedTopk, q18LargeOrders,
     t1TopK, t2MaxBy, w1Running,
     u1Union, k2Explode)
 }

@@ -271,7 +271,32 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** LENGTH-WEIGHTED deterministic sampling: a doc is kept with probability
+    * proportional to its character count — the sampling you want when the
+    * budget is TOKENS, not documents (a uniform doc sample over-represents
+    * short docs in the token stream). The keep test is the exact integer
+    * cross-multiplication `bucket · max_chars < n_chars · 65536` against
+    * the shared md5 bucket — reproducible, join-free on the fact side, and
+    * the corpus max arrives as a broadcast 1-row aggregate (no driver
+    * collect, no global window). */
+  val sampleWeighted = sql(
+    "sample_weighted",
+    s"""WITH mx AS (SELECT max(n_chars) AS max_chars FROM documents)
+       |SELECT doc_id, lang, n_chars,
+       |       ${hexBucketSql("doc_id")} AS bucket
+       |FROM documents CROSS JOIN mx
+       |WHERE (${hexBucketSql("doc_id")}) * max_chars < n_chars * 65536
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max("n_chars").as("max_chars"))
+    docs.crossJoin(broadcast(mx))
+      .withColumn("bucket", hexBucketCol(col("doc_id")))
+      .filter(col("bucket") * col("max_chars") < col("n_chars") * 65536)
+      .select("doc_id", "lang", "n_chars", "bucket")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
-    decontamNgram, decontamBloom, packSequences)
+    decontamNgram, decontamBloom, packSequences, sampleWeighted)
 }

@@ -971,11 +971,150 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** SUBSTRING-level duplication report (the Lee-et-al "Deduplicating
+    * Training Data" unit of analysis, re-expressed as per-doc statistics):
+    * for every 8-token span, count how many DISTINCT documents contain it;
+    * a doc's dup-span rate is the share of its spans appearing elsewhere.
+    * This is the signal that doc-level MinHash misses — a unique page
+    * embedding a long copied passage.
+    *
+    * Scale shape: spans explode linearly (n_tokens−7 per doc), spans travel
+    * as md5 digests (fixed 32-byte shuffle key, never the raw text), the
+    * document-frequency count is one partial-aggregable groupBy, and the
+    * join back is span-keyed equi — NO pair join anywhere, so a span shared
+    * by a million docs costs a million rows, not a million squared. */
+  val dedupSpanStats = sql(
+    "dedup_span_stats",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sp AS (SELECT DISTINCT doc_id,
+      |              md5(unnest([array_to_string(t[i:i+7], ' ')
+      |                          for i in range(1, len(t) - 6)])) AS h
+      |       FROM toks WHERE len(t) >= 8),
+      |df AS (SELECT h, count(*) AS df FROM sp GROUP BY h)
+      |SELECT sp.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |       round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_rate
+      |FROM sp JOIN df USING (h)
+      |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin) { (s, d) =>
+    val sp = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      // 1-based slice(t, i, 8); last start = size-7 so the span stays in-doc
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 7), i -> md5(concat_ws(' ', slice(t, i, 8))))"))
+        .as("h"))
+      .distinct()
+    val df = sp.groupBy("h").agg(count(lit(1)).as("df"))
+    val dup = when(col("df") >= 2, 1L).otherwise(0L)
+    sp.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(dup).as("n_dup_spans"),
+        round(sum(dup) * lit(1.0) / count(lit(1)), 4).as("dup_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document trigram NOVELTY against everything earlier in the corpus
+    * (by doc_id order): the share of a doc's distinct trigrams whose FIRST
+    * corpus occurrence is this doc. The curve of this number over a crawl
+    * is the classic diminishing-returns diagnostic — when novelty flattens,
+    * more of the same dump buys no new text.
+    *
+    * Shape: one explode, min(doc_id) per trigram (partial-aggregable), one
+    * trigram-keyed equi-join back, per-doc count roll-up — linear, no pair
+    * joins, no windows. */
+  val textNovelty = sql(
+    "text_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tri AS (SELECT DISTINCT doc_id,
+      |               unnest([array_to_string(t[i:i+2], ' ')
+      |                       for i in range(1, len(t) - 1)]) AS g
+      |        FROM toks WHERE len(t) >= 3),
+      |fst AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY g)
+      |SELECT tri.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_trigrams,
+      |       CAST(sum(CASE WHEN fst.first_doc = tri.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       round(sum(CASE WHEN fst.first_doc = tri.doc_id THEN 1 ELSE 0 END) * 1.0
+      |             / count(*), 4) AS novelty
+      |FROM tri JOIN fst USING (g)
+      |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin) { (s, d) =>
+    val tri = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
+        .as("g"))
+      .distinct()
+    val fst = tri.groupBy("g").agg(min("doc_id").as("first_doc"))
+    val novel = when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)
+    tri.join(fst, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum(novel).as("n_novel"),
+        round(sum(novel) * lit(1.0) / count(lit(1)), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scan + redaction — the compliance pass every published corpus
+    * runs (emails, phone-like digit runs, SSN-shaped ids → typed
+    * placeholders). Counts are STAGED — each pattern is counted on the
+    * previous stage's redacted text — so they are exactly the number of
+    * replacements each stage performs (an SSN-shaped token is typed ID
+    * once, never double-counted by the looser phone pattern). The redacted
+    * text travels as its md5 (fixed-width output, content verifiable). The
+    * synthetic corpus is PII-free, so here this query exercises the
+    * zero-hit fast path end-to-end; `TextOpsSpec` proves the actual
+    * redaction semantics on planted fixtures. Patterns stay within the
+    * RE2 ∩ java.util.regex common subset (no backrefs/lookaround), so both
+    * engines match identically. Narrow per-row map: no shuffle, fully
+    * pushdown-friendly. */
+  val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiIdRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PiiPhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** The redaction chain (email → id → phone, id before phone so an
+    * SSN-shaped token is typed ID, not swallowed by the looser phone
+    * pattern) — shared by the query and the spec. */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+        PiiIdRe, "<ID>"),
+      PiiPhoneRe, "<PHONE>")
+
+  val textPiiRedact = sql(
+    "text_pii_redact",
+    s"""WITH s1 AS (SELECT doc_id, text,
+       |                   regexp_replace(text, '$PiiEmailRe', '<EMAIL>', 'g') AS t1
+       |            FROM documents),
+       |s2 AS (SELECT *, regexp_replace(t1, '$PiiIdRe', '<ID>', 'g') AS t2 FROM s1)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(text, '$PiiEmailRe')) AS n_email,
+       |       len(regexp_extract_all(t1, '$PiiIdRe')) AS n_id,
+       |       len(regexp_extract_all(t2, '$PiiPhoneRe')) AS n_phone,
+       |       md5(regexp_replace(t2, '$PiiPhoneRe', '<PHONE>', 'g')) AS clean_md5
+       |FROM s2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // typed-function API, not expr(): Spark SQL string literals process
+    // backslash escapes, which would mangle the \+ in the phone pattern
+    def nMatches(c: org.apache.spark.sql.Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    Tables.documents(s, d)
+      .withColumn("t1", regexp_replace(col("text"), PiiEmailRe, "<EMAIL>"))
+      .withColumn("t2", regexp_replace(col("t1"), PiiIdRe, "<ID>"))
+      .select(
+        col("doc_id"),
+        nMatches(col("text"), PiiEmailRe).as("n_email"),
+        nMatches(col("t1"), PiiIdRe).as("n_id"),
+        nMatches(col("t2"), PiiPhoneRe).as("n_phone"),
+        md5(regexp_replace(col("t2"), PiiPhoneRe, "<PHONE>")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
     textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
-    dedupContainment, textBigramTopk, corpusDupStats)
+    dedupContainment, textBigramTopk, corpusDupStats,
+    dedupSpanStats, textNovelty, textPiiRedact)
 }

@@ -82,4 +82,21 @@ class OlapSpec extends AnyFunSuite {
     val grand = out.find(r => r.getString(0) == "(all)" && r.getString(1) == "(all)").get
     assert(leaves.map(_.getAs[Long]("n")).sum == grand.getAs[Long]("n"))
   }
+
+  test("events_anomaly: exact integer z-test flags the planted outlier day only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("olap-anomaly").toString
+    val dayNs = 86400L * 1000000000L
+    // 10 quiet days at ~1.00/event, one day with a 100x spike
+    val rows = (0 until 10).map(i =>
+      (i.toLong, i * dayNs + 1000L, i.toLong, "view", 1.0, "{}")) :+
+      ((10L, 10 * dayNs + 1000L, 10L, "view", 100.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("events_anomaly")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.size == 11)
+    assert(got(10L) == ((10000L, true)), s"spike day: ${got(10L)}")
+    (0L until 10L).foreach(d => assert(got(d) == ((100L, false)), s"day $d: ${got(d)}"))
+  }
 }

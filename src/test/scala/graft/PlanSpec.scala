@@ -211,4 +211,38 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("mightContainLong") || plan.contains("UDF"),
       "expected the broadcast bloom-filter prefilter in the physical plan")
   }
+
+  test("q18_large_orders: top-k after join-agg is TakeOrderedAndProject, joins stay equi") {
+    val plan = executedPlan("q18_large_orders")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the LIMIT must merge per-partition top-k, not globally sort")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_span_stats: span df-count joins by span hash, never cartesian") {
+    val plan = executedPlan("dedup_span_stats")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span-level dedup must stay a hash equi-join:\n$plan")
+  }
+
+  test("text_novelty: first-occurrence join is trigram-keyed equi, never cartesian") {
+    val plan = executedPlan("text_novelty")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty must stay a trigram equi-join:\n$plan")
+  }
+
+  test("events_anomaly: the stats side is a broadcast 1-row aggregate, no window") {
+    val plan = executedPlan("events_anomaly")
+    assert(plan.contains("BroadcastExchange"),
+      "the global stats row must broadcast over the day frame")
+    assert(!plan.contains("Window"), "no global window allowed in the z-test")
+  }
+
+  test("text_pii_redact: pure narrow map — no shuffle anywhere") {
+    val plan = executedPlan("text_pii_redact")
+    // the only exchange allowed is the output ordering's range partitioning;
+    // nothing upstream of the sort may shuffle
+    assert(!plan.contains("hashpartitioning"),
+      s"redaction must not induce a hash shuffle:\n$plan")
+  }
 }

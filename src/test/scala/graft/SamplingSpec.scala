@@ -126,4 +126,30 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
     assert(perShard.count() == 0, "seq_id must be dense per shard")
   }
+
+  test("sample_weighted: max-length docs always kept, empty docs never, rate ∝ length") {
+    val out = SparkEntry.queries("sample_weighted")(spark, sf)
+      .select("doc_id", "n_chars", "bucket").collect()
+    assert(out.nonEmpty)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxChars = docs.values.max
+    val kept = out.map(_.getLong(0)).toSet
+    // every doc at the corpus max length passes the gate unconditionally
+    // (bucket < 65536 always) — the weight ceiling is airtight
+    docs.filter(_._2 == maxChars).keys.foreach(id =>
+      assert(kept.contains(id), s"max-length doc $id must always be kept"))
+    // the kept set satisfies the exact integer gate, and is repeatable
+    out.foreach { r =>
+      assert(r.getInt(2).toLong * maxChars < r.getLong(1) * 65536L)
+    }
+    val again = SparkEntry.queries("sample_weighted")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept, "hash-gated sample must be run-stable")
+    // aggregate keep rate tracks E[n_chars/max] (loose band: fixture corpus)
+    val expected = docs.values.map(_.toDouble / maxChars).sum / docs.size
+    val got = kept.size.toDouble / docs.size
+    assert(math.abs(got - expected) < 0.15, s"keep rate $got vs expected $expected")
+  }
 }

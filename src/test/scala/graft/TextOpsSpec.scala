@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, md5}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Tables
 import graft.operators.TextOps
@@ -150,5 +151,51 @@ class TextOpsSpec extends AnyFunSuite {
     joined.foreach { r =>
       assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard") - 1e-9)
     }
+  }
+
+  test("text_pii_redact: planted email/id/phone are counted and redacted") {
+    import spark.implicits._
+    val dirty = "contact bob.smith+x@mail-site.co.uk or 555-12-3456 " +
+      "or call +1 (415) 555-0100 now"
+    val dir = writeDocs(Seq(0L -> dirty, 1L -> "no pii here at all"))
+    val got = TextOps.textPiiRedact.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(0L)._1 == 1 && got(0L)._2 == 1 && got(0L)._3 == 1, s"counts: ${got(0L)}")
+    assert(got(1L) == ((0, 0, 0, got(1L)._4)))
+    // the redacted text itself (not just its hash) must carry placeholders
+    val red = Seq(dirty).toDF("text")
+      .select(TextOps.redactPii(col("text")).as("r")).head().getString(0)
+    assert(red == "contact <EMAIL> or <ID> or call <PHONE> now", red)
+    // clean doc's hash is the hash of its unchanged text
+    val cleanMd5 = Seq("no pii here at all").toDF("text")
+      .select(md5(col("text"))).head().getString(0)
+    assert(got(1L)._4 == cleanMd5)
+  }
+
+  test("dedup_span_stats: shared 8-token span flagged in both docs, unique doc clean") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      0L -> s"$span alpha beta gamma delta epsilon zeta eta theta",
+      1L -> s"iota kappa lambda mu nu xi omicron pi $span",
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+    val got = TextOps.dedupSpanStats.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 16-token docs → 9 spans each; exactly ONE span (the planted one) is shared
+    assert(got(0L) == ((9L, 1L)), s"doc 0: ${got(0L)}")
+    assert(got(1L) == ((9L, 1L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((3L, 0L)), s"doc 2: ${got(2L)}")
+  }
+
+  test("text_novelty: a verbatim copy has zero novelty, the original full") {
+    val dir = writeDocs(Seq(
+      0L -> "a b c d e f",
+      1L -> "a b c d e f", // exact copy → every trigram first seen in doc 0
+      2L -> "a b c x y z")) // shares the 'a b c' trigram only
+    val got = TextOps.textNovelty.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((4L, 4L)), s"doc 0: ${got(0L)}")
+    assert(got(1L) == ((4L, 0L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((4L, 3L)), s"doc 2: ${got(2L)}")
   }
 }
