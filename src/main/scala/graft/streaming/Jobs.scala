@@ -167,6 +167,77 @@ object Jobs {
         })
   }
 
+  final case class StatState(n: Long, s: Long, q: Long)
+  final case class AnomalyAlert(userId: Long, tsMicros: Long, cents: Long, nPrior: Long)
+
+  /** ONLINE anomaly alerts — the streaming twin of the batch
+    * `events_anomaly` query, per key: an event is flagged when its value is
+    * more than k sigma from the mean of that key's PRIOR events. The same
+    * exact-integer policy as the batch side: values become cents, the
+    * z-test is the cross-multiplied `(n·x−S)² > k²(n·Q−S²)` evaluated in
+    * BigInt — no float mean/variance ever exists, so an alert decision is
+    * bit-stable and the batch twin (`anomalyAlertsBatch`) reproduces it
+    * row-for-row.
+    *
+    * State per key is three longs (count, Σcents, Σcents²) — constant
+    * size, never a sample buffer; Σx² stays inside Long for ~1e9 events/key
+    * at the corpus's cent magnitudes (the state would be lifted to two-word
+    * arithmetic long before a single key sees more). "Prior" means events
+    * already processed: within a micro-batch rows apply in event-time
+    * order, across batches in arrival order — the standard online-scoring
+    * semantics (an exact event-time replay would need full buffering; the
+    * batch twin IS that replay, and the parity spec runs time-ordered
+    * batches where both agree exactly). No timeout: the keyspace is the
+    * bounded per-entity domain, and three longs per key is the cheapest
+    * state this engine carries. */
+  def anomalyAlerts(events: Dataset[Event], k: Long = 2, minPrior: Long = 10):
+      Dataset[AnomalyAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[StatState]) => {
+          var st = state.getOption.getOrElse(StatState(0L, 0L, 0L))
+          val alerts = scala.collection.mutable.ArrayBuffer.empty[AnomalyAlert]
+          rows.toSeq.sortBy(_.tsMicros).foreach { e =>
+            val x = math.round(e.value * 100) // HALF_UP, = the batch round()
+            if (st.n >= minPrior) {
+              val (n, s, q, xb) = (BigInt(st.n), BigInt(st.s), BigInt(st.q), BigInt(x))
+              val dev = n * xb - s
+              if (dev * dev > k * k * (n * q - s * s))
+                alerts += AnomalyAlert(userId, e.tsMicros, x, st.n)
+            }
+            st = StatState(st.n + 1, st.s + x, st.q + x * x)
+          }
+          state.update(st)
+          alerts.iterator
+        })
+  }
+
+  /** Batch replay of `anomalyAlerts` over (user_id, ts_micros, value) rows:
+    * per-key prior-window stats via ROWS UNBOUNDED PRECEDING .. 1 PRECEDING,
+    * the identical cross-multiplied integer test in DECIMAL(38). Exists so
+    * the online operator has an oracle-grade twin (parity-proven in
+    * StreamingSpec). */
+  def anomalyAlertsBatch(events: DataFrame, k: Long = 2, minPrior: Long = 10):
+      DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_micros", "value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cents = round(col("value") * 100).cast("long")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    events
+      .withColumn("cents", cents)
+      .withColumn("pn", count(lit(1)).over(w))
+      .withColumn("ps", sum("cents").over(w))
+      .withColumn("pq", sum(col("cents").cast("decimal(19,0)") * col("cents")).over(w))
+      .filter(col("pn") >= minPrior)
+      .withColumn("dev", dec(col("pn")) * col("cents") - col("ps"))
+      .filter(col("dev") * col("dev") >
+        lit(k * k) * (dec(col("pn")) * col("pq") - dec(col("ps")) * col("ps")))
+      .select(col("user_id").as("userId"), col("ts_micros").as("tsMicros"),
+        col("cents"), col("pn").as("nPrior"))
+  }
+
   final case class DocEvent(source: String, nBytes: Long)
   final case class SourceStats(source: String, nDocs: Long, totBytes: Long)
 

@@ -371,4 +371,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L),
       s"gate must drop exactly the benchmark-overlapping doc, got $kept")
   }
+
+  test("anomalyAlerts: online z-alerts match the batch prior-window replay exactly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val us = 1000000L
+    // user 1: 11 quiet events, a 100x spike (must alert), then 3 more quiet
+    // (variance now blown up → no alert); user 2: all quiet, never alerts
+    val u1 = (0 until 11).map(i => Jobs.Event(1L, i * us, 1.0)) ++
+      Seq(Jobs.Event(1L, 11 * us, 100.0)) ++
+      (12 until 15).map(i => Jobs.Event(1L, i * us, 1.0))
+    val u2 = (0 until 15).map(i => Jobs.Event(2L, i * us, 1.0 + (i % 2) * 0.02))
+    val (batch1, batch2) = (u1.take(13) ++ u2.take(13), u1.drop(13) ++ u2.drop(13))
+
+    val mem = MemoryStream[Jobs.Event]
+    val q = Jobs.anomalyAlerts(mem.toDS()).writeStream.format("memory")
+      .queryName("anomaly_alerts").outputMode("append").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anomaly_alerts").as[Jobs.AnomalyAlert].collect()
+      .map(a => (a.userId, a.tsMicros, a.cents, a.nPrior)).toSet
+
+    val batchDf = (u1 ++ u2).toDF("userId", "tsMicros", "value")
+      .select(col("userId").as("user_id"), col("tsMicros").as("ts_micros"), col("value"))
+    val replay = Jobs.anomalyAlertsBatch(batchDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(streamed == replay,
+      s"stream-only: ${(streamed -- replay).take(3)}; batch-only: ${(replay -- streamed).take(3)}")
+    assert(streamed.exists(a => a._1 == 1L && a._3 == 10000L && a._4 == 11L),
+      s"the 100x spike must alert with 11 priors: $streamed")
+    assert(!streamed.exists(_._1 == 2L), "quiet user must never alert")
+  }
 }
