@@ -19,13 +19,15 @@ import org.apache.spark.sql.SparkSession
   * runs and the best of three is taken (one GC/compile outlier can't
   * masquerade as the query's cost).
   *
-  * Artifact capture: the driver keeps only the LAST ~2000 chars of stdout,
-  * so the stdout line orders its fields tail-first — per-query scalars
-  * then `"wall_sec"`/`"n_failed"`/`"failed"`/`"value"` LAST — and the
-  * complete JSON (including `"raw"`) is also written to
-  * `BENCH_FULL.json` in the working directory. (The r04 artifact lost its
-  * headline total because `"raw"` pushed `"value"` out of the tail
-  * window; this layout makes that impossible.)
+  * Artifact capture: the driver keeps only the LAST ~2000 chars of stdout
+  * and json-parses what it finds there — a line longer than the window is
+  * truncated at the FRONT and can never parse (rounds 1–4 each lost their
+  * artifact exactly this way: `"parsed": null`). So the stdout line is
+  * built under a hard ~1500-char budget: headline fields always present,
+  * and the `"queries"` map lists slowest-first only as far as the budget
+  * allows (`"queries_omitted"` counts the rest). The complete JSON —
+  * every query plus `"raw"` per-pass timings — is always written to
+  * `BENCH_FULL.json` in the working directory.
   *
   * Failure honesty: a query that throws is recorded in `"failed"` with
   * its message, its timing is NOT reported, and the process exits
@@ -113,10 +115,27 @@ object Bench {
     val failedJson = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Headline fields LAST: the driver's artifact keeps only the stdout
-    // tail, and value/wall_sec/failed must survive the cut. "metric" stays
-    // first so a line-scanning parser still finds the record.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"wall_sec":${jnum(wallSec)},"n_failed":${failed.size},"failed":$failedJson,"value":${jnum(total)}}"""
+
+    // ---- compact stdout line, hard budget ≤ LineBudget chars ----
+    // Failed entries first (a regression must survive the cut), messages
+    // truncated; then queries slowest-first until the budget is spent.
+    val LineBudget = 1500
+    val failedShort = failed.take(5)
+      .map { case (k, m) => jstr(k) + ":" + jstr(m.take(60)) }
+      .mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"wall_sec":${jnum(wallSec)},"n_failed":${failed.size},"failed":$failedShort,"""
+    val bySlow = results.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + jnum(v) }
+    // room for: "queries":{…},"queries_omitted":NNN}
+    val fixed = head.length + """"queries":{},"queries_omitted":000}""".length
+    var used = 0; var kept = 0; var stop = false
+    bySlow.foreach { e =>
+      val add = e.length + (if (kept > 0) 1 else 0)
+      if (!stop && fixed + used + add <= LineBudget) { used += add; kept += 1 }
+      else stop = true // strict prefix: take(kept) below must match what fit
+    }
+    val line = head + "\"queries\":{" + bySlow.take(kept).mkString(",") +
+      s"""},"queries_omitted":${bySlow.size - kept}}"""
+
     val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","wall_sec":${jnum(wallSec)},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"raw":$rawJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")

@@ -484,7 +484,15 @@ object Relational {
   }
 
   /** T2/T4: max-by per key with deterministic tie-break (detect.py:114-138 —
-    * max-area box selection): per order, the heaviest lineitem. */
+    * max-area box selection): per order, the heaviest lineitem.
+    *
+    * Shape: `max_by` HASH AGGREGATE, not a row_number window. The window
+    * form shuffles every lineitem and SORTS each order's rows just to keep
+    * one; the aggregate gets map-side partial aggregation (each mapper
+    * emits one candidate per order it sees) and no sort — the winning
+    * shape when rows-per-key ≫ 1 at 100 TB. Tie-break is encoded in the
+    * ordering struct: (quantity, −linenumber) max ⇒ highest quantity,
+    * then LOWEST linenumber — same row the rn=1 oracle picks. */
   val t2MaxBy = sql(
     "t2_maxby",
     """SELECT l_orderkey, l_linenumber, l_quantity
@@ -493,11 +501,12 @@ object Relational {
       |                                ORDER BY l_quantity DESC, l_linenumber) AS rn
       |      FROM lineitem)
       |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("l_orderkey").orderBy(col("l_quantity").desc, col("l_linenumber"))
     Tables.lineitem(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(max_by(
+        struct(col("l_linenumber"), col("l_quantity")),
+        struct(col("l_quantity"), (-col("l_linenumber")).as("nl"))).as("m"))
+      .select(col("l_orderkey"), col("m.l_linenumber"), col("m.l_quantity"))
       .orderBy("l_orderkey")
   }
 

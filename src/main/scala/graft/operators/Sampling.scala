@@ -21,7 +21,7 @@ object Sampling {
   /** First 4 md5 hex digits of the doc id → uniform int in [0, 65536):
     * the shared deterministic "random" primitive (same formula as the
     * SimHash token hash — position() arithmetic runs on both engines). */
-  private def hexBucketSql(key: String): String =
+  private[operators] def hexBucketSql(key: String): String =
     s"""(position(substr(md5(CAST($key AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 4096
        |  + (position(substr(md5(CAST($key AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) * 256
        |  + (position(substr(md5(CAST($key AS VARCHAR)), 3, 1) IN '0123456789abcdef') - 1) * 16
@@ -29,7 +29,7 @@ object Sampling {
 
   /** Spark side: conv(hex, 16, 10) of the same 4 digits — same VALUE as
     * the oracle's position() arithmetic, idiomatic on each engine. */
-  private def hexBucketCol(key: org.apache.spark.sql.Column) =
+  private[operators] def hexBucketCol(key: org.apache.spark.sql.Column) =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
 
   /** 8/1/1 split boundaries over the 65536-bucket space — the SINGLE source

@@ -522,8 +522,79 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** kNN LABEL-ACCURACY eval: leave-one-out 10-NN majority-vote
+    * classification over a deterministic ~10% probe sample, reported per
+    * label — the embedding-quality number (neighborhood label purity) a
+    * training pipeline checks before trusting vectors for retrieval or
+    * clustering.
+    *
+    * Scale shape: the probe set is a hash-gated BOUNDED eval sample (same
+    * md5-bucket gate as `sample_hash` — reproducible, no rand()) and is
+    * broadcast; the corpus side streams past it once. Per-probe top-10 is
+    * a window over |corpus| rows per probe — eval-sized work (probes ×
+    * corpus), the standard budgeted eval, not an all-pairs product.
+    * Majority vote ties break to the smallest label; cosine rank ties to
+    * the smallest vec_id; cosines are 4-dp rounded BEFORE ranking on both
+    * engines so rank and vote are bit-identical. */
+  val simKnnAccuracy = sql(
+    "sim_knn_accuracy",
+    s"""WITH probes AS (
+       |  SELECT vec_id AS pid, embedding AS pv, label AS plabel
+       |  FROM embeddings
+       |  WHERE ${Sampling.hexBucketSql("vec_id")} < 6554),
+       |pairs AS (
+       |  SELECT p.pid, p.plabel, e.vec_id, e.label,
+       |         round(${dotSql("e.embedding", "p.pv")}
+       |               / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("p.pv", "p.pv")})), 4) AS cos
+       |  FROM embeddings e, probes p
+       |  WHERE e.vec_id <> p.pid),
+       |top AS (
+       |  SELECT pid, plabel, label FROM (
+       |    SELECT pid, plabel, label,
+       |           row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM pairs)
+       |  WHERE rn <= 10),
+       |votes AS (SELECT pid, plabel, label, count(*) AS c
+       |          FROM top GROUP BY pid, plabel, label),
+       |pred AS (
+       |  SELECT pid, plabel, label AS plabel_pred FROM (
+       |    SELECT pid, plabel, label,
+       |           row_number() OVER (PARTITION BY pid ORDER BY c DESC, label) AS vr
+       |    FROM votes)
+       |  WHERE vr = 1)
+       |SELECT plabel AS label,
+       |       CAST(count(*) AS BIGINT) AS n_probes,
+       |       CAST(sum(CASE WHEN plabel_pred = plabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       round(sum(CASE WHEN plabel_pred = plabel THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
+       |FROM pred GROUP BY plabel ORDER BY label""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val probes = emb
+      .filter(Sampling.hexBucketCol(col("vec_id")) < 6554)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"),
+        col("label").as("plabel"))
+    val pairs = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("plabel"), col("vec_id"), col("label"),
+        round(dotCol("embedding", "pv")
+          / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("pv", "pv"))), 4)
+          .as("cos"))
+    val wTop = Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))
+    val votes = pairs.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .groupBy("pid", "plabel", "label").agg(count(lit(1)).as("c"))
+    val wVote = Window.partitionBy("pid").orderBy(col("c").desc, col("label"))
+    val pred = votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("pid"), col("plabel"),
+        (col("label") === col("plabel")).cast("long").as("hit"))
+    pred.groupBy(col("plabel").as("label"))
+      .agg(count(lit(1)).as("n_probes"), sum("hit").as("n_correct"),
+        round(sum("hit") * lit(1.0) / count(lit(1)), 4).as("accuracy"))
+      .orderBy("label")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
-    embInt8Quantize)
+    embInt8Quantize, simKnnAccuracy)
 }

@@ -1109,6 +1109,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PARAGRAPH-LEVEL dedup (C4-style): split every document into
+    * sentence-boundary paragraphs, keep only the globally-FIRST occurrence
+    * of each distinct paragraph (ordered by doc_id then position), and
+    * report per document how much of it survives — the sub-document dedup
+    * pass that removes boilerplate headers/footers repeated across a crawl.
+    *
+    * Scale shape: explode → one partial-aggregable groupBy on the
+    * paragraph's 16-byte md5 (min of an encoded position — map-side
+    * combinable, so the billion-copy boilerplate paragraph collapses to one
+    * row per mapper BEFORE the shuffle, no hot-key join), then the
+    * first-occurrence positions are decoded back to doc_ids and aggregated
+    * per doc — two tiny per-doc frames joined at the end. The skew-prone
+    * alternative (joining first-positions back onto every paragraph copy)
+    * is exactly what this shape avoids.
+    *
+    * Position encoding `doc_id·1e6 + idx` is exact integer arithmetic on
+    * both engines (paragraph index ≪ 1e6 by the generator's doc sizes). */
+  val textParagraphDedup = sql(
+    "text_paragraph_dedup",
+    """WITH p AS (SELECT doc_id, string_split(text, '. ') AS ps FROM documents),
+      |px AS (SELECT doc_id,
+      |              unnest(ps) AS para,
+      |              generate_subscripts(ps, 1) - 1 AS idx
+      |       FROM p),
+      |f AS (SELECT md5(para) AS ph,
+      |             min(doc_id * 1000000 + idx) AS firstpos
+      |      FROM px GROUP BY md5(para)),
+      |nf AS (SELECT firstpos // 1000000 AS doc_id,
+      |              CAST(count(*) AS BIGINT) AS n_first
+      |       FROM f GROUP BY firstpos // 1000000),
+      |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+      |       FROM px GROUP BY doc_id)
+      |SELECT np.doc_id, np.n_paras,
+      |       coalesce(nf.n_first, 0) AS n_first,
+      |       round(1.0 - coalesce(nf.n_first, 0) * 1.0 / np.n_paras, 4) AS dup_frac
+      |FROM np LEFT JOIN nf ON np.doc_id = nf.doc_id
+      |ORDER BY np.doc_id""".stripMargin) { (s, d) =>
+    // Spark split() takes a REGEX: "\\. " is the same literal ". "
+    // boundary DuckDB's string_split uses.
+    val px = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. "))
+        .as(Seq("idx", "para")))
+    // 16-byte binary digest as the shuffle key (hash discipline: key is
+    // equality-only, never output)
+    val first = px
+      .groupBy(unhex(md5(col("para"))).as("ph"))
+      .agg(min(col("doc_id") * lit(1000000L) + col("idx")).as("firstpos"))
+    val nFirst = first
+      .groupBy(expr("firstpos div 1000000").as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    val nParas = px.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+    nParas.join(nFirst, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        round(lit(1.0) - coalesce(col("n_first"), lit(0L)) * lit(1.0) / col("n_paras"), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
@@ -1116,5 +1175,5 @@ object TextOps {
     textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
     dedupContainment, textBigramTopk, corpusDupStats,
-    dedupSpanStats, textNovelty, textPiiRedact)
+    dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup)
 }
