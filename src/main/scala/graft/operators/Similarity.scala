@@ -593,8 +593,81 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** ONE SEEDED LLOYD ITERATION (k = 8) — the codebook-TRAINING step the
+    * IVF/PQ family presupposes: seed centroids are the first 8 vectors
+    * (deterministic, engine-independent init), every vector is assigned to
+    * its nearest seed, and the per-cell means become the next codebook.
+    * Emitted per cell: member count and centroid drift (squared L2 between
+    * seed and updated centroid) — exactly the convergence signal a k-means
+    * driver loop monitors. Iterating is this query applied to its own
+    * output; one step is the oracle-checkable unit.
+    *
+    * Scale shape (mirrors `sim_ivf_assign`): k seed rows broadcast against
+    * the corpus with the native codegen'd `squared_distance`; argmin is the
+    * deterministic `min(struct(dist, cell))` — a partial-aggregable
+    * aggregate, NO window over the corpus; the update is one explode +
+    * partial-aggregable per-(cell, dim) mean; drift touches k·dim rows.
+    * Means are 4-dp rounded BEFORE the drift arithmetic (same discipline
+    * as the IVF codebook) so both engines square identical values. */
+  val simKmeansStep = sql(
+    "sim_kmeans_step",
+    """WITH seeds AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
+      |               FROM embeddings WHERE vec_id < 8),
+      |sx AS (SELECT cell, unnest(cvec) AS ox,
+      |              generate_subscripts(cvec, 1) AS pos
+      |       FROM seeds),
+      |ex AS (SELECT vec_id, unnest(embedding) AS x,
+      |              generate_subscripts(embedding, 1) AS pos
+      |       FROM embeddings),
+      |dists AS (SELECT e.vec_id, s.cell,
+      |                 sum((CAST(e.x AS DOUBLE) - CAST(s.ox AS DOUBLE))
+      |                     * (CAST(e.x AS DOUBLE) - CAST(s.ox AS DOUBLE))) AS dist
+      |          FROM ex e JOIN sx s ON e.pos = s.pos
+      |          GROUP BY e.vec_id, s.cell),
+      |assign AS (SELECT vec_id, cell FROM (
+      |             SELECT vec_id, cell,
+      |                    row_number() OVER (PARTITION BY vec_id
+      |                                       ORDER BY dist, cell) AS rn
+      |             FROM dists)
+      |           WHERE rn = 1),
+      |newc AS (SELECT a.cell, e.pos, round(avg(CAST(e.x AS DOUBLE)), 4) AS nc
+      |         FROM ex e JOIN assign a ON e.vec_id = a.vec_id
+      |         GROUP BY a.cell, e.pos),
+      |drift AS (SELECT n.cell,
+      |                 round(sum((n.nc - CAST(s.ox AS DOUBLE))
+      |                           * (n.nc - CAST(s.ox AS DOUBLE))), 4) AS drift
+      |          FROM newc n JOIN sx s ON n.cell = s.cell AND n.pos = s.pos
+      |          GROUP BY n.cell),
+      |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+      |       FROM assign GROUP BY cell)
+      |SELECT sz.cell, sz.n, d.drift
+      |FROM sz JOIN drift d ON sz.cell = d.cell
+      |ORDER BY sz.cell""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cvec"))
+    val dist = graft.functions.SquaredDistance.squared_distance(
+      col("embedding"), col("cvec"))
+    val assign = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cell"), dist.as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"))).getField("cell").as("cell"))
+    val newc = emb.join(assign, "vec_id")
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .groupBy("cell", "pos0")
+      .agg(round(avg(col("x").cast("double")), 4).as("nc"))
+    val oldc = seeds.select(col("cell"),
+      posexplode(col("cvec")).as(Seq("pos0", "ox")))
+    val diff = col("nc") - col("ox").cast("double")
+    val drift = newc.join(oldc, Seq("cell", "pos0"))
+      .groupBy("cell")
+      .agg(round(sum(diff * diff), 4).as("drift"))
+    val sz = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+    sz.join(drift, "cell").orderBy("cell")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
-    embInt8Quantize, simKnnAccuracy)
+    embInt8Quantize, simKnnAccuracy, simKmeansStep)
 }

@@ -1109,6 +1109,76 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** MINHASH ESTIMATOR CERTIFICATE: per near-dup candidate pair, the
+    * 8-window MinHash Jaccard estimate (matching signature windows / 8)
+    * against the EXACT Jaccard — both computed over the same df-capped
+    * shingle universe so the only difference is estimation error. This is
+    * the calibration number that justifies the signature width: at 100 TB
+    * you act on the estimate (8 windows ≈ ±0.17 std at J=0.5), and this
+    * query proves on live data how tight it is, the same way
+    * `olap_approx_distinct` certifies its HLL sketch and `sim_ivf_recall`
+    * certifies the IVF probe.
+    *
+    * Scale shape: signatures are one extra partial-aggregable groupBy over
+    * the already-capped index; pairs come from the same bounded inverted-
+    * index join as `dedup_ngram_jaccard`; the ≥0.5 exact-Jaccard gate
+    * restricts output to the near-dup regime the estimator targets. */
+  val dedupMinhashEst = sql(
+    "dedup_minhash_est", {
+      val estSql = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString("(", " + ", s") / ${NumHashes}.0")
+      s"""WITH $cappedPairsSqlCte,
+         |sigc AS (SELECT doc_id, $minhashSigSqlCols FROM shc GROUP BY doc_id),
+         |j AS (SELECT da, db, common * 1.0 / (sa.n + sb.n - common) AS ej
+         |      FROM pairs
+         |      JOIN sizes sa ON sa.doc_id = da
+         |      JOIN sizes sb ON sb.doc_id = db
+         |      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5)
+         |SELECT da, db,
+         |       round(ej, 4) AS exact_j,
+         |       round($estSql, 4) AS est_j,
+         |       round(abs(ej - $estSql), 4) AS abs_err
+         |FROM j
+         |JOIN sigc a ON a.doc_id = da
+         |JOIN sigc b ON b.doc_id = db
+         |ORDER BY da, db""".stripMargin
+    }) { (s, d) =>
+    val raw = shingles(s, d).cache()
+    val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("sh")
+    val shc = raw.join(hot, Seq("sh"), "left_anti").cache()
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = shc.select(col("doc_id").as("da"), col("sh"))
+      .join(shc.select(col("doc_id").as("db"), col("sh")), "sh")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    val sig = shc.withColumn("h", md5(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(substring(col("h"), 1, 4)).as("mh0"),
+        (1 until NumHashes).map(j =>
+          min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
+    def sigAs(p: String) = sig.select(
+      col("doc_id").as(s"${p}_id") +:
+        (0 until NumHashes).map(j => col(s"mh$j").as(s"${p}$j")): _*)
+    val ej = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+    val est = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _) / lit(NumHashes.toDouble)
+    pairs
+      .join(sizes.toDF("doc_id", "na"), col("da") === col("doc_id")).drop("doc_id")
+      .join(sizes.toDF("doc_id", "nb"), col("db") === col("doc_id")).drop("doc_id")
+      .filter(ej >= 0.5)
+      .join(sigAs("a"), col("da") === col("a_id"))
+      .join(sigAs("b"), col("db") === col("b_id"))
+      .select(col("da"), col("db"),
+        round(ej, 4).as("exact_j"),
+        round(est, 4).as("est_j"),
+        round(abs(ej - est), 4).as("abs_err"))
+      .orderBy("da", "db")
+  }
+
   /** PARAGRAPH-LEVEL dedup (C4-style): split every document into
     * sentence-boundary paragraphs, keep only the globally-FIRST occurrence
     * of each distinct paragraph (ordered by doc_id then position), and
@@ -1175,5 +1245,6 @@ object TextOps {
     textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
     dedupContainment, textBigramTopk, corpusDupStats,
-    dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup)
+    dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
+    dedupMinhashEst)
 }

@@ -245,4 +245,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"),
       s"redaction must not induce a hash shuffle:\n$plan")
   }
+
+  test("sim_knn_accuracy: probe side broadcast, corpus streams past it once") {
+    val plan = executedPlan("sim_knn_accuracy")
+    // bounded eval sample joins as a broadcast nested loop (vec_id <> pid
+    // is a non-equi predicate); the corpus must never hash-shuffle INTO
+    // the probe pairing
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe set must be broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "probe pairing must not be a shuffled cartesian")
+  }
+
+  test("sim_kmeans_step: seeds broadcast, argmin is an aggregate not a corpus window") {
+    val plan = executedPlan("sim_kmeans_step")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"seed codebook must be broadcast:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      "assignment argmin must be min(struct), not a window over the corpus")
+  }
+
+  test("dedup_minhash_est: pairs from the shingle equi-join, never cartesian") {
+    val plan = executedPlan("dedup_minhash_est")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi pair join appeared")
+  }
+
+  test("text_paragraph_dedup: no join keyed on the paragraph hash (skew-free shape)") {
+    val plan = executedPlan("text_paragraph_dedup")
+    // first-occurrence positions come from a partial-aggregable groupBy on
+    // the paragraph digest; joining first-positions back onto every
+    // paragraph COPY would put the boilerplate hot key on a join — the
+    // only join allowed is the per-doc frame merge on doc_id
+    assert(!plan.contains("SortMergeJoin [ph"), "paragraph-hash join reintroduced")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "min-position aggregate must be partial (map-side combinable)")
+  }
 }
