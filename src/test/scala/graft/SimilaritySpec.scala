@@ -40,4 +40,50 @@ class SimilaritySpec extends AnyFunSuite {
       assert(Similarity.signatureOf(v, planes) == Similarity.signatureOf(scaled, planes))
     }
   }
+
+  /** Planted embeddings table: (vec_id, 64-dim float vector, label). */
+  private def writeEmbeddings(rows: Seq[(Long, Array[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sim-emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** One-hot 64-dim direction for label L (orthogonal across labels). */
+  private def oneHot(dim: Int): Array[Float] = {
+    val v = Array.fill(64)(0.0f); v(dim) = 1.0f; v
+  }
+
+  test("sim_knn_accuracy: orthogonal label clusters classify perfectly") {
+    // 4 labels × 50 identical vectors; cross-label cosine is exactly 0, so
+    // every probe's 10-NN are all same-label → every accuracy row is 1.0.
+    val rows = for (l <- 0 until 4; i <- 0 until 50)
+      yield ((l * 50 + i).toLong, oneHot(l), l)
+    val dir = writeEmbeddings(rows)
+    val got = Similarity.simKnnAccuracy.fn(spark, dir).collect()
+    assert(got.nonEmpty, "the md5 probe gate must select some of 200 ids")
+    got.foreach { r =>
+      assert(r.getAs[Double]("accuracy") == 1.0,
+        s"label ${r.get(0)}: ${r.getAs[Double]("accuracy")}")
+      assert(r.getAs[Long]("n_correct") == r.getAs[Long]("n_probes"))
+    }
+  }
+
+  test("sim_kmeans_step: members glued to their seeds produce zero drift") {
+    // seeds 0..7 are 8 orthogonal one-hot directions; 5 extra exact copies
+    // of each seed. Every copy assigns to its seed's cell (distance 0) and
+    // the per-cell mean equals the seed → drift exactly 0.0 for all cells.
+    val seeds = (0 until 8).map(l => (l.toLong, oneHot(l), l))
+    val copies = for (l <- 0 until 8; i <- 0 until 5)
+      yield ((8 + l * 5 + i).toLong, oneHot(l), l)
+    val dir = writeEmbeddings(seeds ++ copies)
+    val got = Similarity.simKmeansStep.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Double]("drift")))
+    assert(got.map(_._1).toSeq == (0 until 8).toSeq, "one row per cell, ordered")
+    got.foreach { case (cell, n, drift) =>
+      assert(n == 6L, s"cell $cell: expected seed + 5 copies, got $n")
+      assert(drift == 0.0, s"cell $cell drifted: $drift")
+    }
+  }
 }

@@ -198,4 +198,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((4L, 0L)), s"doc 1: ${got(1L)}")
     assert(got(2L) == ((4L, 3L)), s"doc 2: ${got(2L)}")
   }
+
+  test("text_paragraph_dedup: boilerplate paragraph survives only in its first doc") {
+    val dir = writeDocs(Seq(
+      0L -> "shared boilerplate intro. unique zero body. zero tail",
+      1L -> "shared boilerplate intro. unique one body",
+      2L -> "completely fresh document"))
+    val got = TextOps.textParagraphDedup.fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getAs[Double]("dup_frac")))).toMap
+    assert(got(0L) == ((3L, 3L, 0.0)), s"doc 0: ${got(0L)}") // all first
+    // doc 1's intro already appeared in doc 0 → 1 of 2 survives
+    assert(got(1L) == ((2L, 1L, 0.5)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 0.0)), s"doc 2: ${got(2L)}")
+  }
+
+  test("dedup_minhash_est: identical docs estimate exactly 1.0 with zero error") {
+    val a = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val dir = writeDocs(Seq(0L -> a, 1L -> a,
+      2L -> (1 to 12).map(i => s"other$i").mkString(" ")))
+    val got = TextOps.dedupMinhashEst.fn(spark, dir).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    val r = got.head
+    assert(r.getAs[Double]("exact_j") == 1.0)
+    assert(r.getAs[Double]("est_j") == 1.0) // identical shingle sets → all 8 windows match
+    assert(r.getAs[Double]("abs_err") == 0.0)
+  }
+
+  test("dedup_minhash_est: estimate stays in [0,1] and err is |exact-est| on real data") {
+    val rows = TextOps.dedupMinhashEst.fn(spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      val (e, m, err) = (r.getAs[Double]("exact_j"), r.getAs[Double]("est_j"),
+        r.getAs[Double]("abs_err"))
+      assert(m >= 0.0 && m <= 1.0)
+      assert(e >= 0.5, "gate must keep only the near-dup regime")
+      assert(math.abs(err - math.abs(e - m)) <= 1e-3)
+    }
+  }
 }
