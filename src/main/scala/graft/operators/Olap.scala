@@ -543,9 +543,45 @@ object Olap {
       .orderBy("day")
   }
 
+  /** DAU/WAU ACTIVE-USER report with the stickiness ratio (DAU/WAU) — the
+    * engagement headline of any event pipeline. WAU is EXACT: each distinct
+    * (user, day) activity contributes to the 7 day-windows it belongs to
+    * via an explode to (user, window-day) — a pure equi-shape (no range
+    * join, no window function over users). Scale: the explode is 7× the
+    * DISTINCT user-day frame (already ≪ events), both counts are
+    * distinct-first two-stage aggregates, and the final day frame is
+    * calendar-bounded (365 rows/year). */
+  val eventsDauWau = sql(
+    "events_dau_wau",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |            FROM events),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      |wx AS (SELECT DISTINCT u.user_id, u.day + i.i AS wday
+      |       FROM ud u CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS i) i),
+      |wau AS (SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau
+      |        FROM wx GROUP BY wday)
+      |SELECT d.day, d.dau, w.wau,
+      |       round(d.dau * 1.0 / w.wau, 4) AS stickiness
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY d.day""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") * lit(1.0) / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,
-    eventsFunnel, eventsRetention, eventsAnomaly)
+    eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau)
 }

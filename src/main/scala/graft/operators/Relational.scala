@@ -356,6 +356,30 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6 shape: forecast-revenue-change — a pure scan-side query, no
+    * join, no wide agg. Its entire value at 100 TB is PREDICATE PUSHDOWN:
+    * all three filters (shipdate year, discount band, quantity cap) must
+    * reach the parquet reader so row groups outside the year are never
+    * decompressed, and the scan schema carries only the 4 touched columns.
+    * PlanSpec pins both properties. */
+  val q6ForecastRevenue = sql(
+    "q6_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Full TPC-H Q5 shape: region-filtered revenue where the SUPPLIER and the
     * customer share a nation — a six-table join tree. Scale plan: the order
     * date filter prunes the orders scan before its shuffle join with
@@ -563,7 +587,8 @@ object Relational {
     p1Project, p2CsvRoundtrip, p6ElementAt, p8Filter, pJsonParse,
     j1LookupJoin, j2NearestCentroid, j4Semi, j5Anti, j6Salted,
     a1Median, a2Histogram, a3Argmax, a6GlobalMean, a7Metrics,
-    q1Agg, q3RevenueByNation, q5RegionRevenue, q10ReturnedTopk, q18LargeOrders,
+    q1Agg, q3RevenueByNation, q5RegionRevenue, q6ForecastRevenue,
+    q10ReturnedTopk, q18LargeOrders,
     t1TopK, t2MaxBy, w1Running,
     u1Union, k2Explode)
 }

@@ -353,6 +353,43 @@ object Jobs {
       .drop("__toks")
   }
 
+  /** STREAMING EMBEDDING ROUTER — the ingest path of a vector index: each
+    * arriving embedding is assigned to its nearest codebook cell, so a
+    * downstream `partitionBy("cell")` sink co-locates every cell's vectors
+    * and the batch IVF probe (`sim_ivf_topk`) can prune to one shard.
+    *
+    * Streaming shape: the codebook is tiny (k rows) and BROADCAST; the
+    * argmin runs as a per-row loop over the k cells — a STATELESS narrow
+    * map (no stream-static join, no streaming aggregation, no state
+    * store), which is the only shape that keeps an ingest stream at Kafka
+    * throughput. The loop accumulates in double in strict ascending index
+    * order — the identical IEEE op sequence as the batch-side native
+    * `squared_distance` — and ties break to the smallest cell id, so the
+    * streaming assignment is bit-identical to the batch argmin
+    * (parity-proven in StreamingSpec). */
+  def embeddingRouter(embs: DataFrame,
+      codebook: Seq[(Int, Array[Float])]): DataFrame = {
+    val sorted = codebook.sortBy(_._1).toArray
+    val cbB = embs.sparkSession.sparkContext.broadcast(sorted)
+    val assignCell = udf { (v: Seq[Float]) =>
+      val cb = cbB.value
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)._2
+        val n = math.min(c.length, v.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) { val t = v(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = cb(j)._1 } // ascending scan → min cell on tie
+        j += 1
+      }
+      best
+    }
+    embs.withColumn("cell", assignCell(col("embedding")))
+  }
+
   /** Production Kafka wiring (S1/S2 sources, K1/K2 sinks;
     * ml_k_to_ss.py:63, dl_k_to_ss.py:429). The transforms above are pure
     * `DataFrame => DataFrame`, so production is exactly: kafka source →

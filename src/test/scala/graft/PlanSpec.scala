@@ -17,6 +17,10 @@ class PlanSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   private def executedPlan(name: String): String = {
+    // plan rendering elides PushedFilters/ReadSchema past 100 chars by
+    // default — long filter lists (e.g. q6's three pushed predicates) would
+    // truncate mid-name and silently break contains() assertions
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // force AQE final plan
     df.queryExecution.executedPlan.toString
@@ -255,6 +259,16 @@ class PlanSpec extends AnyFunSuite {
       s"probe set must be broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       "probe pairing must not be a shuffled cartesian")
+  }
+
+  test("q6_forecast_revenue: all three predicates pushed to the scan, 4-column schema") {
+    val plan = executedPlan("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(20).mkString("\n"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"), "shipdate range not pushed")
+    assert(plan.contains("GreaterThanOrEqual(l_discount") &&
+      plan.contains("LessThan(l_quantity"), "discount/quantity not pushed")
+    assert(!plan.contains("l_orderkey"), "scan reads unused column l_orderkey")
   }
 
   test("sim_kmeans_step: seeds broadcast, argmin is an aggregate not a corpus window") {

@@ -404,4 +404,43 @@ class StreamingSpec extends AnyFunSuite {
       s"the 100x spike must alert with 11 priors: $streamed")
     assert(!streamed.exists(_._1 == 2L), "quiet user must never alert")
   }
+
+  test("embeddingRouter: streaming cell assignment matches the batch argmin bit-for-bit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val codebook = rows.filter(_._1 < 8).map { case (id, v) => (id.toInt, v) }.toSeq
+
+    // batch ground truth: the sim_kmeans_step assignment shape — broadcast
+    // codebook rows + native squared_distance, deterministic min(struct)
+    val cb = codebook.toDF("cell", "cvec")
+    val dist = graft.functions.SquaredDistance.squared_distance(
+      col("embedding"), col("cvec"))
+    val batch = Tables.embeddings(spark, sf)
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cell"), dist.as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"))).getField("cell").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val routed = Jobs.embeddingRouter(
+      mem.toDF().toDF("vec_id", "embedding"), codebook)
+    val q = routed.writeStream.format("memory").queryName("emb_router")
+      .outputMode("append").start()
+    mem.addData(rows.toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("emb_router").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+
+    assert(streamed.size == rows.length)
+    assert(streamed == batch,
+      s"diverging ids: ${streamed.collect { case (k, v) if batch(k) != v => k }.take(5)}")
+    // seed vectors route to their own cell (distance 0 to themselves)
+    (0 until 8).foreach(i => assert(streamed(i.toLong) == i))
+  }
 }
