@@ -579,9 +579,44 @@ object Olap {
       .orderBy("day")
   }
 
+  /** PER-DAY TOP-3 EVENT TYPES via the native space-saving sketch
+    * (`graft.functions.TopKAgg`) — the constant-memory heavy-hitters
+    * answer to "top values within each group". The exact formulation needs
+    * a count-per-(group, value) shuffle PLUS a rank window; the sketch is
+    * ONE partial-aggregable pass whose per-group state is bounded by
+    * `capacity` regardless of how many distinct values a hot group sees.
+    *
+    * Certificate discipline (the `olap_approx_distinct` pattern): capacity
+    * (64) exceeds the event-type domain (8), so the sketch is provably
+    * exact and merge-order-independent here, and the DuckDB oracle is the
+    * EXACT count + rank SQL — that equality is the test. At 100 TB the
+    * same query with a million-value domain keeps the identical plan and
+    * degrades to the space-saving ≤ n/capacity over-count bound. */
+  val approxTopk = sql(
+    "olap_approx_topk",
+    """WITH g AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                  event_type, CAST(count(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT day, event_type, cnt,
+      |             row_number() OVER (PARTITION BY day
+      |                                ORDER BY cnt DESC, event_type) AS rank
+      |      FROM g)
+      |SELECT day, CAST(rank AS INT) AS rank, event_type, cnt
+      |FROM r WHERE rank <= 3
+      |ORDER BY day, rank""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("event_type"))
+      .groupBy("day")
+      .agg(graft.functions.TopKAgg.approx_top_k(col("event_type"), 3, 64).as("tk"))
+      .select(col("day"), posexplode(col("tk")).as(Seq("pos0", "s")))
+      .select(col("day"), (col("pos0") + 1).cast("int").as("rank"),
+        col("s.value").as("event_type"), col("s.cnt").as("cnt"))
+      .orderBy("day", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,
-    eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau)
+    eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk)
 }

@@ -380,6 +380,33 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q14 shape: promo-revenue share for one shipping month — the
+    * conditional-aggregate-over-a-join pattern. Scale plan: the one-month
+    * shipdate range is pushed to the lineitem scan BEFORE the join (the
+    * filter cuts ~99% of the fact side at TPC-H date spreads), part is the
+    * small side and broadcast, and the CASE lives inside one partial
+    * aggregate — one pass, no second join for the denominator. */
+  val q14PromoShare = sql(
+    "q14_promo_share",
+    """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+      |                              THEN l.l_extendedprice * (1 - l.l_discount)
+      |                              ELSE 0 END)
+      |             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share,
+      |       count(*) AS n_items
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      |  AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'""".stripMargin) { (s, d) =>
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-09-01 00:00:00"))
+        && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-10-01 00:00:00")))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0))
+          / sum(rev), 4).as("promo_share"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Full TPC-H Q5 shape: region-filtered revenue where the SUPPLIER and the
     * customer share a nation — a six-table join tree. Scale plan: the order
     * date filter prunes the orders scan before its shuffle join with
@@ -588,7 +615,7 @@ object Relational {
     j1LookupJoin, j2NearestCentroid, j4Semi, j5Anti, j6Salted,
     a1Median, a2Histogram, a3Argmax, a6GlobalMean, a7Metrics,
     q1Agg, q3RevenueByNation, q5RegionRevenue, q6ForecastRevenue,
-    q10ReturnedTopk, q18LargeOrders,
+    q10ReturnedTopk, q14PromoShare, q18LargeOrders,
     t1TopK, t2MaxBy, w1Running,
     u1Union, k2Explode)
 }

@@ -271,6 +271,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("l_orderkey"), "scan reads unused column l_orderkey")
   }
 
+  test("q14_promo_share: month range pushed to the lineitem scan, part broadcast") {
+    val plan = executedPlan("q14_promo_share")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"), "shipdate month not pushed")
+    assert(plan.contains("BroadcastHashJoin"), "part dimension must broadcast")
+  }
+
+  test("olap_approx_topk: sketch aggregation is partial (map-side combine), no count window") {
+    val plan = executedPlan("olap_approx_topk")
+    assert(plan.contains("ObjectHashAggregate"), "TypedImperativeAggregate path expected")
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      "sketch must partial-aggregate map-side before the day shuffle")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      "no rank window may appear — ranking happens inside the sketch")
+  }
+
   test("sim_kmeans_step: seeds broadcast, argmin is an aggregate not a corpus window") {
     val plan = executedPlan("sim_kmeans_step")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),

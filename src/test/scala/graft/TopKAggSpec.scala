@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.functions.TopKAgg
+
+class TopKAggSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Tables.localSession("topk-agg-spec", cores = 8)
+
+  private def topk(values: Seq[String], k: Int, cap: Int,
+      partitions: Int = 1): Seq[(String, Long)] = {
+    import spark.implicits._
+    val df = spark.sparkContext.parallelize(values, partitions).toDF("v")
+    val arr = df.agg(TopKAgg.approx_top_k(col("v"), k, cap).as("tk"))
+      .select(explode(col("tk")).as("s"))
+      .select(col("s.value"), col("s.cnt")).collect()
+    arr.map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  test("exact regime: counts and (count desc, value asc) order match exactly") {
+    val vs = Seq.fill(5)("x") ++ Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq("z")
+    assert(topk(vs, 3, 64) == Seq(("x", 5L), ("a", 3L), ("b", 3L)))
+  }
+
+  test("exact regime is partitioning-independent (merge path exercised)") {
+    val vs = (1 to 200).map(i => s"v${i % 7}")
+    val one = topk(vs, 7, 64, partitions = 1)
+    val many = topk(vs, 7, 64, partitions = 8)
+    assert(one == many)
+    assert(one.map(_._2).sum == 200)
+  }
+
+  test("space-saving eviction: replaced minimum's count is inherited") {
+    // single partition, known order: a a b c with capacity 2 —
+    // c evicts (b,1) and inherits its count → (c, 2) with err 1
+    assert(topk(Seq("a", "a", "b", "c"), 2, 2) == Seq(("a", 2L), ("c", 2L)))
+  }
+
+  test("over-count bounded by n/capacity in the degraded regime") {
+    // 40 distinct singletons through capacity 8: every reported count is
+    // an over-estimate but can never exceed ceil(n/cap) + 1 = 6
+    val vs = (1 to 40).map(i => s"u$i")
+    val got = topk(vs, 8, 8)
+    assert(got.size == 8)
+    got.foreach { case (_, c) => assert(c >= 1L && c <= 6L, s"count $c") }
+  }
+}
