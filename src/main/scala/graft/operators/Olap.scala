@@ -596,7 +596,7 @@ object Olap {
     "olap_approx_topk",
     """WITH g AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
       |                  event_type, CAST(count(*) AS BIGINT) AS cnt
-      |           FROM events GROUP BY 1, 2),
+      |           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
       |r AS (SELECT day, event_type, cnt,
       |             row_number() OVER (PARTITION BY day
       |                                ORDER BY cnt DESC, event_type) AS rank
@@ -605,6 +605,9 @@ object Olap {
       |FROM r WHERE rank <= 3
       |ORDER BY day, rank""".stripMargin) { (s, d) =>
     Tables.events(s, d)
+      // the sketch skips nulls (aggregate convention); the oracle's GROUP BY
+      // would keep a NULL group — exclude it on both sides explicitly
+      .filter(col("event_type").isNotNull)
       .select(expr("(ts div 1000) div 86400000000").as("day"), col("event_type"))
       .groupBy("day")
       .agg(graft.functions.TopKAgg.approx_top_k(col("event_type"), 3, 64).as("tk"))

@@ -567,16 +567,22 @@ object Similarity {
        |       CAST(sum(CASE WHEN plabel_pred = plabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        |       round(sum(CASE WHEN plabel_pred = plabel THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS accuracy
        |FROM pred GROUP BY plabel ORDER BY label""".stripMargin) { (s, d) =>
+    // norms precomputed ONCE per side before the pairing (the
+    // sim_neardup_pairs / sim_knn_graph discipline) — recomputing
+    // sqrt(dot(e,e)) inside the pair projection would redo each corpus
+    // vector's self-product once PER PROBE; the product keeps the
+    // candidate-norm × probe-norm order so the cosine stays bit-identical
+    // to the oracle's inline sqrt(dot)·sqrt(dot)
     val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
     val probes = emb
       .filter(Sampling.hexBucketCol(col("vec_id")) < 6554)
       .select(col("vec_id").as("pid"), col("embedding").as("pv"),
-        col("label").as("plabel"))
+        col("nrm").as("pnrm"), col("label").as("plabel"))
     val pairs = emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("pid"))
       .select(col("pid"), col("plabel"), col("vec_id"), col("label"),
-        round(dotCol("embedding", "pv")
-          / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("pv", "pv"))), 4)
+        round(dotCol("embedding", "pv") / (col("nrm") * col("pnrm")), 4)
           .as("cos"))
     val wTop = Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))
     val votes = pairs.withColumn("rn", row_number().over(wTop))

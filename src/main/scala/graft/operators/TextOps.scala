@@ -147,13 +147,23 @@ object TextOps {
     * per-doc sizes as `na`/`nb`. The sizes aggregate is per-doc (NOT
     * broadcastable at corpus scale) — AQE converts the joins to broadcast
     * at runtime when it turns out small. */
-  private def cappedPairsWithSizes(s: org.apache.spark.sql.SparkSession,
+  /** The df-capped inverted shingle index `shc(doc_id, sh)` — the ONE
+    * Spark-side definition of the capped shingle universe (cached:
+    * consumers read it several ways). */
+  private def cappedShingleIndex(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val raw = shingles(s, d).cache() // read twice: df aggregation + anti join
     val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select("sh")
     // left_anti keeps the hot-key list out of the big join's key space
-    val sh = raw.join(hot, Seq("sh"), "left_anti").cache()
+    raw.join(hot, Seq("sh"), "left_anti").cache()
+  }
+
+  private def cappedPairsWithSizes(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      shcIn: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = shcIn.getOrElse(cappedShingleIndex(s, d))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("sh"))
     val b = sh.select(col("doc_id").as("db"), col("sh"))
@@ -219,15 +229,20 @@ object TextOps {
   private val minhashSigSqlCols: String = (0 until NumHashes)
     .map(j => s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j").mkString(",\n       ")
 
-  /** Spark side of `sig(doc_id, mh0..mh7)`. */
-  private def minhashSig(s: org.apache.spark.sql.SparkSession, d: String) =
-    shingles(s, d)
-      .withColumn("h", md5(col("sh")))
+  /** The ONE Spark-side definition of the 8-window signature aggregation,
+    * over ANY (doc_id, sh) index — the production signatures run it over
+    * the full shingle set, the estimator certificate over the capped one. */
+  private def sigOver(idx: org.apache.spark.sql.DataFrame) =
+    idx.withColumn("h", md5(col("sh")))
       .groupBy("doc_id")
       .agg(
         min(substring(col("h"), 1, 4)).as("mh0"),
         (1 until NumHashes).map(j =>
           min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
+
+  /** Spark side of `sig(doc_id, mh0..mh7)`. */
+  private def minhashSig(s: org.apache.spark.sql.SparkSession, d: String) =
+    sigOver(shingles(s, d))
 
   /** MinHash signatures: one md5 per shingle, sliced into 8 disjoint 4-hex
     * (16-bit) windows — md5 bits are independent, so the windows act as 8
@@ -1144,21 +1159,11 @@ object TextOps {
          |JOIN sigc b ON b.doc_id = db
          |ORDER BY da, db""".stripMargin
     }) { (s, d) =>
-    val raw = shingles(s, d).cache()
-    val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap).select("sh")
-    val shc = raw.join(hot, Seq("sh"), "left_anti").cache()
-    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = shc.select(col("doc_id").as("da"), col("sh"))
-      .join(shc.select(col("doc_id").as("db"), col("sh")), "sh")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("common"))
-    val sig = shc.withColumn("h", md5(col("sh")))
-      .groupBy("doc_id")
-      .agg(
-        min(substring(col("h"), 1, 4)).as("mh0"),
-        (1 until NumHashes).map(j =>
-          min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
+    // the SAME capped index feeds the exact pairs and the signatures — the
+    // shared helpers guarantee the certificate's universe can never fork
+    // from the queries it certifies
+    val shc = cappedShingleIndex(s, d)
+    val sig = sigOver(shc)
     def sigAs(p: String) = sig.select(
       col("doc_id").as(s"${p}_id") +:
         (0 until NumHashes).map(j => col(s"mh$j").as(s"${p}$j")): _*)
@@ -1166,9 +1171,7 @@ object TextOps {
     val est = (0 until NumHashes)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
       .reduce(_ + _) / lit(NumHashes.toDouble)
-    pairs
-      .join(sizes.toDF("doc_id", "na"), col("da") === col("doc_id")).drop("doc_id")
-      .join(sizes.toDF("doc_id", "nb"), col("db") === col("doc_id")).drop("doc_id")
+    cappedPairsWithSizes(s, d, Some(shc))
       .filter(ej >= 0.5)
       .join(sigAs("a"), col("da") === col("a_id"))
       .join(sigAs("b"), col("db") === col("b_id"))

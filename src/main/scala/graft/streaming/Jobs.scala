@@ -371,21 +371,31 @@ object Jobs {
       codebook: Seq[(Int, Array[Float])]): DataFrame = {
     val sorted = codebook.sortBy(_._1).toArray
     val cbB = embs.sparkSession.sparkContext.broadcast(sorted)
+    // Option[Int] result: a malformed record (null embedding, or a
+    // dimension that matches no codebook entry) routes to cell NULL rather
+    // than killing the stream — matching the batch path, where
+    // squared_distance yields null on null/length-mismatch and the argmin
+    // aggregate then has no candidate. A dead-letter filter on
+    // `cell IS NULL` is the caller's quarantine hook.
     val assignCell = udf { (v: Seq[Float]) =>
-      val cb = cbB.value
-      var best = -1
-      var bestD = Double.PositiveInfinity
-      var j = 0
-      while (j < cb.length) {
-        val c = cb(j)._2
-        val n = math.min(c.length, v.length)
-        var d = 0.0
-        var i = 0
-        while (i < n) { val t = v(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = cb(j)._1 } // ascending scan → min cell on tie
-        j += 1
+      if (v == null) Option.empty[Int]
+      else {
+        val cb = cbB.value
+        var best = Option.empty[Int]
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cb.length) {
+          val c = cb(j)._2
+          if (c.length == v.length) { // mismatched entries are no candidate
+            var d = 0.0
+            var i = 0
+            while (i < c.length) { val t = v(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = Some(cb(j)._1) } // ascending scan → min cell on tie
+          }
+          j += 1
+        }
+        best
       }
-      best
     }
     embs.withColumn("cell", assignCell(col("embedding")))
   }

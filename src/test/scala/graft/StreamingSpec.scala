@@ -443,4 +443,25 @@ class StreamingSpec extends AnyFunSuite {
     // seed vectors route to their own cell (distance 0 to themselves)
     (0 until 8).foreach(i => assert(streamed(i.toLong) == i))
   }
+
+  test("embeddingRouter: malformed records route to cell NULL, not a crash") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val good = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .head()
+    val codebook = Seq((0, good._2))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Jobs.embeddingRouter(mem.toDF().toDF("vec_id", "embedding"), codebook)
+      .writeStream.format("memory").queryName("emb_router_bad")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, good._2),            // well-formed → cell 0
+      (2L, null),               // null embedding → NULL cell
+      (3L, Array(1.0f, 2.0f)))  // wrong dimension → NULL cell
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("emb_router_bad").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(got == Map(1L -> Some(0), 2L -> None, 3L -> None), s"got $got")
+  }
 }

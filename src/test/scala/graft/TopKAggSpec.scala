@@ -46,4 +46,33 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got.size == 8)
     got.foreach { case (_, c) => assert(c >= 1L && c <= 6L, s"count $c") }
   }
+
+  test("merge-trim preserves the over-estimate invariant (floor accounting)") {
+    // Degraded regime ACROSS partitions: merge must trim summaries, and a
+    // naive trim (drop smallest, forget their mass) would let later
+    // re-insertions UNDER-estimate — the space-saving guarantee is
+    // estimate >= true count for every REPORTED value. Skewed data over
+    // many partitions exercises merge-trim on every combine.
+    val vs = (1 to 600).map { i =>
+      if (i % 3 == 0) "hot" else if (i % 7 == 0) "warm" else s"noise${i % 97}"
+    }
+    val truth = vs.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val got = topk(vs, 4, 4, partitions = 16)
+    assert(got.nonEmpty)
+    got.foreach { case (v, c) =>
+      assert(c >= truth(v),
+        s"$v reported $c < true ${truth(v)} — trimmed mass was lost")
+    }
+    // the heavy hitter must surface despite the tiny capacity
+    assert(got.map(_._1).contains("hot"))
+  }
+
+  test("values beyond 64 KiB round-trip through serialization") {
+    // writeUTF would throw UTFDataFormatException here; the length-prefixed
+    // encoding must carry a long token/URL value through the shuffle
+    val big = "x" * 100000
+    val vs = Seq(big, big, big, "small", "small")
+    val got = topk(vs, 2, 4, partitions = 2) // >1 partition forces serialize+merge
+    assert(got == Seq((big, 3L), ("small", 2L)))
+  }
 }
