@@ -150,12 +150,11 @@ object Sampling {
           .as("split"))
     // tokenize once, slide an 8-token window, hash each shingle; the hash
     // is ONLY an equality key (never output), so carry the 16-byte binary
-    // digest through the joins instead of the 32-char hex string
-    val sh = sp.filter(size(col("t")) >= 8)
+    // digest through the joins — computed by the native shingle_md5s loop
+    // (no interpreted per-window lambda, no intermediate window strings)
+    val sh = sp
       .select(col("doc_id"), col("split"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(t) - 8), i -> unhex(md5(concat_ws(' ', slice(t, i + 1, 8)))))")))
-          .as("sh"))
+        explode(graft.functions.ShingleMd5s.shingle_md5s(col("t"), 8)).as("sh"))
       .cache()
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > 50).select("sh")

@@ -101,17 +101,20 @@ object TextOps {
   }
 
   /** Word-3-gram shingle set per document (distinct), as an inverted index:
-    * (doc_id, shingle). Shared building block for Jaccard + MinHash. */
+    * (doc_id, sh) where `sh` is the shingle's 16-BYTE md5 DIGEST — the
+    * equality key every consumer joins/groups/df-counts on (half the
+    * shuffle width of the 30-char string, same repo-wide binary-key
+    * discipline as the band/decontam keys). Built by the native
+    * `shingle_md5s` expression: one compiled loop per row, no interpreted
+    * per-window lambda, no intermediate window strings (see
+    * [[graft.functions.ShingleMd5s]] for the oracle-parity contract). */
   private def shingles(s: org.apache.spark.sql.SparkSession, d: String) = {
     // tokenize ONCE per row (a naive transform over split(text) re-runs the
     // regex split per shingle — ~200 splits/doc), then slide the window.
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
-          .as("sh"))
+        explode(graft.functions.ShingleMd5s.shingle_md5s(
+          split(col("text"), " "), 3)).as("sh"))
   }
 
   private val shinglesSql =
@@ -231,9 +234,11 @@ object TextOps {
 
   /** The ONE Spark-side definition of the 8-window signature aggregation,
     * over ANY (doc_id, sh) index — the production signatures run it over
-    * the full shingle set, the estimator certificate over the capped one. */
+    * the full shingle set, the estimator certificate over the capped one.
+    * `sh` IS the shingle's md5 digest, so the hex the windows slice is
+    * `lower(hex(sh))` — byte-identical to the oracle's `md5(shingle)`. */
   private def sigOver(idx: org.apache.spark.sql.DataFrame) =
-    idx.withColumn("h", md5(col("sh")))
+    idx.withColumn("h", lower(hex(col("sh"))))
       .groupBy("doc_id")
       .agg(
         min(substring(col("h"), 1, 4)).as("mh0"),
