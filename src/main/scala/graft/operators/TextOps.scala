@@ -1017,14 +1017,13 @@ object TextOps {
       |       round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_rate
       |FROM sp JOIN df USING (h)
       |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin) { (s, d) =>
+    // native hasher: spans leave the row already distinct-per-doc as
+    // 16-byte digests — the per-(doc, span) distinct used to be a whole
+    // shuffle Exchange here; now no window string or hex is ever built
     val sp = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 8)
-      // 1-based slice(t, i, 8); last start = size-7 so the span stays in-doc
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 7), i -> md5(concat_ws(' ', slice(t, i, 8))))"))
-        .as("h"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleMd5s.shingle_md5s(
+          split(col("text"), " "), 8)).as("h"))
     val df = sp.groupBy("h").agg(count(lit(1)).as("df"))
     val dup = when(col("df") >= 2, 1L).otherwise(0L)
     sp.join(df, "h")
@@ -1058,13 +1057,13 @@ object TextOps {
       |             / count(*), 4) AS novelty
       |FROM tri JOIN fst USING (g)
       |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin) { (s, d) =>
+    // trigram keys travel as 16-byte digests, already distinct-per-doc
+    // from the native hasher (the old explode().distinct() was a full
+    // shuffle); first-occurrence equality classes are unchanged
     val tri = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
-        .as("g"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleMd5s.shingle_md5s(
+          split(col("text"), " "), 3)).as("g"))
     val fst = tri.groupBy("g").agg(min("doc_id").as("first_doc"))
     val novel = when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)
     tri.join(fst, "g")
