@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
   * Windows: positions 0..len−n (len < n → empty array, the upstream
   * size-filter semantics); null input array → null.
   */
-case class ShingleMd5s(child: Expression, n: Int)
+case class ShingleMd5s(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, "window size must be >= 1")
@@ -63,7 +63,11 @@ case class ShingleMd5s(child: Expression, n: Int)
       i += 1
     }
     val md = ShingleMd5s.digester.get()
+    // LinkedHashSet preserves first-occurrence order (matching
+    // array_distinct); multiplicity mode (distinct = false, for counting
+    // consumers like text_repetition) keeps every window in position order
     val seen = new java.util.LinkedHashSet[ByteBuffer]
+    val all = if (distinct) null else new Array[Any](m - n + 1)
     i = 0
     while (i + n <= m) {
       md.reset()
@@ -78,9 +82,11 @@ case class ShingleMd5s(child: Expression, n: Int)
         }
         j += 1
       }
-      seen.add(ByteBuffer.wrap(md.digest()))
+      val digest = md.digest()
+      if (distinct) seen.add(ByteBuffer.wrap(digest)) else all(i) = digest
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -104,8 +110,10 @@ object ShingleMd5s {
   private val digester: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** shingle_md5s(tokens, n) — distinct md5 digests of the n-token
-    * space-joined windows. */
-  def shingle_md5s(tokens: Column, n: Int): Column =
-    GraftSqlBridge.column(ShingleMd5s(GraftSqlBridge.expression(tokens), n))
+  /** shingle_md5s(tokens, n) — md5 digests of the n-token space-joined
+    * windows; distinct (first-occurrence order) by default, every window
+    * in position order with `distinct = false`. */
+  def shingle_md5s(tokens: Column, n: Int, distinct: Boolean = true): Column =
+    GraftSqlBridge.column(
+      ShingleMd5s(GraftSqlBridge.expression(tokens), n, distinct))
 }

@@ -970,14 +970,13 @@ object TextOps {
       |       round(top_n * 1.0 / n_bigrams, 4) AS top_share,
       |       round((n_bigrams - n_distinct) * 1.0 / n_bigrams, 4) AS dup_share
       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // bigrams are count keys only (never output): the native hasher in
+    // MULTIPLICITY mode (distinct = false) emits every window's digest in
+    // position order — same per-(doc, bigram) counts as the string form,
+    // no interpreted lambda, no intermediate bigram strings
     val bg = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      // 0-based w[i]; sequence guarded: size<2 → no bigrams (Spark's
-      // sequence(1, 0) would DESCEND, not return empty)
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
-          "ELSE transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i])) END"))
-        .as("g"))
+      .select(col("doc_id"), explode(graft.functions.ShingleMd5s
+        .shingle_md5s(split(col("text"), " "), 2, distinct = false)).as("g"))
     bg.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
       .agg(

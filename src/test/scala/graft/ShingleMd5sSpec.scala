@@ -48,6 +48,19 @@ class ShingleMd5sSpec extends AnyFunSuite {
     assert(native.size == native.distinct.size)
   }
 
+  test("multiplicity mode keeps every window in position order") {
+    import spark.implicits._
+    val df = Seq("a b a b a").toDF("text")
+      .select(split(col("text"), " ").as("t"))
+    val decl = df.select(expr(
+      "transform(sequence(1, size(t) - 1), i -> unhex(md5(concat(t[i - 1], ' ', t[i]))))")
+      .as("d")).collect().head.getSeq[Array[Byte]](0).map(_.toSeq)
+    val native = df.select(ShingleMd5s.shingle_md5s(col("t"), 2, distinct = false)
+      .as("n")).collect().head.getSeq[Array[Byte]](0).map(_.toSeq)
+    assert(native == decl)              // 4 windows: ab ba ab ba
+    assert(native.size == 4 && native.distinct.size == 2)
+  }
+
   test("parity on real corpus text at n=3 and n=8") {
     import spark.implicits._
     val texts = Tables.documents(spark, "/root/testdata/sf0.001")
