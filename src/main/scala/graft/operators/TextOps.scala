@@ -811,27 +811,31 @@ object TextOps {
     * All ratios are exact integer divisions rounded at 4 dp; the gates are
     * integer comparisons on the UNROUNDED rationals via cross-multiplied
     * integer arithmetic — no float boundary risk. */
-  val textQuality = sql(
-    "text_quality",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars
-      |           FROM documents),
+  /** SQL CTE chain ending in `m(doc_id, n_tokens, n_stop, n_digit,
+    * n_letters)` — the ONE definition of the quality metric inputs, shared
+    * by the per-doc quality query and the curation funnel. */
+  private val qualityMetricsSqlCte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars
+      |      FROM documents),
       |m AS (SELECT doc_id,
       |             len(toks) AS n_tokens,
       |             len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is'))) AS n_stop,
       |             len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS n_digit,
       |             n_chars - len(toks) + 1 AS n_letters
-      |      FROM t)
-      |SELECT doc_id, n_tokens,
-      |       round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
-      |       round(n_digit * 1.0 / n_tokens, 4) AS digit_ratio,
-      |       round(n_letters * 1.0 / n_tokens, 4) AS mean_wl,
-      |       CAST((CASE WHEN n_letters >= 3 * n_tokens AND n_letters <= 10 * n_tokens
-      |                  THEN 1 ELSE 0 END)
-      |          + (CASE WHEN n_stop > 0 THEN 1 ELSE 0 END)
-      |          + (CASE WHEN 5 * n_digit < n_tokens THEN 1 ELSE 0 END) AS INT) AS quality
-      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |      FROM t)""".stripMargin
+
+  /** SQL for the 0–3 quality score over `m`'s columns (exact integer
+    * gates; same expression on both engines). */
+  private val qualityScoreSql: String =
+    """CAST((CASE WHEN n_letters >= 3 * n_tokens AND n_letters <= 10 * n_tokens
+      |           THEN 1 ELSE 0 END)
+      |   + (CASE WHEN n_stop > 0 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN 5 * n_digit < n_tokens THEN 1 ELSE 0 END) AS INT)""".stripMargin
+
+  /** Spark side of `m` + the quality score column. */
+  private def qualityMetrics(s: org.apache.spark.sql.SparkSession, d: String) = {
     val stopList = Seq("the", "a", "of", "and", "in", "to", "is")
-    val m = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"),
         length(col("text")).as("n_chars"))
       .select(col("doc_id"),
@@ -839,15 +843,29 @@ object TextOps {
         size(filter(col("toks"), t => t.isInCollection(stopList))).as("n_stop"),
         size(filter(col("toks"), t => t.rlike("^[0-9]+$"))).as("n_digit"),
         (col("n_chars") - size(col("toks")) + 1).as("n_letters"))
-    m.select(col("doc_id"), col("n_tokens"),
-      round(col("n_stop") * lit(1.0) / col("n_tokens"), 4).as("stop_ratio"),
-      round(col("n_digit") * lit(1.0) / col("n_tokens"), 4).as("digit_ratio"),
-      round(col("n_letters") * lit(1.0) / col("n_tokens"), 4).as("mean_wl"),
-      (when(col("n_letters") >= lit(3) * col("n_tokens") &&
-            col("n_letters") <= lit(10) * col("n_tokens"), 1).otherwise(0)
-        + when(col("n_stop") > 0, 1).otherwise(0)
-        + when(lit(5) * col("n_digit") < col("n_tokens"), 1).otherwise(0))
-        .cast("int").as("quality"))
+      .withColumn("quality",
+        (when(col("n_letters") >= lit(3) * col("n_tokens") &&
+              col("n_letters") <= lit(10) * col("n_tokens"), 1).otherwise(0)
+          + when(col("n_stop") > 0, 1).otherwise(0)
+          + when(lit(5) * col("n_digit") < col("n_tokens"), 1).otherwise(0))
+          .cast("int"))
+  }
+
+  val textQuality = sql(
+    "text_quality",
+    s"""WITH $qualityMetricsSqlCte
+       |SELECT doc_id, n_tokens,
+       |       round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+       |       round(n_digit * 1.0 / n_tokens, 4) AS digit_ratio,
+       |       round(n_letters * 1.0 / n_tokens, 4) AS mean_wl,
+       |       $qualityScoreSql AS quality
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    qualityMetrics(s, d)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_stop") * lit(1.0) / col("n_tokens"), 4).as("stop_ratio"),
+        round(col("n_digit") * lit(1.0) / col("n_tokens"), 4).as("digit_ratio"),
+        round(col("n_letters") * lit(1.0) / col("n_tokens"), 4).as("mean_wl"),
+        col("quality"))
       .orderBy("doc_id")
   }
 
@@ -1244,6 +1262,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CORPUS CURATION FUNNEL — the report every corpus pipeline publishes:
+    * per source, how many documents survive each gate of the curation
+    * stack, applied cumulatively in pipeline order — length floor
+    * (≥ 10 tokens), then the 3/3 quality score, then near-dup canonical
+    * keep (cluster root). The stage-over-stage drop is what tells you
+    * WHICH gate is eating a source's documents before you spend a 100 TB
+    * pass on it.
+    *
+    * Scale shape: ONE conditional-aggregate pass — the per-doc gate frame
+    * (quality metrics ⋈ cluster labels ⋈ source) aggregates all four
+    * stage counts in a single partial-aggregable groupBy; no UNION ALL
+    * re-scan per stage, no window. The cluster-label subtree is the same
+    * bounded pipeline `dedup_clusters` runs. */
+  val corpusCurationFunnel = sql(
+    "corpus_curation_funnel",
+    s"""WITH RECURSIVE $clusterLabelsSqlCte,
+       |$qualityMetricsSqlCte,
+       |q AS (SELECT doc_id, n_tokens, $qualityScoreSql AS quality FROM m),
+       |s AS (SELECT d.source, q.n_tokens, q.quality,
+       |             (c.root = c.doc_id) AS keep
+       |      FROM documents d
+       |      JOIN q ON q.doc_id = d.doc_id
+       |      JOIN cc c ON c.doc_id = d.doc_id)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_all,
+       |       CAST(sum(CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+       |       CAST(sum(CASE WHEN n_tokens >= 10 AND quality = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |       CAST(sum(CASE WHEN n_tokens >= 10 AND quality = 3 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val gates = qualityMetrics(s, d).select("doc_id", "n_tokens", "quality")
+      .join(clusterLabels(s, d), "doc_id")
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("n_tokens"), col("quality"),
+        (col("cluster") === col("doc_id")).as("keep"))
+    val lenOk = col("n_tokens") >= 10
+    val qualOk = lenOk && col("quality") === 3
+    val uniqOk = qualOk && col("keep")
+    gates.groupBy("source").agg(
+      count(lit(1)).as("n_all"),
+      sum(lenOk.cast("long")).as("n_length"),
+      sum(qualOk.cast("long")).as("n_quality"),
+      sum(uniqOk.cast("long")).as("n_unique"))
+      .orderBy("source")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
@@ -1252,5 +1315,5 @@ object TextOps {
     textRepetition, corpusMix, textUnigramLogprob,
     dedupContainment, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
-    dedupMinhashEst)
+    dedupMinhashEst, corpusCurationFunnel)
 }
