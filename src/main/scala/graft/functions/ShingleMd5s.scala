@@ -66,7 +66,7 @@ case class ShingleMd5s(child: Expression, n: Int, distinct: Boolean = true)
     // LinkedHashSet preserves first-occurrence order (matching
     // array_distinct); multiplicity mode (distinct = false, for counting
     // consumers like text_repetition) keeps every window in position order
-    val seen = new java.util.LinkedHashSet[ByteBuffer]
+    val seen = if (distinct) new java.util.LinkedHashSet[ByteBuffer] else null
     val all = if (distinct) null else new Array[Any](m - n + 1)
     i = 0
     while (i + n <= m) {

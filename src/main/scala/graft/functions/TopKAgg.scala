@@ -91,10 +91,16 @@ case class TopKAgg(
 
   override def merge(b1: TopKAgg.Summary, b2: TopKAgg.Summary): TopKAgg.Summary = {
     val m1 = b1.counters
-    // one-sided values are charged the ABSENT side's floor (that side may
-    // have seen up to floor occurrences it no longer remembers)
+    // ONLY one-sided values are charged the absent side's floor (that side
+    // may have seen up to floor occurrences it no longer remembers); a
+    // value tracked on BOTH sides sums its tracked counts and must NOT be
+    // floor-charged — that would over-estimate past the Σ-floors bound and
+    // make merge order-sensitive
     if (b2.floor > 0) {
-      m1.mapValuesInPlace { case (_, (c, e)) => (c + b2.floor, e + b2.floor) }
+      m1.mapValuesInPlace { case (value, (c, e)) =>
+        if (b2.counters.contains(value)) (c, e)
+        else (c + b2.floor, e + b2.floor)
+      }
     }
     b2.counters.foreach { case (value, (c, e)) =>
       m1.get(value) match {

@@ -1264,46 +1264,58 @@ object TextOps {
 
   /** CORPUS CURATION FUNNEL — the report every corpus pipeline publishes:
     * per source, how many documents survive each gate of the curation
-    * stack, applied cumulatively in pipeline order — length floor
-    * (≥ 10 tokens), then the 3/3 quality score, then near-dup canonical
-    * keep (cluster root). The stage-over-stage drop is what tells you
-    * WHICH gate is eating a source's documents before you spend a 100 TB
-    * pass on it.
+    * stack, applied cumulatively in PIPELINE ORDER — length floor
+    * (≥ 10 tokens), then the 3/3 quality score, then near-dup dedup. The
+    * stage-over-stage drop is what tells you WHICH gate is eating a
+    * source's documents before you spend a 100 TB pass on it.
     *
-    * Scale shape: ONE conditional-aggregate pass — the per-doc gate frame
-    * (quality metrics ⋈ cluster labels ⋈ source) aggregates all four
-    * stage counts in a single partial-aggregable groupBy; no UNION ALL
-    * re-scan per stage, no window. The cluster-label subtree is the same
-    * bounded pipeline `dedup_clusters` runs. */
+    * Dedup-stage semantics match a real pipeline: the canonical member of
+    * each near-dup cluster is the min doc_id among the cluster's docs that
+    * SURVIVED the earlier gates (a cluster whose global root was already
+    * dropped at the length stage still keeps one survivor — using the
+    * global root here would silently zero such clusters).
+    *
+    * Scale shape: the per-doc gate frame (quality metrics ⋈ cluster
+    * labels ⋈ source) feeds one tiny per-cluster min over gate survivors
+    * joined back by cluster id, then ONE conditional-aggregate groupBy
+    * produces all four stage counts — no UNION ALL re-scan per stage, no
+    * window. The cluster-label subtree is the same bounded pipeline
+    * `dedup_clusters` runs. */
   val corpusCurationFunnel = sql(
     "corpus_curation_funnel",
     s"""WITH RECURSIVE $clusterLabelsSqlCte,
        |$qualityMetricsSqlCte,
        |q AS (SELECT doc_id, n_tokens, $qualityScoreSql AS quality FROM m),
-       |s AS (SELECT d.source, q.n_tokens, q.quality,
-       |             (c.root = c.doc_id) AS keep
+       |g AS (SELECT d.doc_id, d.source, c.root,
+       |             (q.n_tokens >= 10) AS len_ok,
+       |             (q.n_tokens >= 10 AND q.quality = 3) AS qual_ok
        |      FROM documents d
        |      JOIN q ON q.doc_id = d.doc_id
-       |      JOIN cc c ON c.doc_id = d.doc_id)
-       |SELECT source,
+       |      JOIN cc c ON c.doc_id = d.doc_id),
+       |canon AS (SELECT root, min(doc_id) AS canon_id FROM g
+       |          WHERE qual_ok GROUP BY root)
+       |SELECT g.source,
        |       CAST(count(*) AS BIGINT) AS n_all,
-       |       CAST(sum(CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
-       |       CAST(sum(CASE WHEN n_tokens >= 10 AND quality = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-       |       CAST(sum(CASE WHEN n_tokens >= 10 AND quality = 3 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
-       |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-    val gates = qualityMetrics(s, d).select("doc_id", "n_tokens", "quality")
-      .join(clusterLabels(s, d), "doc_id")
-      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-      .select(col("source"), col("n_tokens"), col("quality"),
-        (col("cluster") === col("doc_id")).as("keep"))
+       |       CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+       |       CAST(sum(CASE WHEN qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |       CAST(sum(CASE WHEN g.doc_id = canon.canon_id THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |FROM g LEFT JOIN canon ON g.root = canon.root
+       |GROUP BY g.source ORDER BY g.source""".stripMargin) { (s, d) =>
     val lenOk = col("n_tokens") >= 10
     val qualOk = lenOk && col("quality") === 3
-    val uniqOk = qualOk && col("keep")
-    gates.groupBy("source").agg(
-      count(lit(1)).as("n_all"),
-      sum(lenOk.cast("long")).as("n_length"),
-      sum(qualOk.cast("long")).as("n_quality"),
-      sum(uniqOk.cast("long")).as("n_unique"))
+    val g = qualityMetrics(s, d).select("doc_id", "n_tokens", "quality")
+      .join(clusterLabels(s, d), "doc_id")
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"), col("cluster"),
+        lenOk.as("len_ok"), qualOk.as("qual_ok"))
+    val canon = g.filter(col("qual_ok"))
+      .groupBy("cluster").agg(min("doc_id").as("canon_id"))
+    g.join(canon, Seq("cluster"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_all"),
+        sum(col("len_ok").cast("long")).as("n_length"),
+        sum(col("qual_ok").cast("long")).as("n_quality"),
+        sum((col("doc_id") === col("canon_id")).cast("long")).as("n_unique"))
       .orderBy("source")
   }
 

@@ -67,6 +67,27 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got.map(_._1).contains("hot"))
   }
 
+  test("merge does not double-charge values tracked on both sides") {
+    // A tracked on BOTH sides must sum its tracked counts only; charging
+    // it either side's floor would blow the Σ-floors bound and make merge
+    // order-sensitive. One-sided B still gets the absent side's floor.
+    import graft.functions.TopKAgg
+    val agg = TopKAgg(
+      org.apache.spark.sql.GraftSqlBridge.expression(lit("x")), 2, 2)
+    def summary(floor: Long, entries: (String, (Long, Long))*) = {
+      val s = new TopKAgg.Summary
+      entries.foreach { case (v, ce) => s.counters(v) = ce }
+      s.floor = floor
+      s
+    }
+    val m = agg.merge(
+      summary(5L, "A" -> ((6L, 5L))),
+      summary(3L, "A" -> ((4L, 3L)), "B" -> ((7L, 0L))))
+    assert(m.counters("A") == ((10L, 8L)), s"shared value: ${m.counters("A")}")
+    assert(m.counters("B") == ((12L, 5L)), s"one-sided value: ${m.counters("B")}")
+    assert(m.floor == 8L)
+  }
+
   test("values beyond 64 KiB round-trip through serialization") {
     // writeUTF would throw UTFDataFormatException here; the length-prefixed
     // encoding must carry a long token/URL value through the shuffle
