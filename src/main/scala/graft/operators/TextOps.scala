@@ -338,6 +338,40 @@ object TextOps {
   /** MinHash-LSH candidate pairs: long-format (band_idx, band_val) → bucket
     * self-join → distinct pairs. The shuffle key is the band bucket — the
     * standard linear-scale LSH join. */
+  /** CROSS-SOURCE DUPLICATION MATRIX: near-dup candidate pairs rolled up
+    * by the (source, source) combination of their endpoints — the report
+    * that shows WHICH crawls/dumps copy from each other (mirror sites,
+    * re-hosted boilerplate), versus `corpus_dup_stats`' within-source
+    * rates. Source pair is emitted order-normalized (lexicographically
+    * smaller first) so A↔B duplication lands in one row regardless of
+    * which doc got the smaller id.
+    *
+    * Scale shape: the pair graph is the SAME capped/banded LSH output as
+    * `dedup_minhash_pairs` (linear in duplicates); two doc→source lookups
+    * join on doc_id (AQE broadcasts the small side at test scale, stays
+    * equi-shuffle at corpus scale), then a tiny groupBy on the source
+    * pair. */
+  val dedupCrossSource = sql(
+    "dedup_cross_source",
+    s"""WITH $minhashPairsSqlCte,
+       |lab AS (SELECT m.da, m.db, a.source AS sa, b.source AS sb
+       |        FROM mp m
+       |        JOIN documents a ON a.doc_id = m.da
+       |        JOIN documents b ON b.doc_id = m.db)
+       |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM lab GROUP BY 1, 2
+       |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select("doc_id", "source")
+    minhashBandPairs(s, d)
+      .join(src.toDF("doc_id", "sa"), col("da") === col("doc_id")).drop("doc_id")
+      .join(src.toDF("doc_id", "sb"), col("db") === col("doc_id")).drop("doc_id")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
   val dedupMinhashPairs = sql(
     "dedup_minhash_pairs",
     s"""WITH $minhashPairsSqlCte
@@ -1327,5 +1361,5 @@ object TextOps {
     textRepetition, corpusMix, textUnigramLogprob,
     dedupContainment, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
-    dedupMinhashEst, corpusCurationFunnel)
+    dedupMinhashEst, corpusCurationFunnel, dedupCrossSource)
 }
