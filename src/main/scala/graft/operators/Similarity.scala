@@ -33,6 +33,12 @@ object Similarity {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
 
+  /** ‖a−b‖² — DuckDB side, ascending-index fold: the identical IEEE op
+    * sequence as the native codegen'd `squared_distance`, so distances are
+    * bit-identical across engines. */
+  private def sqdistSql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
+
   /** Brute-force cosine top-k against a fixed query vector (vec_id = 0). */
   val simTopK = sql(
     "sim_topk_cosine",
@@ -430,11 +436,13 @@ object Similarity {
     * Float discipline: sub-centroids are rounded to 4 dp BEFORE distance
     * math (the IVF rule); distances are never output, only argmin labels,
     * and inter-label distance margins dwarf accumulation-order epsilon. */
-  val simPqCodes = sql(
-    "sim_pq_codes",
-    """WITH cex AS (SELECT label, unnest(embedding) AS x,
-      |                    generate_subscripts(embedding, 1) AS pos
-      |             FROM embeddings),
+  /** SQL CTE chain ending in `codes(vec_id, sub, label)` — each vector's
+    * per-subspace PQ code. The ONE definition shared by the codes query,
+    * the ADC search, and its recall certificate (they cannot drift). */
+  private val pqCodesSqlCte: String =
+    """cex AS (SELECT label, unnest(embedding) AS x,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings),
       |cent AS (SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c
       |         FROM cex GROUP BY label, pos),
       |ex AS (SELECT vec_id, unnest(embedding) AS x,
@@ -449,34 +457,46 @@ object Similarity {
       |                  row_number() OVER (PARTITION BY vec_id, sub
       |                                     ORDER BY dist, label) AS rn
       |           FROM dists),
-      |codes AS (SELECT vec_id, sub, label FROM ranked WHERE rn = 1)
-      |SELECT vec_id,
-      |       CAST(max(CASE WHEN sub = 0 THEN label END) AS INT) AS c0,
-      |       CAST(max(CASE WHEN sub = 1 THEN label END) AS INT) AS c1,
-      |       CAST(max(CASE WHEN sub = 2 THEN label END) AS INT) AS c2,
-      |       CAST(max(CASE WHEN sub = 3 THEN label END) AS INT) AS c3
-      |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    // codebook: per-(label, sub) 16-dim sub-centroids, 4-dp rounded
-    val cent = emb
+      |codes AS (SELECT vec_id, sub, label FROM ranked WHERE rn = 1)""".stripMargin
+
+  /** PQ codebook: per-(label, sub) 16-dim sub-centroids, 4-dp rounded —
+    * k·M tiny rows, broadcastable model state. */
+  private def pqCodebook(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
       .groupBy("label", "pos0")
       .agg(round(avg(col("x").cast("double")), 4).as("c"))
       .groupBy(col("label").as("clabel"), (col("pos0") / 16).cast("int").as("sub"))
       .agg(expr("transform(array_sort(collect_list(struct(pos0, c))), s -> s.c)")
         .as("cvec"))
+
+  /** Spark side of `codes(vec_id, sub, code)` — broadcast codebook join +
+    * native squared-distance + partial-aggregable argmin. */
+  private def pqCodesLong(s: org.apache.spark.sql.SparkSession, d: String) = {
     // facts: 4 subvector rows per vector (slice, not explode-per-dim)
-    val sub = emb
+    val sub = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(3))).as("sub"))
       .select(col("vec_id"), col("sub"),
         expr("slice(embedding, sub * 16 + 1, 16)").as("subvec"))
     val dist = graft.functions.SquaredDistance.squared_distance(
       col("subvec"), col("cvec"))
-    sub.join(broadcast(cent), Seq("sub"))
+    sub.join(broadcast(pqCodebook(s, d)), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("clabel"), dist.as("dist"))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("clabel"))).getField("clabel").as("code"))
+  }
+
+  val simPqCodes = sql(
+    "sim_pq_codes",
+    s"""WITH $pqCodesSqlCte
+       |SELECT vec_id,
+       |       CAST(max(CASE WHEN sub = 0 THEN label END) AS INT) AS c0,
+       |       CAST(max(CASE WHEN sub = 1 THEN label END) AS INT) AS c1,
+       |       CAST(max(CASE WHEN sub = 2 THEN label END) AS INT) AS c2,
+       |       CAST(max(CASE WHEN sub = 3 THEN label END) AS INT) AS c3
+       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    pqCodesLong(s, d)
       .groupBy("vec_id")
       .agg(
         max(when(col("sub") === 0, col("code"))).cast("int").as("c0"),
@@ -484,6 +504,99 @@ object Similarity {
         max(when(col("sub") === 2, col("code"))).cast("int").as("c2"),
         max(when(col("sub") === 3, col("code"))).cast("int").as("c3"))
       .orderBy("vec_id")
+  }
+
+  /** SQL CTE chain `qx` + `lut(label, sub, lutd)` — the ADC lookup table:
+    * the query vector's squared distance to every (sub, centroid) cell. */
+  private val pqLutSqlCte: String =
+    """qx AS (SELECT unnest(embedding) AS x,
+      |              generate_subscripts(embedding, 1) AS pos
+      |       FROM embeddings WHERE vec_id = 0),
+      |lut AS (SELECT ct.label, CAST(floor((ct.pos - 1) / 16) AS INT) AS sub,
+      |               sum((CAST(q.x AS DOUBLE) - ct.c) * (CAST(q.x AS DOUBLE) - ct.c)) AS lutd
+      |        FROM qx q JOIN cent ct ON q.pos = ct.pos
+      |        GROUP BY ct.label, 2)""".stripMargin
+
+  /** Spark side of `lut(sub, code, lutd)` — k·M rows, broadcastable. */
+  private def pqLut(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val qsub = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding"), explode(sequence(lit(0), lit(3))).as("sub"))
+      .select(col("sub"), expr("slice(embedding, sub * 16 + 1, 16)").as("qsubvec"))
+    qsub.join(pqCodebook(s, d), Seq("sub"))
+      .select(col("sub"), col("clabel").as("code"),
+        graft.functions.SquaredDistance.squared_distance(
+          col("qsubvec"), col("cvec")).as("lutd"))
+  }
+
+  /** PQ ASYMMETRIC-DISTANCE search (ADC) — the actual serving path of a
+    * product-quantized index: the query vector is NOT quantized; its
+    * distance to each of the k·M sub-centroids is tabulated once (the
+    * LUT), and a candidate's approximate distance is the sum of M table
+    * lookups selected by its stored codes — no float math against the
+    * original vectors at all, which is the whole point at 100 TB (the
+    * scan touches M small ints per vector, the 64-dim floats stay cold).
+    *
+    * Scale shape: LUT = k·M tiny rows, broadcast; one narrow pass over
+    * the codes; partial-aggregable per-vector sum; TakeOrdered top-10 —
+    * no shuffle of anything vector-sized. Ranking is on the 4-dp-rounded
+    * ADC distance with a vec_id tie-break (many vectors share codes, so
+    * exact ADC ties are common and the tie-break is load-bearing). */
+  val simPqAdc = sql(
+    "sim_pq_adc",
+    s"""WITH $pqCodesSqlCte,
+       |$pqLutSqlCte
+       |SELECT c.vec_id, round(sum(l.lutd), 4) AS adc
+       |FROM codes c JOIN lut l ON l.sub = c.sub AND l.label = c.label
+       |WHERE c.vec_id <> 0
+       |GROUP BY c.vec_id
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    pqCodesLong(s, d).filter(col("vec_id") =!= 0)
+      .join(broadcast(pqLut(s, d)), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(round(sum("lutd"), 4).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Recall@10 of the PQ-ADC search against the EXACT squared-L2 top-10 —
+    * the certificate that grades what M=4 sub-quantizers cost in answer
+    * quality, completing the PQ story the way `sim_ivf_recall` grades the
+    * IVF probe. Both sides are deterministic (bit-identical distances,
+    * 4-dp rounding, vec_id tie-breaks), so the intersection is exactly
+    * oracle-checkable; cost is two top-10s + a 10-row join. */
+  val simPqRecall = sql(
+    "sim_pq_recall",
+    s"""WITH $pqCodesSqlCte,
+       |$pqLutSqlCte,
+       |adc10 AS (SELECT c.vec_id, round(sum(l.lutd), 4) AS adc
+       |          FROM codes c JOIN lut l ON l.sub = c.sub AND l.label = c.label
+       |          WHERE c.vec_id <> 0
+       |          GROUP BY c.vec_id
+       |          ORDER BY adc, vec_id LIMIT 10),
+       |qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |exact10 AS (SELECT vec_id,
+       |                   round(${sqdistSql("embedding", "qv")}, 4) AS dist
+       |            FROM embeddings, qr
+       |            WHERE vec_id <> 0
+       |            ORDER BY dist, vec_id LIMIT 10)
+       |SELECT 10 AS k, count(*) AS n_hits,
+       |       round(count(*) / 10.0, 4) AS recall
+       |FROM adc10 JOIN exact10 USING (vec_id)""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.SquaredDistance.squared_distance(
+          col("embedding"), col("qv")), 4).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+    simPqAdc.fn(s, d).select("vec_id")
+      .join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(10).as("k"), col("n_hits"),
+        round(col("n_hits") / 10.0, 4).as("recall"))
   }
 
   /** Symmetric int8 quantization per vector (max-abs scaling) — the other
@@ -675,5 +788,5 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
-    embInt8Quantize, simKnnAccuracy, simKmeansStep)
+    simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep)
 }

@@ -207,6 +207,16 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), "cell join must be an equi-join")
   }
 
+  test("sim_pq_adc: LUT is broadcast, top-k is TakeOrderedAndProject, no cartesian") {
+    val plan = executedPlan("sim_pq_adc")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ADC top-k should be a partial per-partition top-k merge")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the k·M lookup table must broadcast against the codes")
+    assert(!plan.contains("CartesianProduct"),
+      "ADC must never pair candidates against candidates")
+  }
+
   test("decontam_bloom: bloom prefilter sits before the eval equi-join, never cartesian") {
     val plan = executedPlan("decontam_bloom")
     assert(!plan.contains("CartesianProduct"))

@@ -70,6 +70,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim_pq_adc + sim_pq_recall: orthogonal clusters give exact-code hits") {
+    // 4 labels × 50 identical one-hot vectors. Per-label sub-centroids
+    // equal the cluster vector, so every label-0 candidate shares the
+    // query's codes: ADC distance 0 (4 exact LUT hits). Cross-label ADC is
+    // 2.0 (one-hot vs one-hot in sub 0). The ADC top-10 and the exact-L2
+    // top-10 are both vec_ids 1..10 → recall exactly 1.0.
+    val rows = for (l <- 0 until 4; i <- 0 until 50)
+      yield ((l * 50 + i).toLong, oneHot(l), l)
+    val dir = writeEmbeddings(rows)
+    val adc = Similarity.simPqAdc.fn(spark, dir).collect()
+    assert(adc.length == 10)
+    adc.foreach { r =>
+      assert(r.getAs[Long]("vec_id") >= 1L && r.getAs[Long]("vec_id") <= 10L)
+      assert(r.getAs[Double]("adc") == 0.0, s"ADC of a same-code candidate: $r")
+    }
+    val rec = Similarity.simPqRecall.fn(spark, dir).collect().head
+    assert(rec.getAs[Long]("n_hits") == 10L)
+    assert(rec.getAs[Double]("recall") == 1.0)
+  }
+
   test("sim_kmeans_step: members glued to their seeds produce zero drift") {
     // seeds 0..7 are 8 orthogonal one-hot directions; 5 extra exact copies
     // of each seed. Every copy assigns to its seed's cell (distance 0) and
