@@ -799,6 +799,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** WINNOWING fingerprints (MOSS, Schleimer et al. 2003): the robust
+    * document-fingerprint SELECTION scheme — hash every k-gram (k = 8
+    * chars, the `text_rolling_hash` polynomial), slide a window of w = 4
+    * consecutive gram hashes, keep each window's minimum. Guarantees: any
+    * shared substring of length ≥ w + k − 1 between two documents yields a
+    * shared selected fingerprint, while storage drops to ~2/(w+1) of the
+    * grams — the property plain "every n-th gram" sampling lacks.
+    * Emits the selected (position, gram hash) pairs per document; two
+    * documents' overlap is then a plain equi-join on fphash.
+    *
+    * Scale shape: the entire selection happens INSIDE one row — zero
+    * shuffle, no per-gram explode of the corpus through an Exchange; the
+    * only wide node is the gate-only output sort. The selection runs in
+    * the native codegen'd `winnow_fps` loop (graft.functions.WinnowFps):
+    * the declarative `transform`/`slice`/`array_min` form evaluates
+    * interpreted AND re-inlines the gram array into every window slice
+    * after projection collapse — O(n²·k) boxed lambda calls per document
+    * — while the native loop is the O(n·k + n·w) the algorithm actually
+    * costs. Determinism: min is taken over `hash · 2²⁰ + pos` (hash
+    * < 1e9+7, pos < 2²⁰ ⇒ no collision between the fields), so equal-hash
+    * ties break to the LEFTMOST gram identically on both engines. */
+  val textWinnowing = sql(
+    "text_winnowing",
+    """WITH ch AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+      |g AS (SELECT doc_id,
+      |             CASE WHEN len(cs) >= 8 THEN
+      |               list_transform(range(1, len(cs) - 8 + 2), i ->
+      |                 list_reduce(
+      |                   list_prepend(CAST(0 AS BIGINT),
+      |                     list_transform(list_slice(cs, i, i + 7), c -> CAST(ascii(c) AS BIGINT))),
+      |                   (acc, c) -> (acc * 31 + c) % 1000000007) * 1048576 + (i - 1))
+      |             ELSE CAST([] AS BIGINT[]) END AS grams
+      |      FROM ch),
+      |w AS (SELECT doc_id,
+      |             CASE WHEN len(grams) >= 4 THEN
+      |               list_distinct(list_transform(range(1, len(grams) - 4 + 2), j ->
+      |                 list_min(list_slice(grams, j, j + 3))))
+      |             ELSE CAST([] AS BIGINT[]) END AS fps
+      |      FROM g)
+      |SELECT doc_id,
+      |       CAST(fp % 1048576 AS BIGINT) AS pos,
+      |       CAST(fp // 1048576 AS BIGINT) AS fphash
+      |FROM (SELECT doc_id, unnest(fps) AS fp FROM w)
+      |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFps.winnow_fps(col("text"), 8, 4)).as("fp"))
+      .select(col("doc_id"),
+        expr("CAST(fp % 1048576 AS BIGINT)").as("pos"),
+        expr("CAST(fp DIV 1048576 AS BIGINT)").as("fphash"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Top-3 TF-IDF terms per document — the classic content-signature /
     * keyword-extraction operator. tf and df are exact integer counts (one
     * shuffle each, both partial-aggregable); idf = ln(N·1.0/df) with N
@@ -1361,5 +1414,5 @@ object TextOps {
     textRepetition, corpusMix, textUnigramLogprob,
     dedupContainment, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
-    dedupMinhashEst, corpusCurationFunnel, dedupCrossSource)
+    dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing)
 }

@@ -260,6 +260,14 @@ class PlanSpec extends AnyFunSuite {
       s"redaction must not induce a hash shuffle:\n$plan")
   }
 
+  test("text_winnowing: in-row array selection — no shuffle anywhere") {
+    val plan = executedPlan("text_winnowing")
+    // fingerprint selection must happen inside the row (array exprs), not
+    // via an exploded per-gram shuffle; only the output sort repartitions
+    assert(!plan.contains("hashpartitioning"),
+      s"winnowing must not induce a hash shuffle:\n$plan")
+  }
+
   test("sim_knn_accuracy: probe side broadcast, corpus streams past it once") {
     val plan = executedPlan("sim_knn_accuracy")
     // bounded eval sample joins as a broadcast nested loop (vec_id <> pid

@@ -236,4 +236,53 @@ class TextOpsSpec extends AnyFunSuite {
       assert(math.abs(err - math.abs(e - m)) <= 1e-3)
     }
   }
+
+  test("text_winnowing: shared substring >= w+k-1 chars yields a shared fingerprint") {
+    // k = 8, w = 4 → the guarantee threshold is 11 chars; the planted
+    // common segment is 26 chars inside otherwise-disjoint text.
+    val common = "abcdefghijklmnopqrstuvwxyz"
+    val dir = writeDocs(Seq(
+      0L -> s"1111111111 $common 2222222222",
+      1L -> s"3333333333 $common 4444444444",
+      2L -> "entirely different content with no overlap at all"))
+    val fps = TextOps.textWinnowing.fn(spark, dir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("fphash")).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "docs sharing a 26-char substring must share a selected fingerprint")
+    assert((fps(0L) & fps(2L)).isEmpty && (fps(1L) & fps(2L)).isEmpty,
+      "no 8-gram is shared with the disjoint doc")
+  }
+
+  test("text_winnowing: selection is sparse but window-covering") {
+    // Winnowing guarantee restated on positions: selected positions (the
+    // window minima) must leave no gap of w = 4 or more consecutive
+    // windows uncovered, and selection must be sparser than "all grams".
+    val text = ('a' to 'z').mkString + "0123456789" + ('A' to 'Z').mkString
+    val dir = writeDocs(Seq(0L -> text))
+    val rows = TextOps.textWinnowing.fn(spark, dir).collect()
+    val poss = rows.map(_.getAs[Long]("pos")).sorted
+    val nGrams = text.length - 8 + 1
+    assert(poss.length < nGrams, "winnowing must select a strict subset")
+    // every window of 4 consecutive grams contains a selected position
+    val sel = poss.toSet
+    (0 until nGrams - 3).foreach { j =>
+      assert((j until j + 4).exists(p => sel.contains(p.toLong)),
+        s"window starting at gram $j has no selected fingerprint")
+    }
+  }
+
+  test("text_winnowing: sub-k docs emit nothing; equal hashes tie to the leftmost") {
+    val dir = writeDocs(Seq(
+      0L -> "short", // < 8 chars → no grams
+      1L -> "aaaaaaaaaaaaaaaaaaaa")) // 20×'a': 13 equal-hash grams, 10 windows
+    val rows = TextOps.textWinnowing.fn(spark, dir).collect()
+    assert(!rows.exists(_.getLong(0) == 0L))
+    val d1 = rows.filter(_.getLong(0) == 1L).map(_.getAs[Long]("pos")).sorted
+    // every window's min is its leftmost member (same hash, smallest pos)
+    assert(d1.toSeq == (0L until 10L),
+      s"expected the leftmost gram of each of the 10 windows, got ${d1.toSeq}")
+    // and all 10 share the one distinct gram hash
+    assert(rows.filter(_.getLong(0) == 1L).map(_.getAs[Long]("fphash")).distinct.length == 1)
+  }
 }
