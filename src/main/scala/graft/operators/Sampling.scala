@@ -295,7 +295,76 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Target language mixture in integer percents — the knob a pipeline
+    * owner turns; summing to 100 keeps every rate exact. */
+  private val MixTargets = Seq(
+    ("en", 35), ("zh", 25), ("de", 20), ("fr", 15), ("es", 5))
+
+  /** MIXTURE REWEIGHTING — resample the corpus to a TARGET language mix
+    * (the DoReMi / Pile-style domain-weighting step): given integer-percent
+    * targets, find the largest total budget the corpus can serve without
+    * up-sampling any language (`budget = min over langs of
+    * n_docs·100 div target`), derive each language's keep count
+    * `k = target·budget div 100`, and keep documents via the shared
+    * deterministic md5 gate at exactly that rate
+    * (`bucket·n_docs < k·65536`). All arithmetic is exact integers — the
+    * binding language passes (almost) whole, every other language is
+    * down-sampled toward its target share.
+    *
+    * Scale shape: one tiny per-lang count aggregate joins the literal
+    * target table, the per-lang thresholds broadcast back onto the corpus,
+    * and the keep decision is a narrow hash-gate filter — the 100 TB fact
+    * side is never shuffled; the report aggregates per lang with the
+    * realized share against a broadcast 1-row total. */
+  val corpusReweight = sql(
+    "corpus_reweight", {
+      val values = MixTargets.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+      s"""WITH tw(lang, target_pct) AS (VALUES $values),
+         |lc AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |j AS (SELECT l.lang, l.n_docs, t.target_pct
+         |      FROM lc l JOIN tw t ON l.lang = t.lang),
+         |b AS (SELECT min(n_docs * 100 // target_pct) AS budget FROM j),
+         |tk AS (SELECT lang, n_docs, target_pct,
+         |              (target_pct * budget) // 100 AS k_target
+         |       FROM j CROSS JOIN b),
+         |kept AS (SELECT d.lang, count(*) AS n_kept
+         |         FROM documents d JOIN tk t ON d.lang = t.lang
+         |         WHERE (${hexBucketSql("d.doc_id")}) * t.n_docs < t.k_target * 65536
+         |         GROUP BY d.lang),
+         |tot AS (SELECT sum(n_kept) AS total_kept FROM kept)
+         |SELECT t.lang, t.n_docs, t.target_pct, t.k_target,
+         |       coalesce(k.n_kept, 0) AS n_kept,
+         |       round(coalesce(k.n_kept, 0) * 1.0 / total_kept, 4) AS realized_share
+         |FROM tk t LEFT JOIN kept k ON t.lang = k.lang CROSS JOIN tot
+         |ORDER BY t.lang""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tw = MixTargets.toDF("lang", "target_pct")
+    val j = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(tw, "lang")
+    val b = j.agg(min(expr("n_docs * 100 div target_pct")).as("budget"))
+    val tk = j.crossJoin(broadcast(b))
+      .withColumn("k_target", expr("(target_pct * budget) div 100"))
+      .select("lang", "n_docs", "target_pct", "k_target")
+    val kept = docs
+      .join(broadcast(tk), "lang")
+      .filter(hexBucketCol(col("doc_id")).cast("long") * col("n_docs")
+        < col("k_target") * 65536L)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    val tot = kept.agg(sum("n_kept").as("total_kept"))
+    tk.join(kept, Seq("lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("target_pct"), col("k_target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)) * lit(1.0) / col("total_kept"), 4)
+          .as("realized_share"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
-    decontamNgram, decontamBloom, packSequences, sampleWeighted)
+    decontamNgram, decontamBloom, packSequences, sampleWeighted,
+    corpusReweight)
 }
+

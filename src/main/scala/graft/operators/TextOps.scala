@@ -690,6 +690,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TRAINED language classifier — multinomial naive Bayes over unigram
+    * counts with add-1 smoothing, the closed-form counterpart of the
+    * heuristic `text_langid` and the shape of every count-based quality/
+    * domain classifier in a data pipeline (fastText-style linear scoring
+    * over token counts): TRAINING is two partial-aggregable count
+    * aggregates (per-(lang, token) and per-lang totals — no SGD, no
+    * driver loop), SCORING is one equi-join + weighted log-sum per
+    * (doc, lang). Emits the full 5-class log-posterior matrix plus the
+    * per-doc rank (rn = 1 is the prediction).
+    *
+    * Scale shape: the class-conditional count table is (vocab × langs)
+    * rows keyed (lang, tok) — an AQE-broadcastable dimension at test
+    * scale, a standard shuffled equi-join at 100 TB; the doc side
+    * tokenizes once, the per-(doc, lang) sum is partial-aggregable, and
+    * the only window ranks 5 rows per doc. Float policy: both engines
+    * ln identical `(ct+1)/(T+V)` rationals; the log-sum is rounded 4 dp
+    * and the rank runs on the ROUNDED score with a lang tie-break, so the
+    * prediction is bit-stable across engines (the `text_tfidf`
+    * discipline). */
+  val textNbLangid = sql(
+    "text_nb_langid",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |dcnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, lang FROM documents),
+      |ct AS (SELECT d.lang, c.tok, sum(c.c) AS ct
+      |       FROM dcnt c JOIN dl d ON c.doc_id = d.doc_id
+      |       GROUP BY d.lang, c.tok),
+      |tot AS (SELECT lang, sum(ct) AS t FROM ct GROUP BY lang),
+      |v AS (SELECT count(DISTINCT tok) AS vsz FROM toks),
+      |pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+      |n AS (SELECT count(*) AS ndocs FROM documents),
+      |pairs AS (SELECT c.doc_id, p.lang, c.tok, c.c FROM dcnt c CROSS JOIN pri p),
+      |ll AS (SELECT pr.doc_id, pr.lang,
+      |              sum(pr.c * ln((coalesce(ct.ct, 0) + 1) * 1.0 / (tot.t + v.vsz))) AS tok_ll
+      |       FROM pairs pr
+      |       LEFT JOIN ct ON ct.lang = pr.lang AND ct.tok = pr.tok
+      |       JOIN tot ON tot.lang = pr.lang
+      |       CROSS JOIN v
+      |       GROUP BY pr.doc_id, pr.lang),
+      |sc AS (SELECT l.doc_id, l.lang,
+      |              round(ln(pri.nd * 1.0 / n.ndocs) + l.tok_ll, 4) AS score
+      |       FROM ll l JOIN pri ON pri.lang = l.lang CROSS JOIN n)
+      |SELECT doc_id, lang, score,
+      |       CAST(row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, lang) AS INT) AS rn
+      |FROM sc ORDER BY doc_id, lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dcnt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val ct = dcnt.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "tok").agg(sum("c").as("ct"))
+    val tot = ct.groupBy("lang").agg(sum("ct").as("t"))
+    val v = toks.agg(countDistinct("tok").as("vsz"))
+    val pri = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
+    val n = docs.agg(count(lit(1)).as("ndocs"))
+    val ll = dcnt.crossJoin(broadcast(pri.select("lang")))
+      .join(ct, Seq("lang", "tok"), "left")
+      .join(broadcast(tot), "lang")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c") * log((coalesce(col("ct"), lit(0L)) + 1) * lit(1.0)
+        / (col("t") + col("vsz")))).as("tok_ll"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    ll.join(broadcast(pri), "lang")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"),
+        round(log(col("nd") * lit(1.0) / col("ndocs")) + col("tok_ll"), 4)
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .orderBy("doc_id", "lang")
+  }
+
   /** Corpus composition report — the per-(source, language) mixture table
     * every data pipeline publishes before training: doc counts, token and
     * byte volumes, and each cell's fraction of the corpus. One partial-
@@ -820,9 +894,11 @@ object TextOps {
     * costs. Determinism: min is taken over `hash · 2²⁰ + pos` (hash
     * < 1e9+7, pos < 2²⁰ ⇒ no collision between the fields), so equal-hash
     * ties break to the LEFTMOST gram identically on both engines. */
-  val textWinnowing = sql(
-    "text_winnowing",
-    """WITH ch AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+  /** SQL CTE chain ending in `wfp(doc_id, pos, fphash)` — the selected
+    * winnowing fingerprints, the ONE definition shared by the fingerprint
+    * query and the overlap-pair query (they cannot drift). */
+  private val winnowFpsSqlCte: String =
+    """ch AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
       |g AS (SELECT doc_id,
       |             CASE WHEN len(cs) >= 8 THEN
       |               list_transform(range(1, len(cs) - 8 + 2), i ->
@@ -837,19 +913,65 @@ object TextOps {
       |               list_distinct(list_transform(range(1, len(grams) - 4 + 2), j ->
       |                 list_min(list_slice(grams, j, j + 3))))
       |             ELSE CAST([] AS BIGINT[]) END AS fps
-      |      FROM g)
-      |SELECT doc_id,
-      |       CAST(fp % 1048576 AS BIGINT) AS pos,
-      |       CAST(fp // 1048576 AS BIGINT) AS fphash
-      |FROM (SELECT doc_id, unnest(fps) AS fp FROM w)
-      |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      |      FROM g),
+      |wfp AS (SELECT doc_id,
+      |               CAST(fp % 1048576 AS BIGINT) AS pos,
+      |               CAST(fp // 1048576 AS BIGINT) AS fphash
+      |        FROM (SELECT doc_id, unnest(fps) AS fp FROM w))""".stripMargin
+
+  /** Spark side of `wfp` — native selector + one explode, no shuffle. */
+  private def winnowFpsDf(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.WinnowFps.winnow_fps(col("text"), 8, 4)).as("fp"))
       .select(col("doc_id"),
         expr("CAST(fp % 1048576 AS BIGINT)").as("pos"),
         expr("CAST(fp DIV 1048576 AS BIGINT)").as("fphash"))
-      .orderBy("doc_id", "pos")
+
+  val textWinnowing = sql(
+    "text_winnowing",
+    s"""WITH $winnowFpsSqlCte
+       |SELECT doc_id, pos, fphash FROM wfp
+       |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    winnowFpsDf(s, d).orderBy("doc_id", "pos")
+  }
+
+  /** WINNOWING OVERLAP PAIRS — the MOSS use of the fingerprints: candidate
+    * document pairs sharing ≥ 3 selected fingerprints, with the shared
+    * count as the overlap evidence. By the winnowing guarantee a shared
+    * run of ≥ w+k−1 chars forces ≥ 1 shared fingerprint, so multi-
+    * fingerprint pairs indicate substantial copied spans — the
+    * plagiarism/mirror detector that complements token-shingle Jaccard.
+    *
+    * Scale shape: the same capped inverted-index discipline as
+    * `dedup_ngram_jaccard` — per-doc DISTINCT fingerprints, document-
+    * frequency cap (df ≤ 50) drops boilerplate fingerprints BEFORE the
+    * self-join (no hot join key can go quadratic), pair count is one
+    * partial-aggregable groupBy on the surviving equi-join. */
+  val dedupWinnowPairs = sql(
+    "dedup_winnow_pairs",
+    s"""WITH $winnowFpsSqlCte,
+       |fpd AS (SELECT DISTINCT doc_id, fphash FROM wfp),
+       |fdf AS (SELECT fphash, count(*) AS df FROM fpd GROUP BY fphash),
+       |keep AS (SELECT f.doc_id, f.fphash FROM fpd f JOIN fdf USING (fphash)
+       |         WHERE fdf.df <= 50)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM keep a JOIN keep b ON a.fphash = b.fphash AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= 3
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    val fpd = winnowFpsDf(s, d).select("doc_id", "fphash").distinct()
+    val hot = fpd.groupBy("fphash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50).select("fphash")
+    val keep = fpd.join(hot, Seq("fphash"), "left_anti")
+    val a = keep.select(col("fphash"), col("doc_id").as("da"))
+    val b = keep.select(col("fphash"), col("doc_id").as("db"))
+    a.join(b, "fphash").filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("da", "db")
   }
 
   /** Top-3 TF-IDF terms per document — the classic content-signature /
@@ -1414,5 +1536,6 @@ object TextOps {
     textRepetition, corpusMix, textUnigramLogprob,
     dedupContainment, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
-    dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing)
+    dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
+    textNbLangid, dedupWinnowPairs)
 }

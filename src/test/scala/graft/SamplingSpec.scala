@@ -152,4 +152,35 @@ class SamplingSpec extends AnyFunSuite {
     val got = kept.size.toDouble / docs.size
     assert(math.abs(got - expected) < 0.15, s"keep rate $got vs expected $expected")
   }
+
+  test("corpus_reweight: budget binds on the scarcest language, gates are exact") {
+    import spark.implicits._
+    // en:200 zh:100 de:100 docs against targets en35/zh25/de20 (fr/es
+    // absent → dropped by the inner join). budget = min(200·100÷35,
+    // 100·100÷25, 100·100÷20) = min(571, 400, 500) = 400;
+    // k_target = (35·400÷100, 25·400÷100, 20·400÷100) = (140, 100, 80).
+    val rows =
+      (0L until 200L).map(i => (i, s"en doc $i", "en")) ++
+        (200L until 300L).map(i => (i, s"zh doc $i", "zh")) ++
+        (300L until 400L).map(i => (i, s"de doc $i", "de"))
+    val dir = java.nio.file.Files.createTempDirectory("reweight-docs").toString
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'t' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("corpus_reweight")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("en", "zh", "de"))
+    assert(got("en").getAs[Long]("k_target") == 140L)
+    assert(got("zh").getAs[Long]("k_target") == 100L)
+    assert(got("de").getAs[Long]("k_target") == 80L)
+    // the binding language keeps EVERY doc: bucket·100 < 100·65536 always
+    assert(got("zh").getAs[Long]("n_kept") == 100L)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // realized shares sum to 1 (4-dp rounding tolerance)
+    val shareSum = got.values.map(_.getAs[Double]("realized_share")).sum
+    assert(math.abs(shareSum - 1.0) < 5e-4, s"shares sum to $shareSum")
+  }
 }

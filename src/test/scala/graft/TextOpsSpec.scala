@@ -272,6 +272,26 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_winnow_pairs: long shared run detected; boilerplate df-capped away") {
+    // Two docs share a 60-char run at DIFFERENT offsets: windows fully
+    // inside the run select the same gram hash (position only breaks
+    // ties between EQUAL hashes, and relative order is preserved), so
+    // the pair shares many fingerprints and clears the >= 3 bar. The 60
+    // identical boilerplate docs push every one of their fingerprints
+    // past the df cap (60 > 50) → no boilerplate pairs survive.
+    val run = "the shared copied passage that both documents embed verbatim"
+    assert(run.length == 60)
+    val boiler = "boilerplate navigation header text repeated everywhere"
+    val dir = writeDocs(
+      Seq(0L -> s"AAAA $run", 1L -> s"BBBBBBBBBB $run CCCC") ++
+        (10L until 70L).map(i => i -> boiler))
+    val got = TextOps.dedupWinnowPairs.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)),
+      s"expected exactly the planted pair, got ${got.toSeq}")
+    assert(got.head._3 >= 3L, s"shared-fingerprint count: ${got.head._3}")
+  }
+
   test("text_winnowing: sub-k docs emit nothing; equal hashes tie to the leftmost") {
     val dir = writeDocs(Seq(
       0L -> "short", // < 8 chars → no grams
