@@ -513,6 +513,233 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q4 shape (order-priority checking): EXISTS-correlated semi-join
+    * with a condition spanning BOTH sides (line shipped >75 days after the
+    * order date). The year filter prunes the orders scan; the EXISTS is a
+    * LeftSemi join on the order key — each order contributes once no matter
+    * how many late lines it has, so the fact side never fans out. The
+    * cross-side predicate rides on the semi-join condition rather than
+    * forcing a pre-join materialization. */
+  val q4LateOrders = sql(
+    "q4_late_orders",
+    """SELECT o.o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    * with the filter ON THE JOIN CONDITION (a WHERE would silently turn it
+    * inner and drop zero-order customers), then a two-level aggregate.
+    * count(o_orderkey) — not count(*) — is what makes an unmatched customer
+    * count 0. Both aggregates are partial-aggregable; the second one runs
+    * over one row per customer. */
+  val q13CustDistribution = sql(
+    "q13_cust_distribution",
+    """WITH per_cust AS (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      |  FROM customer c LEFT JOIN orders o
+      |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |SELECT n_orders, count(*) AS n_custs
+      |FROM per_cust GROUP BY n_orders
+      |ORDER BY n_custs DESC, n_orders DESC""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey"),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("n_orders").desc)
+  }
+
+  /** TPC-H Q15 shape (top supplier): a revenue view consumed TWICE — once
+    * for the per-supplier totals, once for the global max — then an
+    * equi-filter on the max. Revenue is summed in exact cents so the
+    * max-equality cut can never sit on a float boundary. Scale plan: the
+    * 3-month shipdate range is pushed to the scan; the two consumers of the
+    * view produce IDENTICAL shuffles, which Spark's ReuseExchange
+    * deduplicates — lineitem is scanned and aggregated ONCE at runtime
+    * (plan-guarded); the 1-row max side is broadcast. */
+  val q15TopSupplier = sql(
+    "q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.rev_cents
+      |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    // the explicit isNotNull matches the predicate the supplier join pushes
+    // into the totals branch — without it the two rev subtrees canonicalize
+    // differently and ReuseExchange cannot dedup them (suppkey is non-null
+    // by data contract, so semantics are unchanged)
+    def rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")) &&
+        col("l_suppkey").isNotNull)
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("rev_cents"))
+    rev
+      .join(broadcast(rev.agg(max("rev_cents").as("mx"))),
+        col("rev_cents") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): join the fact against ITS OWN
+    * per-part aggregate — the "compare each row to its group's statistic"
+    * pattern. The brand filter is applied (via a broadcast part join) BEFORE
+    * the per-part aggregate: partkey determines brand, so the statistic is
+    * unchanged but both the aggregate and the self-join run on ~1/25 of the
+    * fact. The below-half-average predicate is the cross-multiplied exact
+    * integer test 2·qty·n < Σqty (quantities are integral by data contract)
+    * — no float average ever exists, so the cut is engine-stable. Revenue is
+    * summed in exact cents. */
+  val q17SmallQtyRevenue = sql(
+    "q17_small_qty_revenue",
+    """WITH base AS (
+      |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_brand = 'Brand#4'),
+      |pq AS (
+      |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |         count(*) AS n_lines
+      |  FROM base GROUP BY l_partkey)
+      |SELECT CAST(sum(CAST(round(b.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       count(*) AS n_items
+      |FROM base b JOIN pq ON b.l_partkey = pq.l_partkey
+      |WHERE 2 * CAST(b.l_quantity AS BIGINT) * pq.n_lines < pq.sum_qty""".stripMargin) { (s, d) =>
+    val base = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#4")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val pq = base.groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+    base.join(pq, "l_partkey")
+      .filter(lit(2) * col("l_quantity").cast("long") * col("n_lines") < col("sum_qty"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape (idle big-balance customers): an above-average scalar
+    * subquery AND a NOT-EXISTS anti-join in one query. "Idle" = no order
+    * since 2000-01-01 (every synthetic customer has SOME order, so the
+    * literal no-orders-ever cut would be empty). The above-average predicate
+    * is the cross-multiplied exact test cents·n > Σcents over half-up cent
+    * roundings — no float average. Scale plan: the date filter prunes the
+    * orders scan feeding the anti-join; the 1-row stats side and the
+    * 25-row nation dimension are broadcast; the anti-join is the only fact
+    * shuffle. */
+  val q22IdleCustomers = sql(
+    "q22_idle_customers",
+    """WITH act AS (
+      |  SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |         count(*) AS n
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n.n_name, count(*) AS n_cust,
+      |       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |CROSS JOIN act
+      |WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * act.n > act.sum_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, d) =>
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val act = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+      .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        .select("o_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .crossJoin(broadcast(act))
+      .filter(cents * col("n") > col("sum_cents"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum(cents).as("total_cents"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q2 shape (min-cost supplier): for each large part, the supplier
+    * with the LOWEST unit price ever charged — the correlated-min pattern.
+    * Spark realizes the per-part argmin as `min(struct(price, suppkey))`:
+    * partial-aggregable with a deterministic suppkey tie-break, NO window
+    * function and no join-back-to-the-min — strictly cheaper at 100 TB than
+    * the textbook correlated subquery (the oracle spells the same semantics
+    * with a window rank, proving equivalence). The size filter restricts
+    * the fact via a broadcast semi-ish join BEFORE any aggregation. Unit
+    * price is carried as an EXACT integer — cents × 10⁴ floor-divided by
+    * the (integral) quantity — because a 4-dp-rounded double comparison
+    * genuinely diverged between engines on a half-way value (27.97725):
+    * BigDecimal HALF_UP vs float nearbyint round it differently; integer
+    * arithmetic cannot. */
+  val q2MinCostSupplier = sql(
+    "q2_min_cost_supplier",
+    """WITH offer AS (
+      |  SELECT l.l_partkey, l.l_suppkey,
+      |         min(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) * 10000
+      |             // CAST(l.l_quantity AS BIGINT)) AS unit_price_e4
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_size >= 40
+      |  GROUP BY l.l_partkey, l.l_suppkey),
+      |best AS (
+      |  SELECT l_partkey, l_suppkey, unit_price_e4,
+      |         row_number() OVER (PARTITION BY l_partkey
+      |                            ORDER BY unit_price_e4, l_suppkey) AS rn
+      |  FROM offer)
+      |SELECT b.l_partkey AS p_partkey, p.p_name, s.s_name, b.unit_price_e4
+      |FROM best b
+      |JOIN part p ON b.l_partkey = p.p_partkey
+      |JOIN supplier s ON b.l_suppkey = s.s_suppkey
+      |WHERE b.rn = 1
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val bigParts = Tables.part(s, d).filter(col("p_size") >= 40)
+      .select("p_partkey", "p_name")
+    val unitE4 = expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000" +
+      " div CAST(l_quantity AS BIGINT)")
+    val offer = Tables.lineitem(s, d)
+      .join(broadcast(bigParts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(unitE4).as("unit_price_e4"))
+    offer
+      .groupBy("l_partkey")
+      .agg(min(struct(col("unit_price_e4"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"),
+        col("m.unit_price_e4").as("unit_price_e4"), col("m.l_suppkey").as("l_suppkey"))
+      .join(broadcast(bigParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"), col("s_name"),
+        col("unit_price_e4"))
+      .orderBy("p_partkey")
+  }
+
   // ---------------------------------------------------------------- T-family
 
   /** T1/T2-style top-k per group: top 3 customers by acctbal per segment —
@@ -616,6 +843,8 @@ object Relational {
     a1Median, a2Histogram, a3Argmax, a6GlobalMean, a7Metrics,
     q1Agg, q3RevenueByNation, q5RegionRevenue, q6ForecastRevenue,
     q10ReturnedTopk, q14PromoShare, q18LargeOrders,
+    q4LateOrders, q13CustDistribution, q15TopSupplier,
+    q17SmallQtyRevenue, q22IdleCustomers, q2MinCostSupplier,
     t1TopK, t2MaxBy, w1Running,
     u1Union, k2Explode)
 }

@@ -319,6 +319,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi pair join appeared")
   }
 
+  test("q4_late_orders: EXISTS is a LeftSemi join, order-year pushed to the scan") {
+    val plan = executedPlan("q4_late_orders")
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must plan as a semi-join (one row per order, no fan-out):\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"), "order-date year not pushed")
+  }
+
+  test("q13_cust_distribution: join stays LEFT OUTER (zero-order customers kept)") {
+    val plan = executedPlan("q13_cust_distribution")
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"),
+      s"the outer join must survive planning — an inner join drops 0-order customers:\n$plan")
+    assert(!plan.contains("Window"), "distribution must be a re-aggregate, not a window")
+  }
+
+  test("q15_top_supplier: the revenue view's shuffle is computed once (exchange reuse)") {
+    val plan = executedPlan("q15_top_supplier")
+    // rev feeds both the per-supplier totals and the global max; the plan
+    // must reuse one exchange, not scan+aggregate lineitem twice
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      "Scan parquet ".r.findAllIn(plan).count(_ => true) <= 2,
+      s"revenue view must not be recomputed per consumer:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "1-row max + supplier must broadcast")
+  }
+
+  test("q17_small_qty_revenue: brand broadcast prunes the fact BEFORE the self-aggregate") {
+    val plan = executedPlan("q17_small_qty_revenue")
+    assert(plan.contains("BroadcastHashJoin"), "brand part-list must broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      "per-part statistic must be an aggregate + equi-join, never a window or cartesian")
+  }
+
+  test("q22_idle_customers: NOT EXISTS is a LeftAnti join with the date filter pushed") {
+    val plan = executedPlan("q22_idle_customers")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti-join:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "recency cut not pushed into the orders scan feeding the anti-join")
+  }
+
+  test("q2_min_cost_supplier: per-part argmin is min(struct), no window, dims broadcast") {
+    val plan = executedPlan("q2_min_cost_supplier")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      "argmin must be a partial-aggregable min(struct), not a rank window")
+    assert(plan.contains("BroadcastHashJoin"), "part/supplier dimensions must broadcast")
+  }
+
   test("text_paragraph_dedup: no join keyed on the paragraph hash (skew-free shape)") {
     val plan = executedPlan("text_paragraph_dedup")
     // first-occurrence positions come from a partial-aggregable groupBy on
