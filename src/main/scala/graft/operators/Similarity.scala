@@ -785,8 +785,86 @@ object Similarity {
     sz.join(drift, "cell").orderBy("cell")
   }
 
+  /** RANGE SEARCH — every vector within squared-L2 τ² of the query: the
+    * threshold-semantics twin of `sim_topk_cosine` (radius dedup, "find
+    * everything this close", recall-complete retrieval). τ² = 1.6 keeps
+    * ~5% of this corpus.
+    *
+    * Scale shape: ONE corpus pass — the query vector is a broadcast 1-row
+    * side, the distance is the native codegen'd `squared_distance`, the
+    * threshold filter runs map-side, and nothing shuffles except the output
+    * ordering (plan-guarded). This linearity is deliberate and measured,
+    * not a missed optimization: on this corpus GEOMETRIC PRUNING IS
+    * STRUCTURALLY DEAD — vectors are unit-norm (‖x‖ ∈ [1−1e-7, 1+1e-7], so
+    * the Cauchy-Schwarz norm-band bound |‖x‖−‖q‖| > τ prunes nothing) and
+    * cell radii exceed the query-to-centroid gap for every IVF cell (the
+    * triangle-inequality bound d(q,c) − r(c) > τ admits all 10 cells).
+    * When exactness is required on data like this, the honest 100 TB plan
+    * is exactly this embarrassingly-parallel scan; the approximate
+    * alternative is the IVF probe, whose quality cost is measured by
+    * `sim_ivf_recall`. */
+  val simRangeSearch = sql(
+    "sim_range_search",
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, round(${sqdistSql("e.embedding", "qv")}, 4) AS d2
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> 0 AND ${sqdistSql("e.embedding", "qv")} <= 1.6
+       |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val d2 = graft.functions.SquaredDistance.squared_distance(
+      col("embedding"), col("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), d2.as("d2"))
+      .filter(col("d2") <= 1.6)
+      .select(col("vec_id"), round(col("d2"), 4).as("d2"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF INDEX BUILD — the construction-side stats job the probe family
+    * presupposes: per cell, the member count and the residual-distance
+    * summary (Σ and max of ‖x − c(x)‖², carried as EXACT ×10⁴ integers so
+    * no float accumulation order can flip an output digit). These are the
+    * numbers an ANN planner reads to size nprobe and spot degenerate cells
+    * (a cell whose max residual dwarfs the rest needs re-training — see
+    * `sim_kmeans_step` for the training iteration itself).
+    *
+    * Scale shape: one assignment pass (broadcast codebook + native
+    * squared-distance + partial-aggregable min(struct) argmin), then the
+    * residual recompute joins the TINY codebook back by cell (broadcast)
+    * and partial-aggregates — no window, no pair join, linear in the
+    * corpus. */
+  val simIvfBuild = sql(
+    "sim_ivf_build",
+    s"""WITH $ivfAssignSqlCte,
+       |centlist AS (SELECT label, list(c ORDER BY pos) AS cvec
+       |             FROM cent GROUP BY label),
+       |res AS (SELECT a.cell,
+       |               ${sqdistSql("e.embedding", "cl.cvec")} AS r2
+       |        FROM embeddings e
+       |        JOIN assign a ON e.vec_id = a.vec_id
+       |        JOIN centlist cl ON cl.label = a.cell)
+       |SELECT cell, count(*) AS n_members,
+       |       CAST(sum(CAST(round(r2 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_r2_e4,
+       |       CAST(max(CAST(round(r2 * 10000, 0) AS BIGINT)) AS BIGINT) AS max_r2_e4
+       |FROM res GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val r2 = graft.functions.SquaredDistance.squared_distance(
+      col("embedding"), col("cvec"))
+    val r2e4 = round(r2 * 10000).cast("long")
+    emb.join(ivfAssignDf(s, d), "vec_id")
+      .join(broadcast(ivfCodebook(s, d)), col("cell") === col("clabel"))
+      .select(col("cell"), r2e4.as("r2e4"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum("r2e4").as("sum_r2_e4"), max("r2e4").as("max_r2_e4"))
+      .orderBy("cell")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
-    simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep)
+    simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
+    simRangeSearch, simIvfBuild)
 }

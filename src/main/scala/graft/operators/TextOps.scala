@@ -1528,7 +1528,43 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-doc unigram SHANNON ENTROPY in bits — the compressibility /
+    * repetitiveness score (a near-zero-entropy doc is keyboard mash or
+    * boilerplate; the filter complements `text_repetition`'s exact-ratio
+    * gates with an information-theoretic one). H = log₂n − (Σc·log₂c)/n
+    * over whitespace-token counts — the counts are exact integers, both
+    * engines feed IDENTICAL integers to log2, and the per-doc mean is
+    * rounded 4 dp to absorb accumulation order (the `text_unigram_logprob`
+    * float discipline).
+    *
+    * Scale shape: tokenize once, two partial-aggregable groupBys
+    * ((doc, tok) counts, then per-doc fold) — linear, no window, no join
+    * at all. */
+  val textEntropy = sql(
+    "text_entropy",
+    """WITH tc AS (SELECT doc_id, tok, count(*) AS c
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |                  FROM documents)
+      |            GROUP BY doc_id, tok)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       round(log2(CAST(sum(c) AS DOUBLE))
+      |             - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 4)
+      |         AS entropy_bits
+      |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        round(log2(sum("c").cast("double"))
+          - sum(col("c").cast("double") * log2(col("c").cast("double"))) / sum("c"), 4)
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    textEntropy,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,

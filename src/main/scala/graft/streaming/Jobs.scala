@@ -69,6 +69,29 @@ object Jobs {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** STREAMING TRENDING TOP-K (beyond-reference): per 5-minute event-time
+    * window, the k most frequent event types — the live "what's hot right
+    * now" report. The ranking happens INSIDE the space-saving sketch
+    * aggregate (`graft.functions.TopKAgg`, the same native
+    * TypedImperativeAggregate the batch `olap_approx_topk` certifies):
+    * per-window state is one bounded value→count summary regardless of the
+    * type-domain size, it partial-aggregates map-side before the window
+    * shuffle, and merges associatively in the state store — so the
+    * operator needs NO per-(window, type) count rows and NO rank window,
+    * the two shapes that don't survive a high-cardinality domain in
+    * streaming state. Late data is bounded by the 10-minute watermark;
+    * exactness holds while a window's distinct types ≤ capacity (64 — the
+    * 8-value domain is certified exact by `olap_approx_topk`). */
+  def trendingTopK(events: DataFrame, k: Int = 3): DataFrame =
+    events
+      .withWatermark("ts_micros", "10 minutes")
+      .groupBy(window(col("ts_micros"), "5 minutes"))
+      .agg(graft.functions.TopKAgg.approx_top_k(col("event_type"), k, 64).as("tk"))
+      .select(col("window.start").as("win_start"),
+        posexplode(col("tk")).as(Seq("rank0", "e")))
+      .select(col("win_start"), (col("rank0") + 1).as("rank"),
+        col("e.value").as("event_type"), col("e.cnt").as("n"))
+
   /** Stream-stream interval join with watermarks on both sides
     * (beyond-reference): each click joined to the same user's purchases
     * within the following 5 minutes; both states bounded at 10 minutes.

@@ -365,6 +365,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "part/supplier dimensions must broadcast")
   }
 
+  test("sim_range_search: one corpus pass — query broadcast, threshold map-side, no hash shuffle") {
+    val plan = executedPlan("sim_range_search")
+    assert(!plan.contains("hashpartitioning"),
+      s"range scan must not hash-shuffle (only the output sort repartitions):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the 1-row query vector must be broadcast")
+  }
+
+  test("sim_ivf_build: codebook broadcast, residual stats partial-aggregable, no window") {
+    val plan = executedPlan("sim_ivf_build")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"codebook must broadcast against the corpus:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      "per-cell stats must be aggregates, not windows")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "cell stats must partial-aggregate map-side")
+  }
+
   test("text_paragraph_dedup: no join keyed on the paragraph hash (skew-free shape)") {
     val plan = executedPlan("text_paragraph_dedup")
     // first-occurrence positions come from a partial-aggregable groupBy on

@@ -74,6 +74,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == out.count())
   }
 
+  test("streaming trending top-k: sketch ranks inside windows, batch ≡ stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L // μs
+    val min = 60L * 1000000
+    // window 1: a=3, b=2, c=1 → top-2 is a, b; window 2 (15 min later): b=2, c=1
+    val data = Seq(
+      (t0, "a"), (t0 + 1, "a"), (t0 + 2, "a"), (t0 + 3, "b"), (t0 + 4, "b"),
+      (t0 + 5, "c"),
+      (t0 + 15 * min, "b"), (t0 + 15 * min + 1, "b"), (t0 + 15 * min + 2, "c"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("us", "event_type")
+        .withColumn("ts_micros", timestamp_micros($"us"))
+    val batch = Jobs.trendingTopK(shape(data.toDF()), k = 2).collect()
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(data: _*)
+    val streamed = Jobs.runToMemory(spark,
+      Jobs.trendingTopK(shape(mem.toDF()), k = 2), "topk_stream",
+      OutputMode.Complete)
+    // identical rows in both execution modes (the sketch merges in the
+    // state store exactly as it partial-aggregates in batch)
+    assert(streamed.collect().map(_.toString).sorted.toSeq ==
+      batch.map(_.toString).sorted.toSeq)
+    // semantic check, window 1: rank 1 = a(3), rank 2 = b(2), no rank 3
+    val w1Start = (t0 / 1000) / 300000 * 300000 // 5-min tumbling alignment, ms
+    val w1 = batch.filter(_.getAs[java.sql.Timestamp]("win_start").getTime ==
+      w1Start).sortBy(_.getAs[Int]("rank"))
+    assert(w1.map(r => (r.getAs[Int]("rank"), r.getAs[String]("event_type"),
+      r.getAs[Long]("n"))).toSeq == Seq((1, "a", 3L), (2, "b", 2L)))
+  }
+
   test("stream-stream interval join with watermarks on both sides") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
