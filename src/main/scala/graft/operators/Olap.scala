@@ -617,9 +617,119 @@ object Olap {
       .orderBy("day", "rank")
   }
 
+  /** EVENT-TRANSITION MATRIX (first-order Markov estimate): for every
+    * (prev → next) event-type pair, the transition count and MLE
+    * probability — the sequence-modeling primitive behind next-action
+    * prediction, anomalous-flow detection and funnel discovery (a funnel is
+    * a path through this matrix; `events_funnel` checks one fixed path).
+    *
+    * Scale shape: successor extraction is ONE `lead` window partitioned by
+    * user (each user's events sort within their partition — never a global
+    * sort; the same dateline as `w1_running_sum`), then a partial-aggregable
+    * pair count. The row-probability denominator is a second window over
+    * the PAIR FRAME — bounded at |type-domain|² rows by construction and
+    * partitioned by prev_type, so it is never a corpus window; expressing
+    * it as a groupBy + join-back instead would recompute the whole
+    * events-window subtree for the totals branch (measured: Catalyst plans
+    * the aggregate twice). The events table is scanned ONCE and nothing
+    * joins (plan-guarded). Ordering ties broken by event_id so the
+    * successor is engine-deterministic; probabilities divide identical
+    * integers. */
+  val eventsMarkov = sql(
+    "events_markov",
+    """WITH seq AS (
+      |  SELECT event_type AS prev_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |tr AS (SELECT prev_type, next_type, count(*) AS n
+      |       FROM seq WHERE next_type IS NOT NULL
+      |       GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n,
+      |       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+      |FROM tr ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wPrev = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    Tables.events(s, d)
+      .select(col("event_type").as("prev_type"),
+        lead("event_type", 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n") * lit(1.0) / sum("n").over(wPrev), 4).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Approximate-percentile CERTIFICATE — the `olap_approx_distinct`
+    * discipline applied to quantiles: per returnflag, the exact
+    * interpolated p50/p90 of extendedprice plus a within-1% claim for the
+    * Greenwald-Khanna sketch (`approx_percentile`, accuracy 10⁴). The
+    * sketch is the 100 TB path (bounded memory, mergeable partials vs the
+    * exact percentile's full sort per group); this query PRICES it against
+    * ground truth so the substitution is justified by a checked number,
+    * not hope. Oracle emits the same exact values and literal TRUE — at
+    * accuracy 10⁴ the rank error is ≤ n/10⁴, far inside 1% of value on
+    * this distribution, so the claim is stable, not flaky. */
+  val approxPctlCert = sql(
+    "olap_approx_pctl_cert",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      |       quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+      |       TRUE AS approx_within_1pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p90"),
+        (abs(col("a50") - col("exact_p50")) <= col("exact_p50") * 0.01 &&
+          abs(col("a90") - col("exact_p90")) <= col("exact_p90") * 0.01)
+          .as("approx_within_1pct"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TOP EVENT PATHS — the order-3 extension of `events_markov`: the ten
+    * most common 3-step event sequences across users (path mining; the
+    * discovery counterpart of `events_funnel`'s fixed path). Two stacked
+    * leads over ONE per-user window produce each trigram in place — the
+    * sequence never materializes as joins — and the report is a
+    * partial-aggregable count + TakeOrdered top-10 (plan-guarded: never a
+    * global sort of the path space). */
+  val eventsPathTopk = sql(
+    "events_path_topk",
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY e1 || '>' || e2 || '>' || e3
+      |ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type").as("e1"),
+        lead("event_type", 1).over(w).as("e2"),
+        lead("event_type", 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,
-    eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk)
+    eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk,
+    eventsMarkov, approxPctlCert, eventsPathTopk)
 }

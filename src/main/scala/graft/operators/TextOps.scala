@@ -1563,8 +1563,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** LARGEST DUPLICATE CLUSTERS report — which boilerplate dominates the
+    * crawl: the top-10 near-dup clusters by size with the canonical example
+    * doc. The per-cluster rollup `corpus_dup_stats` can't show this (it
+    * aggregates by source); an operator reads this list to decide whether a
+    * mega-cluster is legal text (keep one) or a crawler artifact (drop
+    * all).
+    *
+    * Scale shape: cluster labels come from the same bounded MinHash-LSH
+    * pipeline as `dedup_clusters`; the report is one partial-aggregable
+    * groupBy on the label and a TakeOrdered top-10 (plan-guarded — never a
+    * global sort of all clusters). */
+  val dedupTopClusters = sql(
+    "dedup_top_clusters",
+    s"""WITH RECURSIVE $clusterLabelsSqlCte
+       |SELECT root AS cluster, count(*) AS sz, min(doc_id) AS example_doc
+       |FROM cc GROUP BY root HAVING count(*) > 1
+       |ORDER BY sz DESC, cluster LIMIT 10""".stripMargin) { (s, d) =>
+    clusterLabels(s, d)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("sz"), min("doc_id").as("example_doc"))
+      .filter(col("sz") > 1)
+      .orderBy(col("sz").desc, col("cluster"))
+      .limit(10)
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    textEntropy,
+    textEntropy, dedupTopClusters,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,

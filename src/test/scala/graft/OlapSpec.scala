@@ -72,6 +72,21 @@ class OlapSpec extends AnyFunSuite {
     assert(plan.contains("bkt"), s"window must partition by the day bucket:\n$plan")
   }
 
+  test("events_markov: transitions conserve events and rows normalize per prev") {
+    val out = SparkEntry.queries("events_markov")(spark, sf).collect()
+    // every user with k events contributes exactly k−1 transitions
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum == expected,
+      "transition count must equal total events minus one per user")
+    // each row of the matrix is an MLE: probabilities sum to 1 per prev_type
+    out.groupBy(_.getAs[String]("prev_type")).foreach { case (prev, rows) =>
+      val psum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-3 + 1e-4 * rows.length,
+        s"row $prev sums to $psum, not ~1")
+    }
+  }
+
   test("rollup produces per-group, subtotal, and grand-total strata") {
     val out = SparkEntry.queries("olap_rollup")(spark, sf).collect()
     assert(out.exists(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")) // grand total

@@ -383,6 +383,35 @@ class PlanSpec extends AnyFunSuite {
       "cell stats must partial-aggregate map-side")
   }
 
+  test("events_markov: single events pass — no join, denominator windows the bounded pair frame") {
+    val plan = executedPlan("events_markov")
+    assert(!plan.contains("Join"),
+      s"a join-back for the denominator would recompute the events-window subtree:\n$plan")
+    // per-user lead + per-prev sum over the |types|² pair frame; nothing more
+    assert("Window".r.findAllIn(plan).length <= 4, // ≤2 logical ops × ≤2 AQE plan sections
+      s"unexpected extra window:\n$plan")
+  }
+
+  test("olap_approx_pctl_cert: exact and sketch percentiles in ONE aggregate pass") {
+    val plan = executedPlan("olap_approx_pctl_cert")
+    assert(!plan.contains("Join"), "certificate must not re-scan lineitem per estimator")
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r.findAllIn(plan).nonEmpty)
+  }
+
+  test("dedup_top_clusters: report is TakeOrderedAndProject over the label aggregate") {
+    val plan = executedPlan("dedup_top_clusters")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 clusters must merge per-partition top-k, never globally sort all clusters")
+  }
+
+  test("events_path_topk: one per-user window, top-10 is TakeOrderedAndProject") {
+    val plan = executedPlan("events_path_topk")
+    assert("Window".r.findAllIn(plan).length <= 2, // one logical window op
+      s"both leads must share ONE per-user window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "path top-10 must not globally sort the path space")
+  }
+
   test("text_paragraph_dedup: no join keyed on the paragraph hash (skew-free shape)") {
     val plan = executedPlan("text_paragraph_dedup")
     // first-occurrence positions come from a partial-aggregable groupBy on
