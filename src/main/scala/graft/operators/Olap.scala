@@ -726,10 +726,57 @@ object Olap {
       .limit(10)
   }
 
+  /** TIME-WEIGHTED AVERAGE per user — the metrics-correct mean for
+    * irregularly-sampled values (a plain avg over-weights bursts; billing,
+    * utilization and gauge rollups all need the value held UNTIL the next
+    * observation). Each event's value is weighted by the μs interval to
+    * the user's next event; users with one event have no held interval and
+    * drop out.
+    *
+    * Exactness discipline (the `events_anomaly` policy): cents × μs
+    * products are summed as DECIMAL(38,0) — a 1e5-cent value held for a
+    * year of μs squares past int64, decimal does not — and the only float
+    * op is the final division of two exact sums, identical on both
+    * engines. Scale shape: one per-user lead window (each user sorts
+    * within their partition) + one partial-aggregable groupBy; no join. */
+  val eventsTimeWeighted = sql(
+    "events_time_weighted",
+    """WITH seq AS (
+      |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |         epoch_us(ts) AS t,
+      |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                  ORDER BY ts, event_id) AS tn
+      |  FROM events),
+      |iv AS (SELECT user_id,
+      |              CAST(cents AS DECIMAL(38,0)) * (tn - t) AS wc,
+      |              tn - t AS dur
+      |       FROM seq WHERE tn IS NOT NULL)
+      |SELECT user_id, CAST(sum(dur) AS BIGINT) AS span_us,
+      |       round(CAST(sum(wc) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) / 100.0, 4)
+      |         AS tw_avg
+      |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        expr("ts div 1000").as("t"),
+        lead(expr("ts div 1000"), 1).over(w).as("tn"))
+      .filter(col("tn").isNotNull)
+      .select(col("user_id"),
+        (col("cents").cast("decimal(38,0)") * (col("tn") - col("t"))).as("wc"),
+        (col("tn") - col("t")).as("dur"))
+      .groupBy("user_id")
+      .agg(sum("dur").cast("long").as("span_us"),
+        round(sum("wc").cast("double") / sum("dur").cast("double") / 100.0, 4)
+          .as("tw_avg"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk,
-    eventsMarkov, approxPctlCert, eventsPathTopk)
+    eventsMarkov, approxPctlCert, eventsPathTopk, eventsTimeWeighted)
 }

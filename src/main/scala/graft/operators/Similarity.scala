@@ -862,9 +862,57 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** DIMENSION-TRUNCATION recall certificate — top-10 by cosine on the
+    * FIRST 16 of 64 dims vs the full-dimension ground truth: what a
+    * Matryoshka-style prefix truncation (4× cheaper scans, 4× smaller
+    * index) costs in recall on THIS corpus, measured the same way
+    * `sim_ivf_recall` prices the probe and `sim_pq_recall` prices PQ.
+    * The three certificates together are the accuracy/cost frontier an
+    * operator picks from at 100 TB. Slices are in-row (`slice`/list
+    * ranges), cosines the usual bit-identical ascending fold, ranking on
+    * the 4-dp round with vec_id tie-break. */
+  val simTruncRecall = sql(
+    "sim_trunc_recall",
+    s"""WITH qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |bf AS (SELECT vec_id,
+       |              round(${dotSql("embedding", "qv")}
+       |                    / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |       FROM embeddings, qr
+       |       WHERE vec_id <> 0
+       |       ORDER BY cos DESC, vec_id LIMIT 10),
+       |tr AS (SELECT vec_id,
+       |              round(${dotSql("embedding[1:16]", "qv[1:16]")}
+       |                    / (sqrt(${dotSql("embedding[1:16]", "embedding[1:16]")})
+       |                       * sqrt(${dotSql("qv[1:16]", "qv[1:16]")})), 4) AS cos
+       |       FROM embeddings, qr
+       |       WHERE vec_id <> 0
+       |       ORDER BY cos DESC, vec_id LIMIT 10)
+       |SELECT 10 AS k, count(*) AS n_trunc_hits,
+       |       round(count(*) / 10.0, 4) AS recall
+       |FROM bf JOIN tr USING (vec_id)""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    def dot16(a: String, b: String) =
+      graft.functions.DotProduct.dot_product(
+        slice(col(a), 1, 16), slice(col(b), 1, 16))
+    val tr = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot16("embedding", "qv")
+          / (sqrt(dot16("embedding", "embedding")) * sqrt(dot16("qv", "qv"))), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+    simTopK.fn(s, d).select(col("vec_id"))
+      .join(tr.select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_trunc_hits"))
+      .select(lit(10).as("k"), col("n_trunc_hits"),
+        round(col("n_trunc_hits") / 10.0, 4).as("recall"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
-    simRangeSearch, simIvfBuild)
+    simRangeSearch, simIvfBuild, simTruncRecall)
 }

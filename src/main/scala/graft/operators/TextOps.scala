@@ -1588,8 +1588,58 @@ object TextOps {
       .limit(10)
   }
 
+  /** ZIPF-LAW FIT — least-squares slope of ln(freq) on ln(rank) over the
+    * top-1000 vocabulary: natural language sits near −1; a corpus of
+    * templated or machine-generated text drifts flat (the distribution
+    * check complementing the per-doc gates — it grades the CORPUS, not a
+    * document). Closed-form regression from five partial-aggregable sums;
+    * rank is deterministic ((cnt DESC, tok) total order).
+    *
+    * Scale shape: vocabulary counts are the usual one-shuffle groupBy; the
+    * top-1000 cut is TakeOrdered (plan-guarded, never a global vocab
+    * sort); the ranking window runs over the 1000-row RESULT of that cut —
+    * bounded by construction, not by data. */
+  val textZipfFit = sql(
+    "text_zipf_fit",
+    """WITH vocab AS (
+      |  SELECT tok, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY tok),
+      |ranked AS (
+      |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+      |         ln(CAST(cnt AS DOUBLE)) AS y
+      |  FROM vocab
+      |  ORDER BY cnt DESC, tok LIMIT 1000)
+      |SELECT count(*) AS n,
+      |       round((count(*) * sum(x * y) - sum(x) * sum(y))
+      |             / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS slope,
+      |       round((sum(y) - (count(*) * sum(x * y) - sum(x) * sum(y))
+      |                       / (count(*) * sum(x * x) - sum(x) * sum(x)) * sum(x))
+      |             / count(*), 4) AS intercept
+      |FROM ranked""".stripMargin) { (s, d) =>
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(1000)
+    // rank within the bounded top-1000 frame (TakeOrdered output), never
+    // over the full vocabulary
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    val ranked = vocab
+      .select(log(row_number().over(w).cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val n = count(lit(1))
+    val slope = (n * sum(col("x") * col("y")) - sum("x") * sum("y")) /
+      (n * sum(col("x") * col("x")) - sum("x") * sum("x"))
+    ranked.agg(n.as("n"), round(slope, 4).as("slope"),
+      round((sum("y") - slope * sum("x")) / n, 4).as("intercept"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    textEntropy, dedupTopClusters,
+    textEntropy, dedupTopClusters, textZipfFit,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,

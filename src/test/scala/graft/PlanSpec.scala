@@ -412,6 +412,26 @@ class PlanSpec extends AnyFunSuite {
       "path top-10 must not globally sort the path space")
   }
 
+  test("events_time_weighted: one per-user window + partial aggregate, no join") {
+    val plan = executedPlan("events_time_weighted")
+    assert(!plan.contains("Join"), s"interval weighting must not join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "per-user sums must partial-aggregate map-side")
+  }
+
+  test("text_zipf_fit: vocab cut is TakeOrdered; rank window only sees the bounded frame") {
+    val plan = executedPlan("text_zipf_fit")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-1000 vocabulary must be a per-partition top-k merge, not a global sort")
+  }
+
+  test("sim_trunc_recall: both rankings are TakeOrdered, certificate join is tiny") {
+    val plan = executedPlan("sim_trunc_recall")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      s"both top-10s must be partial top-k merges:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("text_paragraph_dedup: no join keyed on the paragraph hash (skew-free shape)") {
     val plan = executedPlan("text_paragraph_dedup")
     // first-occurrence positions come from a partial-aggregable groupBy on

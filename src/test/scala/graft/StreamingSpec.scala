@@ -128,6 +128,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("amount") == 9.99)
   }
 
+  test("checkpoint recovery: a restarted query resumes offsets AND dedup state, exactly-once") {
+    // the operational contract local tests usually skip: stop the query,
+    // start a NEW one from the same checkpoint, and prove (a) batch-1 input
+    // is not reprocessed into duplicates (source offsets recovered), and
+    // (b) a payload first seen before the restart still dedups after it
+    // (operator state recovered) — the exactly-once story a 100 TB
+    // streaming job stands on
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("ckpt_in")
+    val out = Files.createTempDirectory("ckpt_out")
+    val ckpt = Files.createTempDirectory("ckpt_meta")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = Jobs.streamingDedupUnbounded(
+        spark.readStream.schema(schema).json(in.toString), "text")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    Files.writeString(in.resolve("b1.json"),
+      """{"id":1,"text":"alpha"}""" + "\n" + """{"id":2,"text":"beta"}""" + "\n")
+    runOnce()
+    // "alpha" repeats ACROSS the restart; "gamma" is new
+    Files.writeString(in.resolve("b2.json"),
+      """{"id":3,"text":"alpha"}""" + "\n" + """{"id":4,"text":"gamma"}""" + "\n")
+    runOnce()
+    val texts = spark.read.schema(schema.add("h",
+      org.apache.spark.sql.types.StringType)).parquet(out.toString)
+      .select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("alpha", "beta", "gamma"),
+      s"restart must neither replay batch 1 nor forget its dedup state: $texts")
+  }
+
   test("streaming dedup drops repeated payloads across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
