@@ -244,6 +244,44 @@ object Olap {
       .orderBy("c_custkey")
   }
 
+  /** Distribution-position window family — percent_rank/cume_dist (the
+    * per-row quantile position, what score normalization and outlier
+    * trimming key on) plus frame-boundary first/last/nth_value with the
+    * explicit RANGE frame last_value needs to mean "partition max" rather
+    * than "current row". Same single partition-ordered shuffle as
+    * `olap_window_family`; positions divide identical integers, rounded
+    * 4 dp. */
+  val windowFamily2 = sql(
+    "olap_window_family2",
+    """SELECT s_suppkey, s_nationkey,
+      |       round(percent_rank() OVER w, 4) AS pct_rank,
+      |       round(cume_dist() OVER w, 4) AS cume,
+      |       first_value(s_suppkey) OVER w AS poorest,
+      |       last_value(s_suppkey)
+      |         OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+      |               RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |         AS richest,
+      |       nth_value(s_suppkey, 2)
+      |         OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+      |               RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |         AS second_poorest
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    val wFull = w.rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.supplier(s, d).select(
+      col("s_suppkey"), col("s_nationkey"),
+      round(percent_rank().over(w), 4).as("pct_rank"),
+      round(cume_dist().over(w), 4).as("cume"),
+      first(col("s_suppkey")).over(w).as("poorest"),
+      last(col("s_suppkey")).over(wFull).as("richest"),
+      nth_value(col("s_suppkey"), 2).over(wFull).as("second_poorest"))
+      .orderBy("s_suppkey")
+  }
+
   /** Exact interpolated percentiles (both engines: lo + (hi-lo)*frac). */
   val percentiles = sql(
     "olap_percentiles",
@@ -778,5 +816,6 @@ object Olap {
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk,
-    eventsMarkov, approxPctlCert, eventsPathTopk, eventsTimeWeighted)
+    eventsMarkov, approxPctlCert, eventsPathTopk, eventsTimeWeighted,
+    windowFamily2)
 }

@@ -1638,8 +1638,52 @@ object TextOps {
       round((sum("y") - slope * sum("x")) / n, 4).as("intercept"))
   }
 
+  /** SIMHASH PRECISION CERTIFICATE — the cross-signal grade: every pair
+    * the Hamming-LSH simhash path flags (distance ≤ 1) is scored against
+    * the EXACT shingle Jaccard over the df-capped universe, and the
+    * certificate reports how many flagged pairs are true near-dups
+    * (J ≥ 0.5). `dedup_minhash_est` grades MinHash's ESTIMATE against
+    * exact Jaccard; this grades SimHash's DECISIONS — together they price
+    * both approximate dedup signals before anyone trusts them at 100 TB.
+    * A flagged pair absent from the shingle candidate set scores J = 0
+    * (it shares no capped shingle at all — the certificate counts that as
+    * the false positive it is, rather than silently dropping it).
+    *
+    * Scale shape: the flagged set is the already-bounded simhash pair
+    * output; the exact-J lookup LEFT-joins it against the capped pair
+    * scaffolding (linear, the same discipline as the queries it grades);
+    * the report is one global aggregate row. */
+  val dedupSimhashPrec = sql(
+    "dedup_simhash_prec",
+    s"""WITH $cappedPairsSqlCte,
+       |${simhashPairsSqlWith("sx")},
+       |scored AS (
+       |  SELECT coalesce(p.common * 1.0 / (sa.n + sb.n - p.common), 0.0) AS ej
+       |  FROM sxpairs sp
+       |  LEFT JOIN pairs p ON p.da = sp.da AND p.db = sp.db
+       |  LEFT JOIN sizes sa ON sa.doc_id = sp.da
+       |  LEFT JOIN sizes sb ON sb.doc_id = sp.db)
+       |SELECT count(*) AS n_flagged,
+       |       CAST(sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       |       round(avg(ej), 4) AS mean_exact_j,
+       |       round(sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+       |         AS prec
+       |FROM scored""".stripMargin) { (s, d) =>
+    val flagged = dedupSimhashPairs.fn(s, d).select("da", "db")
+    val ej = coalesce(
+      col("common") * lit(1.0) / (col("na") + col("nb") - col("common")),
+      lit(0.0))
+    val hit = when(ej >= 0.5, 1L).otherwise(0L)
+    flagged
+      .join(cappedPairsWithSizes(s, d), Seq("da", "db"), "left")
+      .agg(count(lit(1)).as("n_flagged"),
+        sum(hit).as("n_near_dup"),
+        round(avg(ej), 4).as("mean_exact_j"),
+        round(sum(hit) * lit(1.0) / count(lit(1)), 4).as("prec"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    textEntropy, dedupTopClusters, textZipfFit,
+    textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
