@@ -74,7 +74,14 @@ object Bench {
     // for every query — consecutive runs hit the still-warm cache.
     val raw = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names): isolates a query's
+    // cost while iterating. The driver never sets it, so round artifacts
+    // always cover the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .flatMap { case (name, fn) =>
       (timeOnce(fn), timeOnce(fn)) match {
         case (Right(a), Right(b)) =>
           // >3× disagreement between back-to-back passes = an environment

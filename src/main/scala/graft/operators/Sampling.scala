@@ -362,9 +362,105 @@ object Sampling {
       .orderBy("lang")
   }
 
+  val DomainCap = 20
+
+  val TokenBudget = 15000L
+
+  /** Range-bucket width for the two-phase cumsum: consecutive-doc_id
+    * ranges this wide collapse to one row in the offsets frame. */
+  val BudgetRangeWidth = 256
+
+  /** PER-SOURCE CAP — the Common-Crawl-style curation rule "keep at most
+    * N documents per domain, preferring quality": rank each source's docs
+    * by (quality desc, n_tokens desc, doc_id) and flag the top
+    * [[DomainCap]]. Prevents one mega-crawl from dominating the training
+    * mixture; the complement of `corpus_mix`'s measurement.
+    *
+    * Scale shape: quality is the shared one-pass metric frame
+    * ([[Quality.metrics]]); the rank is ONE window partitioned by
+    * source — per-domain state, never a global sort. A pathologically hot
+    * domain bounds a single partition; its rows spill rather than skewing
+    * a shuffle key used by anyone else, and a pre-filter on quality==3
+    * would shrink it further before ranking at real scale. */
+  val domainCap = sql(
+    "corpus_domain_cap",
+    s"""WITH ${Quality.metricsSqlCte},
+       |q AS (SELECT doc_id, n_tokens,
+       |             ${Quality.scoreSql} AS quality
+       |      FROM m),
+       |r AS (SELECT d.doc_id, d.source, q.quality, q.n_tokens,
+       |             row_number() OVER (PARTITION BY d.source
+       |                                ORDER BY q.quality DESC, q.n_tokens DESC,
+       |                                         d.doc_id) AS rnk
+       |      FROM documents d JOIN q ON q.doc_id = d.doc_id)
+       |SELECT doc_id, source, quality, n_tokens,
+       |       CAST(rnk AS BIGINT) AS rnk, rnk <= $DomainCap AS keep
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("n_tokens").desc, col("doc_id"))
+    Quality.metrics(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"),
+        col("rnk"), (col("rnk") <= DomainCap).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** TOKEN-BUDGET SELECTION — greedy corpus selection to a fixed training
+    * budget: take documents in (quality desc, doc_id) order until
+    * [[TokenBudget]] whitespace tokens are reached (a doc is selected iff
+    * its cumulative token count fits entirely). The "fill the mixture from
+    * the best docs down" step between scoring and shard-writing.
+    *
+    * Scale shape: the global ordered cumsum is the classic single-partition
+    * window killer, so it runs TWO-PHASE — (1) per-(quality, range-bucket)
+    * token totals, with range buckets of [[BudgetRangeWidth]] consecutive
+    * doc_ids so bucket order IS doc order; (2) bucket offsets from a
+    * prefix window over that 1000×-reduced frame; (3) the within-bucket
+    * cumsum windows on (quality, bucket) — per-bucket state only. The
+    * offsets frame shrinks by the range width per level, so the same
+    * reduction composes recursively if corpus/width still exceeds one
+    * executor. The oracle states the SEMANTICS as the single global window
+    * the two-phase plan refuses to run. */
+  val tokenBudget = sql(
+    "corpus_token_budget",
+    s"""WITH ${Quality.metricsSqlCte},
+       |q AS (SELECT doc_id, n_tokens,
+       |             ${Quality.scoreSql} AS quality
+       |      FROM m),
+       |c AS (SELECT doc_id, quality, n_tokens,
+       |             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |      FROM q)
+       |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |       cum_tokens <= $TokenBudget AS selected
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = Quality.metrics(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        floor(col("doc_id") / BudgetRangeWidth).as("rb"))
+    // (1) per-(quality, range-bucket) totals — partial-aggregable
+    val grp = q.groupBy("quality", "rb").agg(sum("n_tokens").as("gsum"))
+    // (2) prefix offsets over the REDUCED frame (corpus/width rows)
+    val wOff = Window.orderBy(col("quality").desc, col("rb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = grp.withColumn("offset", sum("gsum").over(wOff) - col("gsum"))
+      .select("quality", "rb", "offset")
+    // (3) within-bucket cumsum — per-(quality, bucket) state only
+    val wIn = Window.partitionBy("quality", "rb").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(off, Seq("quality", "rb"))
+      .withColumn("cum_tokens", (col("offset") + sum("n_tokens").over(wIn)).cast("long"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= TokenBudget).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
-    corpusReweight)
+    corpusReweight, domainCap, tokenBudget)
 }
 

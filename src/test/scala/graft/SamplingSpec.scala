@@ -183,4 +183,43 @@ class SamplingSpec extends AnyFunSuite {
     val shareSum = got.values.map(_.getAs[Double]("realized_share")).sum
     assert(math.abs(shareSum - 1.0) < 5e-4, s"shares sum to $shareSum")
   }
+
+  test("corpus_domain_cap: at most DomainCap kept per source, quality-first") {
+    val out = SparkEntry.queries("corpus_domain_cap")(spark, sf).cache()
+    val kept = out.filter(col("keep"))
+    val perSource = kept.groupBy("source").count().collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach(r =>
+      assert(r.getLong(1) <= operators.Sampling.DomainCap,
+        s"source ${r.getString(0)} kept ${r.getLong(1)} > cap"))
+    // a kept doc never has lower quality than a dropped doc of its source
+    val minKept = kept.groupBy("source").agg(min("quality").as("qk"))
+    val maxDrop = out.filter(!col("keep"))
+      .groupBy("source").agg(max("quality").as("qd"))
+    minKept.join(maxDrop, "source").collect().foreach { r =>
+      assert(r.getAs[Int]("qk") >= r.getAs[Int]("qd"),
+        s"source ${r.getString(0)}: kept quality below dropped quality")
+    }
+    out.unpersist()
+  }
+
+  test("corpus_token_budget: two-phase cumsum equals the global-window semantics") {
+    val out = SparkEntry.queries("corpus_token_budget")(spark, sf).cache()
+    // reference: single global ordered cumsum computed on the driver
+    val rows = out.select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy { case (id, q, _, _) => (-q, id) }
+    var cum = 0L
+    rows.foreach { case (id, _, n, got) =>
+      cum += n
+      assert(got == cum, s"doc $id: two-phase cum $got != reference $cum")
+    }
+    // the budget boundary: selected docs fit entirely, and the frontier is
+    // exactly the prefix of the quality-ordered corpus
+    val sel = out.filter(col("selected")).agg(max("cum_tokens")).head.getLong(0)
+    val unselMin = out.filter(!col("selected")).agg(min("cum_tokens")).head.getLong(0)
+    assert(sel <= operators.Sampling.TokenBudget && unselMin > operators.Sampling.TokenBudget)
+    out.unpersist()
+  }
 }
