@@ -322,16 +322,11 @@ object Similarity {
       .orderBy("da", "db")
   }
 
-  /** k-NN GRAPH over the IVF cells: every vector's top-3 cosine neighbors
-    * WITHIN its assigned cell — the building block of graph-based semantic
-    * dedup and of IVF/HNSW-style index construction. Scale shape: the
-    * candidate join is the within-cell block join (Σ cell², never corpus²),
-    * ranking is a window partitioned by the source vector (one shuffle on
-    * src, no global sort). Ranking happens on the 4-dp-rounded cosine with
-    * a dst tie-break so both engines rank bit-identical values. */
-  val simKnnGraph = sql(
-    "sim_knn_graph",
-    s"""WITH $ivfAssignSqlCte,
+  /** SQL CTE chain ending in `rk(src, dst, cos, rn)` — the within-cell
+    * top-k cosine ranking shared by `sim_knn_graph` (which emits it) and
+    * `graph_pagerank` (which walks it as an edge list). */
+  private val knnRankedSqlCte: String =
+    s"""$ivfAssignSqlCte,
        |emb2 AS (SELECT e.vec_id, e.embedding, a.cell,
        |                sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
        |         FROM embeddings e JOIN assign a USING (vec_id)),
@@ -340,9 +335,10 @@ object Similarity {
        |       FROM emb2 a JOIN emb2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
        |rk AS (SELECT src, dst, cos,
        |              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rn
-       |       FROM pr)
-       |SELECT src, dst, cos, rn FROM rk WHERE rn <= 3
-       |ORDER BY src, dst""".stripMargin) { (s, d) =>
+       |       FROM pr)""".stripMargin
+
+  /** Spark side of `rk`: (src, dst, cos, rn), unfiltered. */
+  private def knnRankedDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val withCell = Tables.embeddings(s, d).join(ivfAssignDf(s, d), "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"),
@@ -356,8 +352,128 @@ object Similarity {
       .select(col("src"), col("dst"),
         round(dotCol("ea", "eb") / (col("na") * col("nb")), 4).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .orderBy("src", "dst")
+  }
+
+  /** k-NN GRAPH over the IVF cells: every vector's top-3 cosine neighbors
+    * WITHIN its assigned cell — the building block of graph-based semantic
+    * dedup and of IVF/HNSW-style index construction. Scale shape: the
+    * candidate join is the within-cell block join (Σ cell², never corpus²),
+    * ranking is a window partitioned by the source vector (one shuffle on
+    * src, no global sort). Ranking happens on the 4-dp-rounded cosine with
+    * a dst tie-break so both engines rank bit-identical values. */
+  val simKnnGraph = sql(
+    "sim_knn_graph",
+    s"""WITH $knnRankedSqlCte
+       |SELECT src, dst, cos, rn FROM rk WHERE rn <= 3
+       |ORDER BY src, dst""".stripMargin) { (s, d) =>
+    knnRankedDf(s, d).filter(col("rn") <= 3).orderBy("src", "dst")
+  }
+
+  /** PAGERANK over the k-NN graph — 3 unrolled power iterations with
+    * damping 0.85 over the top-3-cosine-neighbor edge list: the
+    * graph-centrality signal behind canonical-document selection and
+    * data-valuation ("which docs anchor a semantic neighborhood"). The
+    * non-normalized convention pr' = 0.15 + 0.85·Σ pr(u)/outdeg(u) is
+    * used on both engines; dangling vectors (alone in their IVF cell, no
+    * out-edges) leak their mass — the standard simplification, stated
+    * rather than hidden, and irrelevant to the RANKING the scores feed.
+    *
+    * Scale shape: each iteration is one equi-join of the edge list
+    * against the vertex-sized score frame plus a partial-aggregable
+    * groupBy(dst) — out-degree ≤ 3 bounds fan-out, so an iteration is
+    * linear in |V|. The iteration count is FIXED (unrolled, one static
+    * plan); an open-ended convergence loop would instead checkpoint per
+    * round exactly like `connectedComponentsDistributed`.
+    *
+    * EXACT ARITHMETIC: float power iteration hit a 4-dp rounding boundary
+    * (0.74075) the moment partition count changed the accumulation order.
+    * With outdeg ∈ {1,2,3} and damping 17/20, scaling scores by 120^k
+    * keeps every intermediate an INTEGER: N_k = 0.15·120^k +
+    * Σ (102/outdeg)·N_{k-1} (102 = 0.85·120 is divisible by 1, 2, 3), and
+    * pagerank = N_3/120³ is the single float op — partition-order-proof
+    * and engine-proof. Sums run as DECIMAL(38,0)/HUGEINT so a mega-in-
+    * degree hub cannot overflow a 64-bit sum at corpus scale. */
+  val graphPagerank = sql(
+    "graph_pagerank",
+    s"""WITH $knnRankedSqlCte,
+       |e AS (SELECT src, dst FROM rk WHERE rn <= 3),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |v AS (SELECT vec_id FROM embeddings),
+       |p0 AS (SELECT vec_id, 1 AS n FROM v),
+       |c1 AS (SELECT e.dst AS vec_id, sum((102 // d.outdeg) * p.n) AS c
+       |       FROM e JOIN p0 p ON p.vec_id = e.src JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |p1 AS (SELECT v.vec_id, 18 + coalesce(c.c, 0) AS n
+       |       FROM v LEFT JOIN c1 c ON c.vec_id = v.vec_id),
+       |c2 AS (SELECT e.dst AS vec_id, sum((102 // d.outdeg) * p.n) AS c
+       |       FROM e JOIN p1 p ON p.vec_id = e.src JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |p2 AS (SELECT v.vec_id, 2160 + coalesce(c.c, 0) AS n
+       |       FROM v LEFT JOIN c2 c ON c.vec_id = v.vec_id),
+       |c3 AS (SELECT e.dst AS vec_id, sum((102 // d.outdeg) * p.n) AS c
+       |       FROM e JOIN p2 p ON p.vec_id = e.src JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |p3 AS (SELECT v.vec_id, 259200 + coalesce(c.c, 0) AS n
+       |       FROM v LEFT JOIN c3 c ON c.vec_id = v.vec_id)
+       |SELECT p3.vec_id, round(CAST(p3.n AS DOUBLE) / 1728000.0, 4) AS pagerank,
+       |       CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg
+       |FROM p3 LEFT JOIN deg d ON d.src = p3.vec_id
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = knnRankedDf(s, d).filter(col("rn") <= 3)
+      .select("src", "dst").cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src")
+      .withColumn("w", expr("102 div outdeg")) // exact: outdeg | 102
+    val v = Tables.embeddings(s, d).select("vec_id")
+    def step(prev: org.apache.spark.sql.DataFrame, base: Long) = {
+      val contrib = withDeg
+        .join(prev.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("dst").as("vec_id"))
+        .agg(sum((col("w") * col("n")).cast("decimal(38,0)")).as("c"))
+      v.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(base) + coalesce(col("c"), lit(0))).cast("decimal(38,0)").as("n"))
+    }
+    val p0 = v.select(col("vec_id"), lit(1L).as("n"))
+    val p3 = step(step(step(p0, 18L), 2160L), 259200L)
+    p3.join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        round(col("n").cast("double") / lit(1728000.0), 4).as("pagerank"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .orderBy("vec_id")
+  }
+
+  /** PER-DIMENSION EMBEDDING STATS — the drift/whitening monitor a vector
+    * pipeline runs before trusting an index: n, mean, population std,
+    * min, max for each of the 64 dimensions. A collapsed dimension
+    * (std ≈ 0) or a shifted mean flags an encoder regression.
+    *
+    * Scale shape: posexplode + ONE partial-aggregable groupBy on the
+    * 64-value dimension key — map-side combine collapses each partition
+    * to 64 rows, no window, no join. Mean/std derive from exact-input
+    * double sums (float32 values upcast losslessly); both computed
+    * columns round 4 dp, min/max are passthrough picks of existing
+    * values. */
+  val embDimStats = sql(
+    "emb_dim_stats",
+    """WITH x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+      |                  CAST(unnest(embedding) AS DOUBLE) AS val
+      |           FROM embeddings)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(val) / count(*), 4) AS mean,
+      |       round(sqrt((sum(val * val) - sum(val) * sum(val) / count(*)) / count(*)), 4) AS std,
+      |       min(val) AS min_val, max(val) AS max_val
+      |FROM x GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("val"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(sum("val") / count(lit(1)), 4).as("mean"),
+        round(sqrt((sum(col("val") * col("val"))
+          - sum("val") * sum("val") / count(lit(1))) / count(lit(1))), 4).as("std"),
+        min("val").as("min_val"), max("val").as("max_val"))
+      .orderBy("dim")
   }
 
   /** Random-hyperplane (sign) LSH — the alternative scale path to IVF:
@@ -914,5 +1030,5 @@ object Similarity {
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
-    simRangeSearch, simIvfBuild, simTruncRecall)
+    simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats)
 }

@@ -106,4 +106,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(drift == 0.0, s"cell $cell drifted: $drift")
     }
   }
+
+  test("graph_pagerank: teleport floor, mass conservation on the real corpus") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.length == 500)
+    // every score ≥ the teleport floor; a vector with no in-edges sits AT it
+    rows.foreach { case (id, pr, _) =>
+      assert(pr >= 0.15, s"vec $id below teleport floor: $pr") }
+    assert(rows.exists(_._2 > 0.15), "some vector must accumulate rank")
+    // out-degree capped by k=3
+    rows.foreach { case (id, _, deg) =>
+      assert(deg <= 3, s"vec $id outdeg $deg > k") }
+    // non-normalized convention: total mass ≤ |V|·1.0 (dangling mass leaks,
+    // never appears) and ≥ |V|·0.15
+    // 4-dp output rounding can add up to 5e-5 per vertex
+    val total = rows.map(_._2).sum
+    assert(total > 0.15 * 500 && total <= 500.0 + 0.03, s"total mass $total")
+  }
+
+  test("emb_dim_stats: 64 dims, exact n, std positive, min<=mean<=max") {
+    val rows = SparkEntry.queries("emb_dim_stats")(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (n, mean, std) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (lo, hi) = (r.getDouble(4), r.getDouble(5))
+      assert(n == 500L)
+      assert(std > 0.0, s"dim ${r.getInt(0)} collapsed")
+      assert(lo <= mean + 1e-4 && mean <= hi + 1e-4)
+    }
+  }
 }
