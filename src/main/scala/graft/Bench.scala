@@ -144,8 +144,10 @@ object Bench {
       s"""},"queries_omitted":${bySlow.size - kept}}"""
 
     val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","wall_sec":${jnum(wallSec)},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"raw":$rawJson}"""
+    // a dev-subset run must not clobber the committed full-sweep artifact
+    val fullPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      java.nio.file.Paths.get(fullPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }

@@ -282,6 +282,60 @@ object Olap {
       .orderBy("s_suppkey")
   }
 
+  /** CLOSED-FORM LINEAR REGRESSION per group — slope/intercept/R² of
+    * price-in-cents on quantity for each returnflag: the `regr_slope`
+    * family of analytic SQL, computed from EXACT integer sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) rather than each engine's streaming-covariance
+    * kernel, whose accumulation order would differ. Sums run as
+    * DECIMAL(38,0)/HUGEINT (Σy² at 1e7-cent prices × 6e5 rows tops 6e19 —
+    * past int64); the closed forms then do identical double arithmetic on
+    * identical integers, rounded 4 dp. ONE partial-aggregable pass, no
+    * window, no join — the normal-equations shape that trains a linear
+    * model in a single scan at any scale. */
+  val mlLinreg = sql(
+    "ml_linreg",
+    """WITH b AS (SELECT l_returnflag AS flag,
+      |                  CAST(l_quantity AS BIGINT) AS x,
+      |                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+      |           FROM lineitem),
+      |s AS (SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |      FROM b GROUP BY flag)
+      |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |             / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+      |       round((CAST(sy AS DOUBLE)
+      |              - CAST(n * sxy - sx * sy AS DOUBLE)
+      |                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |             / CAST(n AS DOUBLE), 4) AS intercept,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+      |             4) AS r2
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val dec = "decimal(38,0)"
+    val b = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+    val st = b.groupBy("flag").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    st.select(col("flag").as("l_returnflag"),
+        col("n").cast("long").as("n"),
+        round(num / dx, 4).as("slope"),
+        round((col("sy").cast("double") - num / dx * col("sx").cast("double"))
+          / col("n").cast("double"), 4).as("intercept"),
+        round(num * num / (dx * dy), 4).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact interpolated percentiles (both engines: lo + (hi-lo)*frac). */
   val percentiles = sql(
     "olap_percentiles",
@@ -817,5 +871,5 @@ object Olap {
     rollingWindow, rangeJoin, resample, approxDistinct,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk,
     eventsMarkov, approxPctlCert, eventsPathTopk, eventsTimeWeighted,
-    windowFamily2)
+    windowFamily2, mlLinreg)
 }

@@ -1502,6 +1502,59 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** BIGRAM LM quality score — mean surprisal −ln p(w₂|w₁) under the
+    * corpus bigram MLE with add-1 smoothing, the context-aware upgrade of
+    * `text_unigram_logprob` (word salad with common words scores ~unigram;
+    * only locally-coherent text gets low bigram surprisal — the
+    * perplexity-filter shape of CCNet/KenLM gates). p(w₂|w₁) =
+    * (c(w₁w₂)+1)/(ctx(w₁)+V) where ctx counts bigram contexts and V is
+    * the corpus vocabulary; docs shorter than 2 tokens have no bigrams
+    * and drop out.
+    *
+    * Scale shape: tokenize once, derive bigrams in-array (zip_with of two
+    * slices — no window, no self-join), ONE bigram-count aggregate + ONE
+    * context-count aggregate joined back by equi-key, V as a broadcast
+    * 1-row scalar, per-doc mean partial-aggregable. Float policy: both
+    * engines ln identical `(c+1)/(ctx+V)` exact-integer rationals; the
+    * per-doc mean rounds 4 dp (the `text_unigram_logprob` discipline). */
+  val textBigramLogprob = sql(
+    "text_bigram_logprob",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+      |              unnest(toks[2:len(toks)]) AS w2 FROM t),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |cx AS (SELECT w1, count(*) AS ctx FROM bg GROUP BY w1),
+      |vs AS (SELECT count(DISTINCT tok) AS v
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+      |              round(sum(-ln((c12 + 1.0) / (ctx + v))) / count(*), 4)
+      |                AS avg_surprisal
+      |       FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1) CROSS JOIN vs
+      |       GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_surprisal
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bg = t
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cx = bg.groupBy("w1").agg(count(lit(1)).as("ctx"))
+    val vs = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    bg.join(bc, Seq("w1", "w2")).join(cx, Seq("w1"))
+      .crossJoin(broadcast(vs))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(-log((col("c12") + lit(1.0)) / (col("ctx") + col("v"))))
+          / count(lit(1)), 4).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc unigram SHANNON ENTROPY in bits — the compressibility /
     * repetitiveness score (a near-zero-entropy doc is keyboard mash or
     * boilerplate; the filter complements `text_repetition`'s exact-ratio
@@ -1666,5 +1719,5 @@ object TextOps {
     dedupContainment, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
-    textNbLangid, dedupWinnowPairs)
+    textNbLangid, dedupWinnowPairs, textBigramLogprob)
 }

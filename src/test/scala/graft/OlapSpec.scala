@@ -114,4 +114,32 @@ class OlapSpec extends AnyFunSuite {
     assert(got(10L) == ((10000L, true)), s"spike day: ${got(10L)}")
     (0L until 10L).foreach(d => assert(got(d) == ((100L, false)), s"day $d: ${got(d)}"))
   }
+
+  test("ml_linreg: a perfect line fits slope exactly with r2 = 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("olap-linreg").toString
+    // y dollars = 200·x exactly → slope in cents/unit = 20000, r2 = 1;
+    // group B is y = 50·x + 10 → slope 5000, intercept 1000 cents, r2 = 1
+    val rows = (1 to 40).map(i => ("A", i.toDouble, 200.0 * i)) ++
+      (1 to 40).map(i => ("B", i.toDouble, 50.0 * i + 10.0))
+    rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("ml_linreg")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("A").getAs[Double]("slope") == 20000.0)
+    assert(got("A").getAs[Double]("intercept") == 0.0)
+    assert(got("A").getAs[Double]("r2") == 1.0)
+    assert(got("B").getAs[Double]("slope") == 5000.0)
+    assert(got("B").getAs[Double]("intercept") == 1000.0)
+    assert(got("B").getAs[Double]("r2") == 1.0)
+    // and on the real corpus the fit is well-formed (this synthetic data's
+    // price/quantity correlation direction is not asserted)
+    val real = SparkEntry.queries("ml_linreg")(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1, s"${r.getString(0)}: r2 $r2")
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
 }

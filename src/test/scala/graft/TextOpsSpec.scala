@@ -305,4 +305,24 @@ class TextOpsSpec extends AnyFunSuite {
     // and all 10 share the one distinct gram hash
     assert(rows.filter(_.getLong(0) == 1L).map(_.getAs[Long]("fphash")).distinct.length == 1)
   }
+
+  test("text_bigram_logprob: repeated phrasing scores lower than unique phrasing") {
+    // ten docs share one fixed phrase; one doc uses the same words in a
+    // never-seen order. The common-phrase docs' bigrams are corpus-frequent
+    // (low surprisal); the shuffled doc's bigrams are singletons.
+    val common = "the quick brown fox jumps over the lazy dog"
+    val dir = writeDocs(
+      (0L until 10L).map(i => i -> common) :+
+        (10L -> "dog the over quick lazy jumps fox brown the") :+
+        (11L -> "single")) // 1 token → no bigrams → absent from output
+    val got = TextOps.textBigramLogprob.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("avg_surprisal"))).toMap
+    assert(!got.contains(11L), "a 1-token doc has no bigrams")
+    assert(got.keySet == (0L until 11L).toSet)
+    (0L until 10L).foreach(i => assert(got(i)._1 == 8L))
+    val (commonS, shuffledS) = (got(0L)._2, got(10L)._2)
+    assert(commonS < shuffledS,
+      s"corpus-frequent phrasing must score lower: $commonS vs $shuffledS")
+    got.values.foreach { case (_, sp) => assert(sp > 0.0) }
+  }
 }
