@@ -635,6 +635,67 @@ object Olap {
       .orderBy("day")
   }
 
+  /** EWMA of daily revenue — the trend line dashboards smooth spiky daily
+    * metrics with: half-life decay α = 1/2 per day, truncated at a 7-day
+    * horizon, over the GAP-FILLED day grid (a missing day is a 0-revenue
+    * day and decays the average — joining only observed days would let a
+    * dead week hold the trend flat). pandas-`ewm(adjust=True)` start
+    * handling: the first rows normalize by the weights actually present.
+    *
+    * EXACT ARITHMETIC: dyadic weights make the whole thing integer —
+    * numerator·64 = Σ rev_{d-k}·2^{6-k} and denominator·64 = 128 −
+    * 2^(7−min(rn,7)) are exact BIGINTs (the 7-term window keeps the
+    * scaled numerator under 2⁵³ for 1e13-cent days), and the single float
+    * op is the final division, identical on both engines.
+    *
+    * Scale shape: one partial-aggregable day aggregate, the grid explode,
+    * then 6 lags + row_number in ONE window over the day grid — bounded
+    * by CALENDAR SIZE (rows = days observed), not by event count; the
+    * same bounded-frame argument as `olap_resample`'s grid and
+    * `events_anomaly`'s stats row. */
+  val eventsEwma = sql(
+    "events_ewma",
+    """WITH g AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |           FROM events GROUP BY 1),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM g),
+      |grid AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+      |f AS (SELECT grid.day, coalesce(g.cents, 0) AS cents
+      |      FROM grid LEFT JOIN g ON g.day = grid.day),
+      |w AS (SELECT day, cents,
+      |             64 * cents
+      |             + 32 * lag(cents, 1, 0) OVER o + 16 * lag(cents, 2, 0) OVER o
+      |             + 8 * lag(cents, 3, 0) OVER o + 4 * lag(cents, 4, 0) OVER o
+      |             + 2 * lag(cents, 5, 0) OVER o + lag(cents, 6, 0) OVER o AS num64,
+      |             128 - (1 << CAST(7 - least(row_number() OVER o, 7) AS INT)) AS den64
+      |      FROM f WINDOW o AS (ORDER BY day))
+      |SELECT day, cents, round(CAST(num64 AS DOUBLE) / den64, 4) AS ewma_cents
+      |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, d)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+    val grid = g.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val f = grid.join(g, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val o = Window.orderBy("day")
+    val num64 = lit(64) * col("cents") +
+      lit(32) * lag(col("cents"), 1, 0L).over(o) +
+      lit(16) * lag(col("cents"), 2, 0L).over(o) +
+      lit(8) * lag(col("cents"), 3, 0L).over(o) +
+      lit(4) * lag(col("cents"), 4, 0L).over(o) +
+      lit(2) * lag(col("cents"), 5, 0L).over(o) +
+      lag(col("cents"), 6, 0L).over(o)
+    f.withColumn("rn", row_number().over(o))
+      .withColumn("num64", num64)
+      .withColumn("den64", lit(128) - expr("shiftleft(1, 7 - least(rn, 7))"))
+      .select(col("day"), col("cents"),
+        round(col("num64").cast("double") / col("den64"), 4).as("ewma_cents"))
+      .orderBy("day")
+  }
+
   /** DAU/WAU ACTIVE-USER report with the stickiness ratio (DAU/WAU) — the
     * engagement headline of any event pipeline. WAU is EXACT: each distinct
     * (user, day) activity contributes to the 7 day-windows it belongs to
@@ -871,5 +932,5 @@ object Olap {
     rollingWindow, rangeJoin, resample, approxDistinct,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk,
     eventsMarkov, approxPctlCert, eventsPathTopk, eventsTimeWeighted,
-    windowFamily2, mlLinreg)
+    windowFamily2, mlLinreg, eventsEwma)
 }

@@ -709,9 +709,11 @@ object TextOps {
     * and the rank runs on the ROUNDED score with a lang tie-break, so the
     * prediction is bit-stable across engines (the `text_tfidf`
     * discipline). */
-  val textNbLangid = sql(
-    "text_nb_langid",
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  /** SQL CTE chain ending in `sc(doc_id, lang, score)` — the naive-Bayes
+    * log-posterior matrix, shared by `text_nb_langid` (which ranks and
+    * emits it) and `text_langid_confusion` (which grades its argmax). */
+  private val nbLangidSqlCte: String =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |              FROM documents),
       |dcnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
       |dl AS (SELECT doc_id, lang FROM documents),
@@ -732,12 +734,10 @@ object TextOps {
       |       GROUP BY pr.doc_id, pr.lang),
       |sc AS (SELECT l.doc_id, l.lang,
       |              round(ln(pri.nd * 1.0 / n.ndocs) + l.tok_ll, 4) AS score
-      |       FROM ll l JOIN pri ON pri.lang = l.lang CROSS JOIN n)
-      |SELECT doc_id, lang, score,
-      |       CAST(row_number() OVER (PARTITION BY doc_id
-      |                               ORDER BY score DESC, lang) AS INT) AS rn
-      |FROM sc ORDER BY doc_id, lang""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+      |       FROM ll l JOIN pri ON pri.lang = l.lang CROSS JOIN n)""".stripMargin
+
+  /** Spark side of `sc`: (doc_id, lang, score) — unranked. */
+  private def nbLangidScores(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val dcnt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -754,14 +754,66 @@ object TextOps {
       .groupBy("doc_id", "lang")
       .agg(sum(col("c") * log((coalesce(col("ct"), lit(0L)) + 1) * lit(1.0)
         / (col("t") + col("vsz")))).as("tok_ll"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
     ll.join(broadcast(pri), "lang")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("lang"),
         round(log(col("nd") * lit(1.0) / col("ndocs")) + col("tok_ll"), 4)
           .as("score"))
+  }
+
+  val textNbLangid = sql(
+    "text_nb_langid",
+    s"""WITH $nbLangidSqlCte
+      |SELECT doc_id, lang, score,
+      |       CAST(row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, lang) AS INT) AS rn
+      |FROM sc ORDER BY doc_id, lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    nbLangidScores(s, d)
       .withColumn("rn", row_number().over(w).cast("int"))
       .orderBy("doc_id", "lang")
+  }
+
+  /** CLASSIFIER CONFUSION MATRIX — the trained NB classifier's argmax
+    * graded against the corpus's true `lang` labels: per (true, predicted)
+    * cell counts plus the cell's share of its true-label row. The standard
+    * model-eval report, and the certificate discipline applied to a
+    * CLASSIFIER: `text_nb_langid` publishes scores, this publishes how
+    * often they are right, per class — the number an operator reads before
+    * trusting auto-labels to route 100 TB of text.
+    *
+    * Scale shape: the score matrix is |docs|·|langs| rows; argmax is the
+    * same 5-row-per-doc window `text_nb_langid` ranks with, then one
+    * partial-aggregable groupBy on the (true, pred) cell and a window
+    * over the ≤|langs|² cell frame for row shares. */
+  val textLangidConfusion = sql(
+    "text_langid_confusion",
+    s"""WITH $nbLangidSqlCte,
+      |rk AS (SELECT doc_id, lang AS pred_lang,
+      |              row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY score DESC, lang) AS rn
+      |       FROM sc),
+      |pred AS (SELECT doc_id, pred_lang FROM rk WHERE rn = 1),
+      |cells AS (SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+      |          FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
+      |       round(n * 1.0 / sum(n) OVER (PARTITION BY true_lang), 4) AS row_share
+      |FROM cells ORDER BY true_lang, pred_lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    val pred = nbLangidScores(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+    val cells = Tables.documents(s, d).select(col("doc_id"), col("lang").as("true_lang"))
+      .join(pred, "doc_id")
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy("true_lang")
+    cells.select(col("true_lang"), col("pred_lang"), col("n"),
+        round(col("n") * lit(1.0) / sum("n").over(wRow), 4).as("row_share"))
+      .orderBy("true_lang", "pred_lang")
   }
 
   /** Corpus composition report — the per-(source, language) mixture table
@@ -1719,5 +1771,5 @@ object TextOps {
     dedupContainment, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
-    textNbLangid, dedupWinnowPairs, textBigramLogprob)
+    textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion)
 }

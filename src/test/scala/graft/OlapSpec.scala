@@ -142,4 +142,42 @@ class OlapSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n") > 0)
     }
   }
+
+  test("events_ewma: constant series is flat; a spike decays by halves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("olap-ewma").toString
+    val dayNs = 86400L * 1000000000L
+    // days 0..9 at 1.00/day, day 10 spikes to 128.00, days 11..16 quiet 1.00
+    val rows = (0 until 17).map { i =>
+      val v = if (i == 10) 128.0 else 1.0
+      (i.toLong, i * dayNs + 5L, i.toLong, "view", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("events_ewma")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("ewma_cents"))).toMap
+    assert(got.size == 17)
+    // warm-up rows normalize by present weights: day 0 (rn=1) is exactly 100
+    assert(got(0L)._2 == 100.0, s"day0 ${got(0L)}")
+    // steady state before the spike: exactly 100 cents
+    assert(got(9L)._2 == 100.0, s"day9 ${got(9L)}")
+    // spike day: (64·12800 + (32+16+8+4+2+1)·100)/127
+    val spike = math.rint((64.0 * 12800 + 63 * 100) / 127 * 10000) / 10000
+    assert(math.abs(got(10L)._2 - spike) < 1e-9, s"day10 ${got(10L)._2} vs $spike")
+    // each following quiet day halves the spike's contribution
+    val d11 = math.rint((32.0 * 12800 + (64 + 31) * 100) / 127 * 10000) / 10000
+    assert(math.abs(got(11L)._2 - d11) < 1e-9, s"day11 ${got(11L)._2} vs $d11")
+    // day 16 is the spike's last day in the 7-day horizon (weight 1):
+    // (126·100 + 1·12800)/127 = 200 exactly
+    assert(got(16L)._2 == 200.0, s"day16 ${got(16L)}")
+  }
+
+  test("text_langid_confusion: cells partition the corpus; row shares sum to 1") {
+    val rows = SparkEntry.queries("text_langid_confusion")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 500L)
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val s = cells.map(_.getAs[Double]("row_share")).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"$lang shares sum to $s")
+    }
+  }
 }
