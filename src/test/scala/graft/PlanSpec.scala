@@ -442,4 +442,66 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       "min-position aggregate must be partial (map-side combinable)")
   }
+
+  test("corpus_token_budget: every corpus-sized window is partitioned (two-phase cumsum)") {
+    val df = SparkEntry.queries("corpus_token_budget")(spark, sf)
+    df.collect()
+    // the only UNPARTITIONED window runs over the (quality, range-bucket)
+    // aggregate — the reduced offsets frame — never over per-doc rows
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val hasAggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(hasAggBelow,
+        s"global window must consume the reduced aggregate frame, not the corpus:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "within-bucket cumsum must be a partitioned window")
+  }
+
+  test("corpus_domain_cap: rank is ONE window partitioned by source") {
+    val df = SparkEntry.queries("corpus_domain_cap")(spark, sf)
+    df.collect()
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.length == 1)
+    assert(windows.head.partitionSpec.nonEmpty, "per-source rank must be partitioned")
+  }
+
+  test("graph_pagerank: no cartesian; contributions partial-aggregate per iteration") {
+    val plan = executedPlan("graph_pagerank")
+    assert(!plan.contains("CartesianProduct"), "pagerank must stay equi-join-shaped")
+    // 3 iterations × (partial + final) contribution aggregates
+    assert("HashAggregate".r.findAllIn(plan).length >= 6,
+      "per-iteration groupBy(dst) must combine map-side")
+  }
+
+  test("emb_dim_stats: one partial-aggregable pass, no join, no window") {
+    val plan = executedPlan("emb_dim_stats")
+    assert(!plan.contains("Join"), s"dim stats must not join:\n$plan")
+    assert(!plan.contains("Window"), s"dim stats must not window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
+  test("events_ewma: the only window runs over the bounded day grid") {
+    val df = SparkEntry.queries("events_ewma")(spark, sf)
+    df.collect()
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // the grid is day-count-sized; its upstream must be the day AGGREGATE
+    // (events collapse before any window sees them)
+    windows.foreach { w =>
+      val hasAggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(hasAggBelow, "window must consume the day aggregate, not raw events")
+    }
+  }
 }
