@@ -44,6 +44,21 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Long-sweep hygiene. A 130-query sweep accumulates driver-side
+      // state a single-query run never sees: broadcast/shuffle blocks wait
+      // for a driver GC before ContextCleaner frees them (default periodic
+      // GC is 30 min — longer than the sweep), and the status store
+      // strongly retains execution/stage data for every pass even with the
+      // UI off. Queries mid-sweep measured up to 3× their isolated cost
+      // (corpus_dup_stats: 2.6 s isolated, 8.7 s mid-sweep); with these
+      // caps the same subset re-measured at 3.0–4.1 s. Host noise is ±20%
+      // between identical runs, so the raw per-pass arrays in
+      // BENCH_FULL.json remain the ground truth for spread.
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -172,6 +172,28 @@ class OlapSpec extends AnyFunSuite {
     assert(got(16L)._2 == 200.0, s"day16 ${got(16L)}")
   }
 
+  test("layout_zorder: every file bounds BOTH dimensions at ~1/8 of its range") {
+    val rows = SparkEntry.queries("layout_zorder")(spark, sf).collect()
+    assert(rows.length == 64, s"expected the exact 8x8 quadrant split, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sf).count())
+    val (gp, gs) = {
+      val r = Tables.lineitem(spark, sf)
+        .agg(max("l_partkey") - min("l_partkey") + 1,
+          max("l_suppkey") - min("l_suppkey") + 1).head
+      (r.getLong(0), r.getLong(1))
+    }
+    rows.foreach { r =>
+      val dp = r.getAs[Long]("max_part") - r.getAs[Long]("min_part") + 1
+      val ds = r.getAs[Long]("max_supp") - r.getAs[Long]("min_supp") + 1
+      // quadrant guarantee modulo rank-normalization granularity: a file
+      // never spans more than a quarter of either dimension (a linear sort
+      // leaves one dimension at FULL width in every file)
+      assert(dp <= gp / 4, s"file ${r.getLong(0)}: part range $dp vs global $gp")
+      assert(ds <= gs / 4, s"file ${r.getLong(0)}: supp range $ds vs global $gs")
+    }
+  }
+
   test("text_langid_confusion: cells partition the corpus; row shares sum to 1") {
     val rows = SparkEntry.queries("text_langid_confusion")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n")).sum == 500L)
