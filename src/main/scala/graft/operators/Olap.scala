@@ -675,17 +675,22 @@ object Olap {
     val m = Tables.lineitem(s, d).agg(
       min("l_partkey").as("lop"), max("l_partkey").as("hip"),
       min("l_suppkey").as("los"), max("l_suppkey").as("his"))
+    // Spark computes the 6 bits `zval >> 14` actually keeps (the top 3 of
+    // each normalized key, interleaved) as flat integer ops — a
+    // higher-order `aggregate` over sequence(0,9) is a non-codegen
+    // HigherOrderFunction that breaks whole-stage codegen for the scan
+    // stage AND allocates a 10-element array per row; the oracle keeps the
+    // full-Morton formulation and shifts, which is value-identical.
     Tables.lineitem(s, d).select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .crossJoin(broadcast(m))
       .select(col("p"), col("s"),
-        expr("CAST((p - lop) * 1024 div (hip - lop + 1) AS BIGINT)").as("pn"),
-        expr("CAST((s - los) * 1024 div (his - los + 1) AS BIGINT)").as("sn"))
-      .select(col("p"), col("s"),
-        expr("""aggregate(sequence(0, 9), CAST(0 AS BIGINT),
-               |  (acc, i) -> acc + shiftleft(shiftright(pn, i) & 1, 2 * i + 1)
-               |                  + shiftleft(shiftright(sn, i) & 1, 2 * i))"""
-          .stripMargin).as("zval"))
-      .groupBy(expr("zval >> 14").as("z_file"))
+        expr("CAST((p - lop) * 1024 div (hip - lop + 1) AS BIGINT) >> 7").as("pn3"),
+        expr("CAST((s - los) * 1024 div (his - los + 1) AS BIGINT) >> 7").as("sn3"))
+      .groupBy(expr(
+        """((pn3 >> 2) & 1) * 32 + ((sn3 >> 2) & 1) * 16 +
+          |((pn3 >> 1) & 1) * 8  + ((sn3 >> 1) & 1) * 4 +
+          |( pn3       & 1) * 2  + ( sn3       & 1)""".stripMargin)
+        .as("z_file"))
       .agg(count(lit(1)).as("n"),
         min("p").as("min_part"), max("p").as("max_part"),
         min("s").as("min_supp"), max("s").as("max_supp"),
