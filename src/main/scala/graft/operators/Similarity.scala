@@ -322,6 +322,56 @@ object Similarity {
       .orderBy("da", "db")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup over
+    * embeddings: within each cluster (the label cell, standing in for the
+    * paper's k-means cluster), evict every vector that has a SMALLER-id
+    * neighbor at cosine ≥ the near-dup threshold, keeping exactly one
+    * representative per tight semantic group. This is the embedding-space
+    * counterpart of `dedup_clusters`' keep flag: MinHash catches lexical
+    * copies, SemDeDup catches paraphrases and re-encodings that share no
+    * n-grams. Emits the verdict per vector plus the evicting cosine
+    * (NULL ⇔ kept), so the eviction is auditable.
+    *
+    * Determinism: the eviction rule is id-ordered (smaller id wins), not
+    * similarity-ordered, so the output is independent of execution order;
+    * cosines are the bit-identical fold both engines share, the threshold
+    * compares UNROUNDED values identically, and the reported cosine
+    * rounds 4 dp only at the edge.
+    *
+    * Scale shape: identical to `sim_neardup_pairs` — the candidate join is
+    * block-diagonal within cells (Σ cell², never corpus²), the eviction
+    * max is one partial-aggregable groupBy on the larger pair-id, and the
+    * verdict join is per-vector. At 100 TB the cells come from a trained
+    * k-means codebook and cell size is capped exactly like the LSH band
+    * buckets. */
+  val semDedup = sql(
+    "sem_dedup",
+    s"""WITH $cosinePairsSqlCte,
+       |mx AS (SELECT db AS vec_id, max(cosv) AS mxc
+       |       FROM cos_pairs GROUP BY db)
+       |SELECT e.vec_id, e.label AS cell,
+       |       mx.mxc IS NULL AS keep,
+       |       round(mx.mxc, 4) AS evict_cos
+       |FROM embeddings e LEFT JOIN mx ON mx.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val n = emb.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(dotCol("embedding", "embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("da"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("db"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val cos = dotCol("ea", "eb") / (col("na") * col("nb"))
+    val mx = a.join(b, Seq("label")).filter(col("da") < col("db"))
+      .filter(cos >= CosineNearDupThreshold)
+      .groupBy(col("db").as("vec_id")).agg(max(cos).as("mxc"))
+    emb.select(col("vec_id"), col("label").as("cell"))
+      .join(mx, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("mxc").isNull.as("keep"),
+        round(col("mxc"), 4).as("evict_cos"))
+      .orderBy("vec_id")
+  }
+
   /** SQL CTE chain ending in `rk(src, dst, cos, rn)` — the within-cell
     * top-k cosine ranking shared by `sim_knn_graph` (which emits it) and
     * `graph_pagerank` (which walks it as an edge list). */
@@ -715,6 +765,103 @@ object Similarity {
         round(col("n_hits") / 10.0, 4).as("recall"))
   }
 
+  /** IVF-PQ RESIDUAL ADC — the full FAISS `IVFADC` serving structure
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"): vectors are PQ-coded on their RESIDUAL x − c(cell) w.r.t.
+    * their coarse IVF centroid (residuals are tighter than raw vectors,
+    * so the same code budget buys less quantization error), and the query
+    * probes ONE cell: its own residual q − c(probe_cell) is tabulated
+    * against the residual sub-codebooks (the LUT), and every candidate IN
+    * THE PROBE CELL is scored by M=4 table lookups — no float math
+    * against stored vectors, and only ~1/k of the corpus touched: the
+    * IVF restriction and the ADC trick composed, which is what actually
+    * serves billion-vector indexes.
+    *
+    * Scale shape: residuals are a zip_with against the BROADCAST coarse
+    * codebook (k rows); the residual sub-codebook is k·M tiny rows,
+    * broadcast; codes are index state (computed corpus-wide here exactly
+    * as an index build would); the query-side LUT is k·M rows; the
+    * candidate restriction is a broadcast 1-row cell semi-filter and the
+    * cut is TakeOrdered top-10. Determinism: the codebooks round 4 dp
+    * before any distance, argmins tie-break on the code label, the final
+    * ranking runs on the 4-dp-rounded ADC with a vec_id tie-break — the
+    * `sim_pq_adc` discipline end-to-end. */
+  val simIvfPqAdc = sql(
+    "sim_ivfpq_adc",
+    s"""WITH $ivfAssignSqlCte,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |rx AS (SELECT e.vec_id, e.pos, CAST(e.x AS DOUBLE) - ct.c AS r
+       |       FROM ex e JOIN assign a ON a.vec_id = e.vec_id
+       |       JOIN cent ct ON ct.label = a.cell AND ct.pos = e.pos),
+       |rcent AS (SELECT l.label, r.pos, round(avg(r.r), 4) AS rc
+       |          FROM rx r JOIN lab l ON l.vec_id = r.vec_id
+       |          GROUP BY l.label, r.pos),
+       |rdists AS (SELECT r.vec_id, rc.label,
+       |                  CAST(floor((r.pos - 1) / 16) AS INT) AS sub,
+       |                  sum((r.r - rc.rc) * (r.r - rc.rc)) AS dist
+       |           FROM rx r JOIN rcent rc ON rc.pos = r.pos
+       |           GROUP BY r.vec_id, rc.label, 3),
+       |rranked AS (SELECT vec_id, sub, label,
+       |                   row_number() OVER (PARTITION BY vec_id, sub
+       |                                      ORDER BY dist, label) AS rn
+       |            FROM rdists),
+       |rcodes AS (SELECT vec_id, sub, label FROM rranked WHERE rn = 1),
+       |qcell AS (SELECT cell FROM assign WHERE vec_id = 0),
+       |rlut AS (SELECT rc.label, CAST(floor((q.pos - 1) / 16) AS INT) AS sub,
+       |                sum((q.r - rc.rc) * (q.r - rc.rc)) AS lutd
+       |         FROM rx q JOIN rcent rc ON rc.pos = q.pos
+       |         WHERE q.vec_id = 0
+       |         GROUP BY rc.label, 2)
+       |SELECT c.vec_id, round(sum(l.lutd), 4) AS adc
+       |FROM rcodes c
+       |JOIN rlut l ON l.sub = c.sub AND l.label = c.label
+       |JOIN assign a ON a.vec_id = c.vec_id
+       |CROSS JOIN qcell
+       |WHERE a.cell = qcell.cell AND c.vec_id <> 0
+       |GROUP BY c.vec_id
+       |ORDER BY adc, c.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    // residual arrays w.r.t. the assigned coarse cell (broadcast codebook)
+    val resid = emb.join(ivfAssignDf(s, d), "vec_id")
+      .join(broadcast(ivfCodebook(s, d)), col("cell") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        expr("zip_with(embedding, cvec, (a, b) -> CAST(a AS DOUBLE) - b)")
+          .as("rvec"))
+    // residual sub-codebook: per-(label, sub) 16-dim means, 4 dp, packed
+    val rcb = resid
+      .select(col("label"), posexplode(col("rvec")).as(Seq("pos0", "r")))
+      .groupBy("label", "pos0").agg(round(avg("r"), 4).as("rc"))
+      .groupBy(col("label").as("clabel"),
+        (col("pos0") / 16).cast("int").as("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos0, rc))), s -> s.rc)")
+        .as("rcvec"))
+    val rsub = resid
+      .select(col("vec_id"), col("cell"), col("rvec"),
+        explode(sequence(lit(0), lit(3))).as("sub"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        expr("slice(rvec, sub * 16 + 1, 16)").as("rsubvec"))
+    val rcodes = rsub.join(broadcast(rcb), Seq("sub"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("clabel"),
+        graft.functions.SquaredDistance.squared_distance(
+          col("rsubvec"), col("rcvec")).as("dist"))
+      .groupBy("vec_id", "cell", "sub")
+      .agg(min(struct(col("dist"), col("clabel"))).getField("clabel").as("code"))
+    val qlut = rsub.filter(col("vec_id") === 0)
+      .join(broadcast(rcb), Seq("sub"))
+      .select(col("sub"), col("clabel").as("code"),
+        graft.functions.SquaredDistance.squared_distance(
+          col("rsubvec"), col("rcvec")).as("lutd"))
+    val qcell = rsub.filter(col("vec_id") === 0)
+      .select(col("cell").as("qc")).limit(1)
+    rcodes.filter(col("vec_id") =!= 0)
+      .join(broadcast(qcell), col("cell") === col("qc"))
+      .join(broadcast(qlut), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(round(sum("lutd"), 4).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(10)
+  }
+
   /** Symmetric int8 quantization per vector (max-abs scaling) — the other
     * half of the 100 TB ANN memory story: 4× smaller vectors, checkable
     * exactly. Code rule `floor(x·127/scale + 0.5)` is pure IEEE double ops
@@ -1030,5 +1177,6 @@ object Similarity {
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
-    simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats)
+    simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
+    semDedup, simIvfPqAdc)
 }

@@ -1066,6 +1066,71 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 RANKED RETRIEVAL — Okapi BM25 top-10 for a fixed 3-term query
+    * (k₁ = 1.2, b = 0.75, Lucene's bounded idf ln((N−df+0.5)/(df+0.5)+1)
+    * so a term in >half the corpus can't go negative): the length-
+    * normalized, saturating upgrade of `text_tfidf`, and the lexical
+    * retrieval leg of every RAG / hard-negative-mining pipeline over a
+    * training corpus.
+    *
+    * Scale shape: tokenize once; the query-term filter is an IN-list that
+    * prunes the tf aggregate to query-term rows only (the inverted-index
+    * access pattern — df is then a |Q|-row broadcast); per-doc length is
+    * one partial-aggregable count joined by doc_id; N and avgdl ride one
+    * broadcast 1-row aggregate; the cut is TakeOrdered top-10, no global
+    * sort. Float policy: idf and the saturation term are identical-op-
+    * order double expressions on both engines (decimal literals promote
+    * to the same doubles), the ≤3-term sum rounds 4 dp, and the ranking
+    * runs on the ROUNDED score with a doc_id tie-break. */
+  val textBm25 = sql(
+    "text_bm25",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n_docs,
+      |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+      |       WHERE tok IN ('spark', 'query', 'join') GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |sc AS (SELECT t.doc_id, dl.dl,
+      |              ln((CAST(st.n_docs - df.df AS DOUBLE) + 0.5)
+      |                 / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |              * ((CAST(t.tf AS DOUBLE) * 2.2)
+      |                 / (CAST(t.tf AS DOUBLE)
+      |                    + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+      |                AS contrib
+      |       FROM tf t JOIN df ON df.tok = t.tok
+      |       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st)
+      |SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
+      |       CAST(count(*) AS BIGINT) AS n_terms,
+      |       round(sum(contrib), 4) AS bm25
+      |FROM sc GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tok").isin("spark", "query", "join"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib", expr(
+        """ln((CAST(n_docs - df AS DOUBLE) + 0.5D)
+          |   / (CAST(df AS DOUBLE) + 0.5D) + 1.0D)
+          |* ((CAST(tf AS DOUBLE) * 2.2D)
+          |   / (CAST(tf AS DOUBLE)
+          |      + 1.2D * (0.25D + 0.75D * (CAST(dl AS DOUBLE) / avgdl))))"""
+          .stripMargin))
+      .groupBy("doc_id")
+      .agg(max("dl").as("dl"), count(lit(1)).as("n_terms"),
+        round(sum("contrib"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Gopher/CCNet-style quality scoring: stopword ratio, digit-token
     * ratio, mean word length, and the count of passed quality gates
     * (mean-word-length ∈ [3,10], stopwords present, digit ratio < 0.2).
@@ -1569,9 +1634,12 @@ object TextOps {
     * 1-row scalar, per-doc mean partial-aggregable. Float policy: both
     * engines ln identical `(c+1)/(ctx+V)` exact-integer rationals; the
     * per-doc mean rounds 4 dp (the `text_unigram_logprob` discipline). */
-  val textBigramLogprob = sql(
-    "text_bigram_logprob",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** SQL CTE chain ending in `sc(doc_id, n_bigrams, avg_surprisal)` — the
+    * bigram-LM surprisal score, the ONE definition shared by
+    * `text_bigram_logprob` (which emits it) and `text_ppl_buckets` (which
+    * terciles it) — they cannot drift. */
+  private val bigramSurprisalSqlCte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
       |              unnest(toks[2:len(toks)]) AS w2 FROM t),
       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
@@ -1582,9 +1650,10 @@ object TextOps {
       |              round(sum(-ln((c12 + 1.0) / (ctx + v))) / count(*), 4)
       |                AS avg_surprisal
       |       FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1) CROSS JOIN vs
-      |       GROUP BY doc_id)
-      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_surprisal
-      |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |       GROUP BY doc_id)""".stripMargin
+
+  /** Spark side of `sc(doc_id, n_bigrams, avg_surprisal)`. */
+  private def bigramSurprisalDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val bg = t
@@ -1604,6 +1673,58 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(-log((col("c12") + lit(1.0)) / (col("ctx") + col("v"))))
           / count(lit(1)), 4).as("avg_surprisal"))
+  }
+
+  val textBigramLogprob = sql(
+    "text_bigram_logprob",
+    s"""WITH $bigramSurprisalSqlCte
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_surprisal
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    bigramSurprisalDf(s, d).orderBy("doc_id")
+  }
+
+  /** CCNet-STYLE PERPLEXITY BUCKETS — the standard corpus triage: per
+    * LANGUAGE, rank documents by LM score (here the bigram surprisal —
+    * CCNet uses a KenLM 5-gram; the bucketing is the part that matters)
+    * and cut into head / middle / tail terciles. Training recipes then
+    * up-sample head and drop or down-weight tail per language, so the cut
+    * must be per-lang: absolute surprisal is not comparable across
+    * languages (different vocab sizes and token statistics).
+    *
+    * Determinism: the tercile runs on the 4-dp-ROUNDED surprisal with a
+    * doc_id tie-break, so both engines cut identically; ntile's group
+    * sizes differ by at most 1 (SQL-standard larger-groups-first on both
+    * engines). Docs with <2 tokens have no bigram score and drop out —
+    * they never reach a bucket (a length gate catches them upstream).
+    *
+    * Scale shape: the surprisal chain is the linear `text_bigram_logprob`
+    * plan; the only addition is ONE window partitioned by lang. At 100 TB
+    * a per-lang sort is the bottleneck; the production cut replaces ntile
+    * with approx_percentile cutoffs (partial-aggregable, broadcast back,
+    * bucket by comparison) at the cost of exact tercile boundaries — this
+    * query keeps the exact cut because the certificate needs bit-equal
+    * buckets on both engines. */
+  val textPplBuckets = sql(
+    "text_ppl_buckets",
+    s"""WITH $bigramSurprisalSqlCte,
+       |j AS (SELECT d.doc_id, d.lang, s.avg_surprisal
+       |      FROM documents d JOIN sc s ON s.doc_id = d.doc_id),
+       |b AS (SELECT doc_id, lang, avg_surprisal,
+       |             ntile(3) OVER (PARTITION BY lang
+       |                            ORDER BY avg_surprisal, doc_id) AS t3
+       |      FROM j)
+       |SELECT doc_id, lang, avg_surprisal,
+       |       CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       |         AS ppl_bucket
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("avg_surprisal"), col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(bigramSurprisalDf(s, d).select("doc_id", "avg_surprisal"), "doc_id")
+      .withColumn("t3", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_surprisal"),
+        when(col("t3") === 1, "head").when(col("t3") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
       .orderBy("doc_id")
   }
 
@@ -1771,5 +1892,6 @@ object TextOps {
     dedupContainment, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
-    textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion)
+    textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
+    textBm25, textPplBuckets)
 }

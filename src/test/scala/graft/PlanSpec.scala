@@ -504,4 +504,31 @@ class PlanSpec extends AnyFunSuite {
       assert(hasAggBelow, "window must consume the day aggregate, not raw events")
     }
   }
+
+  test("text_bm25: top-10 is TakeOrdered; df/avgdl ride broadcasts; no window") {
+    val plan = executedPlan("text_bm25")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "BM25 cut must merge per-partition top-k, never globally sort the scored docs")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the |Q|-row df table and 1-row stats must broadcast")
+    assert(!plan.contains("Window"), s"BM25 must not window:\n$plan")
+  }
+
+  test("sim_ivfpq_adc: no cartesian beyond broadcasts; final cut is TakeOrdered") {
+    val plan = executedPlan("sim_ivfpq_adc")
+    assert(!plan.contains("CartesianProduct"),
+      "IVFADC must never shuffle a cartesian pair space")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must be a per-partition top-k merge")
+    assert(plan.contains("BroadcastHashJoin"),
+      "codebook/LUT joins must broadcast the model state")
+  }
+
+  test("sem_dedup: eviction join is within-cell equi-join, max partial-aggregates") {
+    val plan = executedPlan("sem_dedup")
+    assert(!plan.contains("CartesianProduct"),
+      "candidate pairs must stay block-diagonal within cells")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "the per-vector eviction max must combine map-side")
+  }
 }

@@ -136,4 +136,50 @@ class SimilaritySpec extends AnyFunSuite {
       assert(lo <= mean + 1e-4 && mean <= hi + 1e-4)
     }
   }
+
+  test("sem_dedup: verdicts match a local within-cell smaller-id eviction") {
+    val rows = SparkEntry.queries("sem_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("cell"),
+        r.getAs[Boolean]("keep"), Option(r.getAs[Any]("evict_cos"))))
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    // keep ⟺ no evicting cosine reported
+    rows.foreach { case (id, _, keep, ev) =>
+      assert(keep == ev.isEmpty, s"vec $id keep=$keep evict=$ev")
+    }
+    // local ground truth over the collected vectors
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val na = math.sqrt(a.indices.foldLeft(0.0)((s, i) => s + a(i) * a(i)))
+      val nb = math.sqrt(b.indices.foldLeft(0.0)((s, i) => s + b(i) * b(i)))
+      dot / (na * nb)
+    }
+    val evicted = (for {
+      (ib, lb, vb) <- vecs
+      (ia, la, va) <- vecs
+      if la == lb && ia < ib && cos(va, vb) >= 0.35
+    } yield ib).toSet
+    rows.foreach { case (id, _, keep, _) =>
+      assert(keep == !evicted.contains(id), s"vec $id verdict mismatch")
+    }
+    // at least one eviction and one survivor on the real corpus
+    assert(rows.exists(!_._3) && rows.exists(_._3))
+  }
+
+  test("sim_ivfpq_adc: probe-cell-only candidates, ranked by nonneg ADC") {
+    val rows = SparkEntry.queries("sim_ivfpq_adc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("adc")))
+    assert(rows.length == 10)
+    assert(!rows.exists(_._1 == 0L), "query vector must not match itself")
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq, "ADC ascending")
+    rows.foreach { case (id, adc) => assert(adc >= 0.0, s"vec $id adc $adc") }
+    // every result lives in the query's probe cell
+    val assign = SparkEntry.queries("sim_ivf_assign")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    val qc = assign(0L)
+    rows.foreach { case (id, _) => assert(assign(id) == qc, s"vec $id off-cell") }
+  }
 }

@@ -325,4 +325,52 @@ class TextOpsSpec extends AnyFunSuite {
       s"corpus-frequent phrasing must score lower: $commonS vs $shuffledS")
     got.values.foreach { case (_, sp) => assert(sp > 0.0) }
   }
+
+  test("text_bm25: matches a local recomputation of the Okapi formula") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val terms = Seq("spark", "query", "join")
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    val dfm = terms.map(t => t -> docs.values.count(_.contains(t)).toDouble).toMap
+    def score(toks: Seq[String]): Double = {
+      val dl = toks.size.toDouble
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      }.sum
+      math.rint(s * 1e4) / 1e4
+    }
+    val expectTop = docs.toSeq
+      .map { case (id, toks) => (id, toks.size.toLong,
+        terms.count(toks.contains).toLong, score(toks)) }
+      .filter(_._4 > 0.0)
+      .sortBy { case (id, _, _, sc) => (-sc, id) }
+      .take(10)
+    val got = TextOps.textBm25.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("dl"), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("bm25"))).toSeq
+    assert(got == expectTop, s"\ngot:    $got\nexpect: $expectTop")
+  }
+
+  test("text_ppl_buckets: per-lang terciles are balanced and score-ordered") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.textPplBuckets.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Double]("avg_surprisal"),
+        r.getAs[String]("ppl_bucket")))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      val byBucket = g.groupBy(_._4).map { case (b, xs) => b -> xs.map(_._3) }
+      assert(byBucket.keySet == Set("head", "middle", "tail"), s"$lang buckets")
+      val sizes = byBucket.values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      // ntile on (score, doc_id): bucket boundaries respect score order
+      assert(byBucket("head").max <= byBucket("middle").min + 1e-9, s"$lang head/middle")
+      assert(byBucket("middle").max <= byBucket("tail").min + 1e-9, s"$lang middle/tail")
+    }
+  }
 }
