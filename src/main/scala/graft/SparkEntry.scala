@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.QueryDef
-import graft.operators.{Multimodal, Olap, Pipelines, Relational, Sampling, Similarity, TextOps}
+import graft.operators.{Multimodal, Olap, Pipelines, Relational, Sampling, Similarity, TextOps, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   /** All registered query definitions, grouped by module. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ TextOps.defs ++ Similarity.defs ++ Pipelines.defs ++
-      Multimodal.defs ++ Olap.defs ++ Sampling.defs
+      Multimodal.defs ++ Olap.defs ++ Sampling.defs ++ TpchShapes.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

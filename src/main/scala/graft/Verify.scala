@@ -17,7 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Failure honesty: a throwing query MUST leave a visible artifact, not
+    // silently vanish from the correctness compare (round 5 lost 21 red
+    // rows exactly that way). Each failure is recorded in failed.json and
+    // the process exits nonzero, mirroring Bench's failed/rc discipline.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // queries that cache intermediates (shingle/decontam/cluster family)
       // must not pin executor storage for the remaining ~80 queries
       spark.catalog.clearCache()
@@ -25,6 +30,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -66,6 +72,15 @@ object Verify {
       s"${q(name)}: {${q("self_consistent")}: $ok}"
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/self_consistency.json"), selfJson)
+
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -25,17 +25,50 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). We read it as a raw nanos-since-epoch
-    * long (`spark.sql.legacy.parquet.nanosAsLong`) — ordering on the long is
-    * exactly DuckDB's ns-resolution timestamp ordering — and expose a
-    * microsecond-truncated proper timestamp as `ts_micros` for time ops.
+  /** Schema-adaptive events loader. The driver has generated `events.ts` as
+    * both parquet TIMESTAMP(NANOS) (older testdata) and TIMESTAMP(MICROS)
+    * (current testdata, loads as TIMESTAMP_NTZ) — so the loader branches on
+    * the dtype it actually finds and exposes ONE canonical time contract
+    * that every downstream consumer must use instead of touching `ts` raw:
+    *
+    *   - `t_us: Long`       — microseconds since epoch (exact-integer time
+    *                          arithmetic, engine-independent: DuckDB's
+    *                          `epoch_us(ts)` truncates ns→µs identically);
+    *   - `ts_micros`        — proper TIMESTAMP for window/watermark ops.
+    *
+    * Nanos layout: Spark 4 rejects TIMESTAMP(NANOS) by default
+    * (PARQUET_TYPE_ILLEGAL); `spark.sql.legacy.parquet.nanosAsLong` reads it
+    * as a raw long (ordering on the long == DuckDB's ns ordering), then
+    * `div 1000` truncates toward the same µs DuckDB's epoch_us produces.
+    * Micros layout: the NTZ→TIMESTAMP cast is the identity instant because
+    * every session here pins `spark.sql.session.timeZone=UTC`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    load(s, d, "events")
-      .withColumn("ts_micros", timestamp_micros(expr("ts div 1000")))
+    canonicalEventTime(load(s, d, "events"))
+  }
+
+  /** Applies the canonical time contract to a raw events-shaped frame.
+    * Works on batch AND streaming frames (pure column derivation, no
+    * action), so file-source streaming tests reuse the exact batch logic.
+    */
+  def canonicalEventTime(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>                       // nanos-as-long layout
+        raw.withColumn("t_us", expr("ts div 1000"))
+          .withColumn("ts_micros", timestamp_micros(col("t_us")))
+      case TimestampType | TimestampNTZType => // micros-timestamp layout
+        val m = col("ts").cast(TimestampType)
+        raw.withColumn("t_us", unix_micros(m))
+          .withColumn("ts_micros", m)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected LongType nanos " +
+            "or Timestamp[NTZ] micros) — testdata schema drifted again; " +
+            "extend Tables.canonicalEventTime for the new layout")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -157,7 +157,7 @@ object Olap {
       col("user_id").as("k"),
       // µs on BOTH sides: DuckDB's epoch_ns on TIMESTAMP_NS truncates to
       // µs anyway, so raw nanos would silently disagree once a match exists
-      expr("ts div 1000").as("t_us"),
+      col("t_us"),
       lit(0).as("side"),           // events sort before orders at equal ts (<=)
       lit(null).cast("long").as("o_orderkey"))
     val ord = Tables.orders(s, d).select(
@@ -392,7 +392,7 @@ object Olap {
     val GapUs = 1800000000L // 30 min in µs (µs: DuckDB's epoch_ns truncates
     val byT = Window.partitionBy("user_id").orderBy("t_us") // TIMESTAMP_NS anyway)
     val run = byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d).select(col("user_id"), expr("ts div 1000").as("t_us"))
+    Tables.events(s, d).select(col("user_id"), col("t_us"))
       .withColumn("new_s",
         when(col("t_us") - lag("t_us", 1).over(byT) > GapUs, 1).otherwise(0))
       .select(col("user_id"), col("t_us"),
@@ -486,7 +486,7 @@ object Olap {
       |FROM grid f LEFT JOIN g ON f.event_type = g.event_type AND f.day = g.day
       |ORDER BY f.event_type, f.day""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
-      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+      .select(col("event_type"), expr("t_us div 86400000000").as("day"))
     val g = e.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
     val grid = g.groupBy("event_type").agg(min("day").as("lo"), max("day").as("hi"))
       .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day"))
@@ -553,7 +553,7 @@ object Olap {
       |  CAST(sum(CASE WHEN t1 < t2 AND t2 < t3 AND t3 < t4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
       |FROM p""".stripMargin) { (s, d) =>
     def stepMin(t: String) =
-      min(when(col("event_type") === t, expr("ts div 1000")))
+      min(when(col("event_type") === t, col("t_us")))
     val p = Tables.events(s, d)
       .groupBy("user_id")
       .agg(stepMin("signup").as("t1"), stepMin("view").as("t2"),
@@ -586,7 +586,7 @@ object Olap {
       |FROM ud u JOIN c ON u.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val ud = Tables.events(s, d)
-      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"))
       .distinct()
     val c = ud.groupBy("user_id").agg(min("day").as("cohort"))
     ud.join(c, "user_id")
@@ -620,7 +620,7 @@ object Olap {
       |         > 4 * (n * q - CAST(s AS HUGEINT) * s) AS is_anomaly
       |FROM g CROSS JOIN st ORDER BY day""".stripMargin) { (s, d) =>
     val g = Tables.events(s, d)
-      .select(expr("(ts div 1000) div 86400000000").as("day"),
+      .select(expr("t_us div 86400000000").as("day"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy("day").agg(sum("cents").as("day_cents"))
     val st = g.agg(
@@ -737,7 +737,7 @@ object Olap {
       |FROM w ORDER BY day""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val g = Tables.events(s, d)
-      .select(expr("(ts div 1000) div 86400000000").as("day"),
+      .select(expr("t_us div 86400000000").as("day"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy("day").agg(sum("cents").as("cents"))
     val grid = g.agg(min("day").as("lo"), max("day").as("hi"))
@@ -783,7 +783,7 @@ object Olap {
       |FROM dau d JOIN wau w ON d.day = w.day
       |ORDER BY d.day""".stripMargin) { (s, d) =>
     val ud = Tables.events(s, d)
-      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"))
       .distinct()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
@@ -825,7 +825,7 @@ object Olap {
       // the sketch skips nulls (aggregate convention); the oracle's GROUP BY
       // would keep a NULL group — exclude it on both sides explicitly
       .filter(col("event_type").isNotNull)
-      .select(expr("(ts div 1000) div 86400000000").as("day"), col("event_type"))
+      .select(expr("t_us div 86400000000").as("day"), col("event_type"))
       .groupBy("day")
       .agg(graft.functions.TopKAgg.approx_top_k(col("event_type"), 3, 64).as("tk"))
       .select(col("day"), posexplode(col("tk")).as(Seq("pos0", "s")))
@@ -977,8 +977,8 @@ object Olap {
     Tables.events(s, d)
       .select(col("user_id"),
         round(col("value") * 100).cast("long").as("cents"),
-        expr("ts div 1000").as("t"),
-        lead(expr("ts div 1000"), 1).over(w).as("tn"))
+        col("t_us").as("t"),
+        lead(col("t_us"), 1).over(w).as("tn"))
       .filter(col("tn").isNotNull)
       .select(col("user_id"),
         (col("cents").cast("decimal(38,0)") * (col("tn") - col("t"))).as("wc"),

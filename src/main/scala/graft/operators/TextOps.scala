@@ -408,7 +408,21 @@ object TextOps {
        |cc AS (SELECT doc_id, min(root) AS root FROM reach GROUP BY doc_id)""".stripMargin
 
   /** Spark side of `cc`: every document's near-dup cluster label
-    * (doc_id, cluster) over the MinHash-LSH pair graph. */
+    * (doc_id, cluster) over the MinHash-LSH pair graph.
+    *
+    * MATERIALIZATION NOTE (100 TB): six declared queries (`dedup_clusters`,
+    * `dedup_clusters_multi`, `dedup_top_clusters`, `corpus_dup_stats`,
+    * `corpus_curation_funnel`, `split_leakage_safe`) each rebuild this
+    * shingle→MinHash→LSH-pair→label chain from raw text, because the
+    * oracle contract requires every declared query to be self-contained.
+    * A production pipeline computes `clusterLabels` ONCE per corpus
+    * snapshot, writes it as a (doc_id, cluster) parquet table bucketed by
+    * doc_id, and every downstream consumer joins that — the chain is the
+    * dominant cost (~18 s of a 20 s query at sf0.1) and is identical
+    * across consumers by construction, so materializing it divides the
+    * family's cost by the number of consumers without changing one result
+    * bit. The per-query recomputation here is an oracle-harness artifact,
+    * not the recommended deployment shape. */
   private[operators] def clusterLabels(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     labelsFromPairs(Tables.documents(s, d).select(col("doc_id")),

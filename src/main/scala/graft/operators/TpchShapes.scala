@@ -49,8 +49,8 @@ object TpchShapes {
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
       |JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
       |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
@@ -66,8 +66,8 @@ object TpchShapes {
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("ship_year"))
       .agg(round(sum(rev), 4).as("revenue"), count(lit(1)).as("n_items"))
@@ -211,10 +211,10 @@ object TpchShapes {
     "q12_ship_priority",
     """SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
       |            THEN 'LATE' ELSE 'PROMPT' END AS ship_class,
-      |       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |                THEN 1 ELSE 0 END) AS high_line_count,
-      |       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      |                THEN 1 ELSE 0 END) AS low_line_count
+      |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")

@@ -38,38 +38,50 @@ class OlapSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("o_orderkey", "last_event_us"))
   }
 
-  test("as-of join: day-bucketed window carries the running max across buckets") {
+  test("as-of join: day-bucketed window carries the running max across buckets" +
+      " (both events.ts layouts)") {
     import spark.implicits._
     val DayNs = 86400L * 1000000000L
-    val dir = java.nio.file.Files.createTempDirectory("asof-skew").toString
-    // events for user 1: day 0 noon and day 5 noon (ts = raw nanos long,
-    // the shape Tables.events exposes)
-    Seq((1L, DayNs / 2, "click", 1.0), (1L, 5 * DayNs + DayNs / 2, "click", 2.0))
-      .toDF("user_id", "ts", "event_type", "value")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    def tsAt(ns: Long) = new java.sql.Timestamp(ns / 1000000L)
-    Seq(
-      (10L, 1L, tsAt(DayNs / 4)),          // day 0, BEFORE first event → null
-      (11L, 1L, tsAt(3 * DayNs)),          // day 3 → carry from day 0 across empty buckets
-      (12L, 1L, tsAt(5 * DayNs + DayNs / 2)), // exactly at event 2 → inclusive match
-      (13L, 1L, tsAt(5 * DayNs + 3 * DayNs / 4))) // day 5 later → in-bucket running max
-      .toDF("o_orderkey", "o_custkey", "o_orderdate")
-      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    val got = SparkEntry.queries("olap_asof_join")(spark, dir)
-      .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    def us(ns: Long) = ns / 1000L
-    assert(got(10L) == None)
-    assert(got(11L) == Some(us(DayNs / 2)))
-    assert(got(12L) == Some(us(5 * DayNs + DayNs / 2)))
-    assert(got(13L) == Some(us(5 * DayNs + DayNs / 2)))
-    // and the big window's sort key is the COMPOSED (k, bucket) partition —
-    // the de-skew contract (≤20-way parallelism otherwise)
-    val plan = SparkEntry.queries("olap_asof_join")(spark, dir)
-      .queryExecution.optimizedPlan.toString
-    assert(plan.contains("windowspecdefinition(k#") || plan.contains("partitionbyspec"),
-      "expected a window in the plan")
-    assert(plan.contains("bkt"), s"window must partition by the day bucket:\n$plan")
+    // BOTH testdata layouts the driver has generated: nanos-as-long and
+    // micros-timestamp — pinned here so a regeneration is a no-op (round 5
+    // lost 21 queries to exactly that drift)
+    for (layout <- Seq("nanos-long", "micros-timestamp")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"asof-$layout").toString
+      // events for user 1: day 0 noon and day 5 noon
+      val evNs = Seq((1L, DayNs / 2, "click", 1.0),
+        (1L, 5 * DayNs + DayNs / 2, "click", 2.0))
+      val ev = layout match {
+        case "nanos-long" => evNs.toDF("user_id", "ts", "event_type", "value")
+        case _ => evNs.map { case (u, ns, t, v) =>
+            (u, java.time.LocalDateTime.ofEpochSecond(ns / 1000000000L,
+              (ns % 1000000000L).toInt, java.time.ZoneOffset.UTC), t, v)
+          }.toDF("user_id", "ts", "event_type", "value")
+      }
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      def tsAt(ns: Long) = new java.sql.Timestamp(ns / 1000000L)
+      Seq(
+        (10L, 1L, tsAt(DayNs / 4)),          // day 0, BEFORE first event → null
+        (11L, 1L, tsAt(3 * DayNs)),          // day 3 → carry from day 0 across empty buckets
+        (12L, 1L, tsAt(5 * DayNs + DayNs / 2)), // exactly at event 2 → inclusive match
+        (13L, 1L, tsAt(5 * DayNs + 3 * DayNs / 4))) // day 5 later → in-bucket running max
+        .toDF("o_orderkey", "o_custkey", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val got = SparkEntry.queries("olap_asof_join")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      def us(ns: Long) = ns / 1000L
+      assert(got(10L) == None, layout)
+      assert(got(11L) == Some(us(DayNs / 2)), layout)
+      assert(got(12L) == Some(us(5 * DayNs + DayNs / 2)), layout)
+      assert(got(13L) == Some(us(5 * DayNs + DayNs / 2)), layout)
+      // and the big window's sort key is the COMPOSED (k, bucket) partition —
+      // the de-skew contract (≤20-way parallelism otherwise)
+      val plan = SparkEntry.queries("olap_asof_join")(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("windowspecdefinition(k#") || plan.contains("partitionbyspec"),
+        "expected a window in the plan")
+      assert(plan.contains("bkt"), s"window must partition by the day bucket:\n$plan")
+    }
   }
 
   test("events_markov: transitions conserve events and rows normalize per prev") {

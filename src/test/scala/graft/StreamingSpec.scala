@@ -60,15 +60,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("win_start", "event_type", "n", "total"))
 
     // and genuinely streaming, file-source driven (the source needs a
-    // directory; raw file schema has ts as nanos long, ts_micros derived)
+    // directory; t_us/ts_micros re-derived by the SAME canonicalization the
+    // batch loader uses, whichever ts layout the file has)
     import java.nio.file.{Files, Path}
     val dir = Files.createTempDirectory("evstream")
     Files.copy(Path.of(s"$sf/events.parquet"), dir.resolve("events.parquet"))
     val streamed = spark.readStream
-      .schema(events.drop("ts_micros").schema)
+      .schema(events.drop("ts_micros", "t_us").schema)
       .parquet(dir.toString)
-      .withColumn("ts_micros",
-        org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.canonicalEventTime)
       .transform(Jobs.windowedEventCounts)
     val got = Jobs.runToMemory(spark, streamed, "win_stream", OutputMode.Complete)
     assert(got.count() == out.count())
@@ -223,7 +223,7 @@ class StreamingSpec extends AnyFunSuite {
     // batches from a synthetic user push the watermark past every real
     // user's last+gap so ALL sessions flush (gap-close or idle-timeout)
     val events = Tables.events(spark, sf)
-      .select(col("user_id"), expr("ts div 1000").as("t_us"))
+      .select(col("user_id"), col("t_us"))
       .collect().map(r => Jobs.Event(r.getLong(0), r.getLong(1), 0.0))
     val maxTs = events.map(_.tsMicros).max
     val mem = MemoryStream[Jobs.Event]
