@@ -458,9 +458,132 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Token budget for the END-TO-END pipeline below — smaller than
+    * [[TokenBudget]] so the selection stage genuinely truncates the
+    * post-gate survivor stream (the gates already shrink the corpus). */
+  val E2eBudget = 5000L
+
+  /** END-TO-END CURATION PIPELINE — the composition a real 100 TB run
+    * executes as ONE job, chaining the already-oracle-checked stages in
+    * pipeline order over the train split:
+    *
+    *   1. quality gate   — length floor (≥10 tokens) + 3/3 Gopher score
+    *                       ([[Quality]], the `corpus_curation_funnel` gates);
+    *   2. dedup keep     — canonical member (min doc_id among gate-surviving
+    *                       train docs) per MinHash-LSH near-dup cluster
+    *                       (`TextOps.clusterLabels`, funnel semantics);
+    *   3. decontam       — drop docs sharing a df-capped 8-token shingle
+    *                       with any test-split doc (`decontam_ngram`);
+    *   4. token budget   — greedy selection in doc order until [[E2eBudget]]
+    *                       tokens, via the `corpus_token_budget` two-phase
+    *                       cumsum (never a corpus-wide single partition);
+    *   5. pack           — `pack_sequences` 16-shard / 4096-token packing
+    *                       of the selected stream.
+    *
+    * The point of declaring the composition as its own oracle-checked query:
+    * the stage DEFINITIONS are the shared ones (`Quality.metricsSqlCte`,
+    * `TextOps.clusterLabelsSqlCte`, the decontamination shingle index, the
+    * split thresholds), so if chaining them forked any stage's semantics,
+    * this query's hash would diverge from DuckDB running the same chain.
+    * Scale shape: every stage keeps its standalone query's plan — the only
+    * cross-stage links are equi-joins on doc_id and the gates are narrow
+    * filters, so the composition adds no shuffle beyond its stages'. */
+  val curationE2e = sql(
+    "corpus_curation_e2e",
+    s"""WITH RECURSIVE ${TextOps.clusterLabelsSqlCte},
+       |${Quality.metricsSqlCte},
+       |q AS (SELECT doc_id, n_tokens, ${Quality.scoreSql} AS quality FROM m),
+       |dt AS (SELECT doc_id, string_split(text, ' ') AS t2,
+       |              ${hexBucketSql("doc_id")} AS b
+       |       FROM documents),
+       |dsp AS (SELECT doc_id, t2,
+       |               CASE WHEN b < $TrainThr THEN 'train'
+       |                    WHEN b < $ValThr THEN 'val'
+       |                    ELSE 'test' END AS split
+       |        FROM dt),
+       |dsh AS (SELECT DISTINCT doc_id, split,
+       |               unnest([md5(array_to_string(t2[i:i+7], ' '))
+       |                       for i in range(1, len(t2) - 6)]) AS shk
+       |        FROM dsp WHERE len(t2) >= 8),
+       |ddf AS (SELECT shk, count(*) AS df FROM dsh GROUP BY shk),
+       |dshc AS (SELECT s.doc_id, s.split, s.shk FROM dsh s JOIN ddf USING (shk)
+       |         WHERE ddf.df <= 50),
+       |dev AS (SELECT DISTINCT shk FROM dshc WHERE split = 'test'),
+       |dhits AS (SELECT s.doc_id FROM dshc s JOIN dev USING (shk)
+       |          WHERE s.split = 'train' GROUP BY s.doc_id),
+       |g AS (SELECT d.doc_id, q.n_tokens, c.root,
+       |             (q.n_tokens >= 10 AND q.quality = 3) AS qual_ok
+       |      FROM documents d
+       |      JOIN q ON q.doc_id = d.doc_id
+       |      JOIN cc c ON c.doc_id = d.doc_id
+       |      JOIN dsp p ON p.doc_id = d.doc_id
+       |      WHERE p.split = 'train'),
+       |canon AS (SELECT root, min(doc_id) AS canon_id FROM g
+       |          WHERE qual_ok GROUP BY root),
+       |surv AS (SELECT g.doc_id, g.n_tokens FROM g
+       |         JOIN canon ON g.root = canon.root AND g.doc_id = canon.canon_id
+       |         WHERE g.qual_ok
+       |           AND g.doc_id NOT IN (SELECT doc_id FROM dhits)),
+       |c2 AS (SELECT doc_id, n_tokens,
+       |              sum(n_tokens) OVER (ORDER BY doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM surv),
+       |sel AS (SELECT doc_id, n_tokens, cum FROM c2 WHERE cum <= $E2eBudget),
+       |pk AS (SELECT doc_id, n_tokens, cum,
+       |              (${hexBucketSql("doc_id")}) % 16 AS shard
+       |       FROM sel),
+       |pc AS (SELECT doc_id, n_tokens, cum, shard,
+       |              sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS pcum
+       |       FROM pk)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(cum AS BIGINT) AS cum_tokens, shard,
+       |       CAST(floor((pcum - n_tokens) / 4096) AS BIGINT) AS seq_id
+       |FROM pc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // stages 1-3: gate frame over the train split (funnel semantics)
+    val (sp, shc) = decontamShingleIndex(s, d)
+    val ev = shc.filter(col("split") === "test").select("sh").distinct()
+    val contaminated = shc.filter(col("split") === "train")
+      .join(ev, "sh").select("doc_id").distinct()
+    val g = sp.select("doc_id", "split").filter(col("split") === "train")
+      .join(Quality.metrics(s, d).select("doc_id", "n_tokens", "quality"), "doc_id")
+      .join(TextOps.clusterLabels(s, d), "doc_id")
+      .withColumn("qual_ok", col("n_tokens") >= 10 && col("quality") === 3)
+    val wCluster = Window.partitionBy("cluster")
+    val surv = g
+      .withColumn("canon_id",
+        min(when(col("qual_ok"), col("doc_id"))).over(wCluster))
+      .filter(col("qual_ok") && col("doc_id") === col("canon_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    // stage 4: two-phase budget cumsum (the corpus_token_budget plan; the
+    // offsets window runs on the range-bucket-reduced frame only)
+    val q2 = surv.withColumn("rb", floor(col("doc_id") / BudgetRangeWidth))
+    val grp = q2.groupBy("rb").agg(sum("n_tokens").as("gsum"))
+    val wOff = Window.orderBy("rb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = grp.withColumn("offset", sum("gsum").over(wOff) - col("gsum"))
+      .select("rb", "offset")
+    val wIn = Window.partitionBy("rb").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = q2.join(off, "rb")
+      .withColumn("cum_tokens",
+        (col("offset") + sum("n_tokens").over(wIn)).cast("long"))
+      .filter(col("cum_tokens") <= E2eBudget)
+    // stage 5: per-shard packing of the selected stream (pack_sequences)
+    val wPack = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sel.withColumn("shard", hexBucketCol(col("doc_id")) % 16)
+      .withColumn("pcum", sum("n_tokens").over(wPack))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard"),
+        floor((col("pcum") - col("n_tokens")) / 4096).cast("long").as("seq_id"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
-    corpusReweight, domainCap, tokenBudget)
+    corpusReweight, domainCap, tokenBudget, curationE2e)
 }
 

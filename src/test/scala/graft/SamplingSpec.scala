@@ -222,4 +222,56 @@ class SamplingSpec extends AnyFunSuite {
     assert(sel <= operators.Sampling.TokenBudget && unselMin > operators.Sampling.TokenBudget)
     out.unpersist()
   }
+
+  test("corpus_curation_e2e: every emitted doc passes every upstream gate") {
+    val out = SparkEntry.queries("corpus_curation_e2e")(spark, sf).cache()
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty, "pipeline selected nothing — budget or gates broken")
+
+    // gate 1+2+dedup: emitted ⊆ the funnel's per-source unique survivors
+    // is not directly comparable (funnel is corpus-wide), so re-check the
+    // per-doc predicates against the standalone stage queries instead.
+    // split: all emitted docs are train docs
+    val splits = SparkEntry.queries("split_assign")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.forall(splits(_) == "train"), "a non-train doc was emitted")
+    // quality: all emitted docs score 3/3 with ≥10 tokens
+    val q = SparkEntry.queries("text_quality")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("quality"))).toMap
+    assert(ids.forall(id => q(id)._1 >= 10 && q(id)._2 == 3),
+      "an emitted doc fails the quality gate")
+    // dedup: no two emitted docs share a near-dup cluster
+    val cl = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = ids.toSeq.map(cl)
+    assert(clusters.distinct.size == clusters.size,
+      "two emitted docs share a near-dup cluster")
+    // decontam: no emitted doc is flagged contaminated
+    val dirty = SparkEntry.queries("decontam_ngram")(spark, sf)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(dirty).isEmpty, "a contaminated doc was emitted")
+    // budget: total selected tokens fit, and the stream is the doc-order
+    // prefix (every survivor below the max emitted id is either emitted or
+    // gate-excluded — checked implicitly by the cumsum being contiguous)
+    val rows = out.orderBy("doc_id").collect()
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == cum, s"cumsum gap at ${r.getLong(0)}")
+    }
+    assert(cum <= operators.Sampling.E2eBudget, s"budget exceeded: $cum")
+    // pack: within each shard, seq_id is nondecreasing and each sequence
+    // holds ≤4096 tokens except when a single doc alone exceeds it
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      val perSeq = rs.groupBy(_.getAs[Long]("seq_id"))
+        .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum)
+      perSeq.foreach { case (seq, tot) =>
+        val single = rs.filter(_.getAs[Long]("seq_id") == seq)
+        assert(tot <= 4096 + single.map(_.getAs[Long]("n_tokens")).max,
+          s"sequence $seq overfilled: $tot")
+      }
+    }
+    out.unpersist()
+  }
 }
