@@ -422,7 +422,8 @@ object TextOps {
     * across consumers by construction, so materializing it divides the
     * family's cost by the number of consumers without changing one result
     * bit. The per-query recomputation here is an oracle-harness artifact,
-    * not the recommended deployment shape. */
+    * not the recommended deployment shape — `dedup_labels_materialized`
+    * demonstrates the snapshot path and oracle-proves it bit-identical. */
   private[operators] def clusterLabels(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     labelsFromPairs(Tables.documents(s, d).select(col("doc_id")),
@@ -1227,17 +1228,11 @@ object TextOps {
     * decides which crawls/dumps are worth keeping at 100 TB. One broadcast-
     * size join of the label frame back to the documents table, then a tiny
     * per-source aggregate. */
-  val corpusDupStats = sql(
-    "corpus_dup_stats",
-    s"""WITH RECURSIVE $clusterLabelsSqlCte
-       |SELECT d.source,
-       |       CAST(count(*) AS BIGINT) AS n_docs,
-       |       CAST(count(DISTINCT c.root) AS BIGINT) AS n_clusters,
-       |       CAST(sum(CASE WHEN c.root <> c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-       |       round(sum(CASE WHEN c.root <> c.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_rate
-       |FROM cc c JOIN documents d ON c.doc_id = d.doc_id
-       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
-    val labels = clusterLabels(s, d)
+  /** Shared dup-stats rollup over a (doc_id, cluster) label frame — the ONE
+    * definition behind `corpus_dup_stats` (recompute path) and
+    * `dedup_labels_materialized` (snapshot path), so the two cannot fork. */
+  private def dupStatsRollup(labels: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String) = {
     val dup = (col("cluster") =!= col("doc_id")).cast("long")
     labels.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
       .groupBy("source")
@@ -1247,6 +1242,40 @@ object TextOps {
         sum(dup).as("n_dup_docs"),
         round(sum(dup) * lit(1.0) / count(lit(1)), 4).as("dup_rate"))
       .orderBy("source")
+  }
+
+  private val dupStatsOracleSql =
+    s"""WITH RECURSIVE $clusterLabelsSqlCte
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT c.root) AS BIGINT) AS n_clusters,
+       |       CAST(sum(CASE WHEN c.root <> c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |       round(sum(CASE WHEN c.root <> c.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_rate
+       |FROM cc c JOIN documents d ON c.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  val corpusDupStats = sql("corpus_dup_stats", dupStatsOracleSql) { (s, d) =>
+    dupStatsRollup(clusterLabels(s, d), s, d)
+  }
+
+  /** The MATERIALIZATION NOTE's recommended deployment shape, demonstrated
+    * as an oracle-checked query: cluster labels are computed ONCE, written
+    * as a (doc_id, cluster) parquet snapshot partitioned for doc_id joins,
+    * and the dup-stats consumer reads the SNAPSHOT — proving the
+    * materialize-then-reuse path is bit-identical to `corpus_dup_stats`'
+    * recompute path (same oracle SQL on purpose). At 100 TB every consumer
+    * in the six-query cluster family joins this snapshot instead of
+    * re-running the shingle→MinHash→LSH→CC chain; the chain runs once per
+    * corpus snapshot, amortized across all of them. */
+  val dedupLabelsMaterialized = sql(
+    "dedup_labels_materialized", dupStatsOracleSql) { (s, d) =>
+    val snap = java.nio.file.Files
+      .createTempDirectory("cluster-labels-snap").toString
+    // materialize: one chain run, persisted columnar, shuffle-partitioned
+    // on the join key so snapshot consumers co-locate without a re-shuffle
+    clusterLabels(s, d).repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(snap)
+    dupStatsRollup(s.read.parquet(snap), s, d)
   }
 
   /** Per-language document-length distribution — the quality-filter
@@ -1907,5 +1936,5 @@ object TextOps {
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
-    textBm25, textPplBuckets)
+    textBm25, textPplBuckets, dedupLabelsMaterialized)
 }

@@ -26,6 +26,16 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The AQE rendering prints BOTH `== Final Plan ==` and `== Initial
+    * Plan ==` sections, so node COUNTS over the whole string double.
+    * Exact-count assertions (e.g. "exactly one aggregate pair") must run
+    * on the final section only; contains() assertions don't care. */
+  private def finalPlanSection(name: String): String = {
+    val plan = executedPlan(name)
+    val cut = plan.indexOf("== Initial Plan ==")
+    if (cut >= 0) plan.substring(0, cut) else plan
+  }
+
   test("p8_filter: predicates reach the parquet scan (PushedFilters)") {
     val plan = executedPlan("p8_filter")
     assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(20).mkString("\n"))
@@ -530,5 +540,91 @@ class PlanSpec extends AnyFunSuite {
       "candidate pairs must stay block-diagonal within cells")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       "the per-vector eviction max must combine map-side")
+  }
+
+  test("q7_nation_volume: dims broadcast; shipdate range pushed to the scan") {
+    val plan = executedPlan("q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      "supplier and both nation copies must ride broadcast joins")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      "the two-year shipdate range must prune the lineitem scan")
+  }
+
+  test("q8_market_share: numerator and denominator in ONE aggregate pass") {
+    val plan = finalPlanSection("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4,
+      "part/region-nation/supplier/nation sides must broadcast")
+    assert("HashAggregate".r.findAllIn(plan).length == 2,
+      "share must be one partial+final aggregate pair, never two passes " +
+        s"over the join tree:\n$plan")
+  }
+
+  test("q9_product_profit: part name cut pushed, then broadcast into the fact") {
+    val plan = executedPlan("q9_product_profit")
+    assert(plan.contains("StringStartsWith(p_name,red ")
+      || plan.contains("StringStartsWith(p_name, red"),
+      "the LIKE 'red %' cut must reach the part scan as a pushed prefix filter")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      "part/supplier/nation must broadcast")
+  }
+
+  test("q11_part_value: region cut is a broadcast semi-join; total is 1-row broadcast") {
+    val plan = executedPlan("q11_part_value")
+    assert(plan.contains("LeftSemi"),
+      "the EUROPE supplier cut must be a semi-join pruning the fact")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the global total must arrive as a broadcast 1-row scalar")
+  }
+
+  test("q12_ship_priority: both CASE counts in one partial aggregate") {
+    val plan = finalPlanSection("q12_ship_priority")
+    assert("HashAggregate".r.findAllIn(plan).length == 2,
+      s"both class counts must share one partial+final pair:\n$plan")
+  }
+
+  test("q16_supplier_cnt: blacklist is an anti-join before the distinct count") {
+    val plan = executedPlan("q16_supplier_cnt")
+    assert(plan.contains("LeftAnti"),
+      "the supplier blacklist must plan as an anti-join")
+  }
+
+  test("q19_disjunctive_revenue: ONE part join carries the factored disjunction") {
+    val plan = finalPlanSection("q19_disjunctive_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 1,
+      "the three OR branches must share one broadcast part join, not three")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the disjunction must ride the equi-join, never a nested loop")
+  }
+
+  test("q20_excess_shippers: supplier qualification is a semi-join chain") {
+    val plan = executedPlan("q20_excess_shippers")
+    assert(plan.contains("LeftSemi"),
+      "qualified (part, supplier) set must semi-join up to suppliers")
+  }
+
+  test("q21_waiting_suppliers: unique-winner reformulation stays aggregate-shaped") {
+    // the EXISTS/NOT EXISTS pair is reformulated as per-(order, supp) max
+    // aggregates + a unique-attainer count — no correlated subquery join
+    // re-scans the fact, and the final cut is a top-k merge
+    val plan = executedPlan("q21_waiting_suppliers")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must be a per-partition top-k merge, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 100-row supplier dim must broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "winner qualification must stay equi-join/aggregate shaped")
+    assert("HashAggregate".r.findAllIn(finalPlanSection("q21_waiting_suppliers")).length >= 6,
+      "the per-supp/per-order/attainer rollups must all partial-aggregate")
+  }
+
+  test("corpus_curation_e2e: no cartesian; budget offsets window stays reduced") {
+    val plan = executedPlan("corpus_curation_e2e")
+    assert(!plan.contains("CartesianProduct"),
+      "stage chaining must stay equi-join-linked")
+    // the decontam prefilter + canonical-keep window + budget windows all
+    // partial-aggregate or partition; only the range-bucket offsets frame
+    // (corpus/256 rows) may run partition-less
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      "stage aggregates must combine map-side")
   }
 }
