@@ -17,7 +17,7 @@ class PartitioningSpec extends AnyFunSuite {
 
   test("partitionBy write + filter → partition pruning at the scan") {
     val dir = Files.createTempDirectory("ev-part").toString
-    Tables.events(spark, sf).drop("ts") // ts long is fine but irrelevant here
+    Tables.events(spark, sf).drop("ts") // raw ts layout-dependent; canonical cols stay
       .write.mode("overwrite").partitionBy("event_type").parquet(dir)
     val one = spark.read.parquet(dir).filter(col("event_type") === "click")
     one.collect()
