@@ -182,4 +182,22 @@ class SimilaritySpec extends AnyFunSuite {
     val qc = assign(0L)
     rows.foreach { case (id, _) => assert(assign(id) == qc, s"vec $id off-cell") }
   }
+
+  test("sim_int8_topk: quantized cosine tracks float cosine; recall certified") {
+    val i8 = SparkEntry.queries("sim_int8_topk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos8")).toMap
+    val fl = SparkEntry.queries("sim_topk_cosine")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos")).toMap
+    assert(i8.size == 10 && !i8.contains(0L))
+    // int8 max-abs quantization on 64 dims perturbs a cosine by well under
+    // 2/127 ≈ 0.016 per unit norm; the overlapping ids must agree closely
+    i8.keySet.intersect(fl.keySet).foreach { id =>
+      assert(math.abs(i8(id) - fl(id)) < 0.02,
+        s"vec $id: int8 ${i8(id)} vs float ${fl(id)}")
+    }
+    val rec = SparkEntry.queries("sim_int8_recall")(spark, sf).collect().head
+    assert(rec.getAs[Long]("n_int8_hits") >= 8,
+      "int8 top-10 must recover at least 8 of the float top-10 " +
+        s"(got ${rec.getAs[Long]("n_int8_hits")})")
+  }
 }
