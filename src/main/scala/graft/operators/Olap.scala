@@ -569,6 +569,61 @@ object Olap {
         col("t3") < col("t4")).as("n_purchase"))
   }
 
+  /** TIME-BOUNDED funnel — each step must land within [[FunnelWindowUs]]
+    * AFTER the previous QUALIFYING step (the conversion-window semantics
+    * product analytics actually bills on). This is NOT expressible from
+    * `events_funnel`'s global first-occurrence mins: a user who viewed
+    * before signup AND again after it advances here but not there, and a
+    * view 10 days after signup advances there but not here. The qualifying
+    * chain is sequential, so each step is one conditional-min aggregation
+    * of the fact filtered through the previous step's per-user bound —
+    * k steps = k equi-joins on user_id over per-user frames that shrink
+    * every step, each join reusing the same hash partitioning (ReuseExchange
+    * collapses the repeated event-side shuffle), every min partial-
+    * aggregable. No window function, no per-user event-sequence sort. */
+  val FunnelWindowUs: Long = 3L * 86400L * 1000000L // 3 days in µs
+
+  val eventsFunnelWindowed = sql(
+    "events_funnel_windowed",
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+       |       WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'view'
+       |         AND t > t1 AND t <= t1 + $FunnelWindowUs GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+       |       WHERE event_type = 'click'
+       |         AND t > t2 AND t <= t2 + $FunnelWindowUs GROUP BY 1),
+       |s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
+       |       WHERE event_type = 'purchase'
+       |         AND t > t3 AND t <= t3 + $FunnelWindowUs GROUP BY 1)
+       |SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_click,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n_purchase""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("t_us"))
+    def step(prev: org.apache.spark.sql.DataFrame, prevT: String,
+        stepType: String, outT: String) =
+      e.filter(col("event_type") === stepType)
+        .join(prev.select("user_id", prevT), "user_id")
+        .filter(col("t_us") > col(prevT) &&
+          col("t_us") <= col(prevT) + FunnelWindowUs)
+        .groupBy("user_id").agg(min("t_us").as(outT))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("t_us").as("t1"))
+    val s2 = step(s1, "t1", "view", "t2")
+    val s3 = step(s2, "t2", "click", "t3")
+    val s4 = step(s3, "t3", "purchase", "t4")
+    def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.agg(count(lit(1)).as(name))
+    e.agg(countDistinct("user_id").as("n_users"))
+      .crossJoin(broadcast(cnt(s1, "n_signup")))
+      .crossJoin(broadcast(cnt(s2, "n_view")))
+      .crossJoin(broadcast(cnt(s3, "n_click")))
+      .crossJoin(broadcast(cnt(s4, "n_purchase")))
+  }
+
   /** COHORT RETENTION: users grouped by their first-activity day, counted
     * on each later day they return (day offset from cohort). The classic
     * engagement triangle. Shape: distinct (user, day) → per-user min-day
@@ -996,5 +1051,5 @@ object Olap {
     rollingWindow, rangeJoin, resample, approxDistinct,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk,
     eventsMarkov, approxPctlCert, eventsPathTopk, eventsTimeWeighted,
-    windowFamily2, mlLinreg, eventsEwma, layoutZorder)
+    windowFamily2, mlLinreg, eventsEwma, layoutZorder, eventsFunnelWindowed)
 }

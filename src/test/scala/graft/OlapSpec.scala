@@ -84,6 +84,40 @@ class OlapSpec extends AnyFunSuite {
     }
   }
 
+  test("events_funnel_windowed: conversion-window semantics differ from " +
+      "global-min funnel in BOTH directions") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("funnel-win").toString
+    // user 1: view BEFORE signup, then view again 2 days after — the
+    //   windowed funnel advances (first qualifying view is day 3), the
+    //   global-min funnel does NOT (min view day 0 < min signup day 1);
+    // user 2: signup day 0, view day 10 — the global-min funnel advances
+    //   (t1 < t2), the windowed one does NOT (outside the 3-day window)
+    val rows = Seq(
+      (1L, 0 * dayNs, 1L, "view", 1.0, "{}"),
+      (2L, 1 * dayNs, 1L, "signup", 1.0, "{}"),
+      (3L, 3 * dayNs, 1L, "view", 1.0, "{}"),
+      (4L, 0 * dayNs, 2L, "signup", 1.0, "{}"),
+      (5L, 10 * dayNs, 2L, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val win = SparkEntry.queries("events_funnel_windowed")(spark, dir).collect().head
+    val glob = SparkEntry.queries("events_funnel")(spark, dir).collect().head
+    assert(win.getAs[Long]("n_signup") == 2 && glob.getAs[Long]("n_signup") == 2)
+    assert(win.getAs[Long]("n_view") == 1, s"windowed: only user 1 qualifies: $win")
+    assert(glob.getAs[Long]("n_view") == 1, s"global-min: only user 2 qualifies: $glob")
+    // and the two advancing users are genuinely different users — re-run
+    // user-by-user to pin which side advanced whom
+    def oneUser(u: Long, q: String): Long = {
+      rows.filter(_._3 == u).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir-u$u/events.parquet")
+      SparkEntry.queries(q)(spark, s"$dir-u$u").collect().head.getAs[Long]("n_view")
+    }
+    assert(oneUser(1L, "events_funnel_windowed") == 1 && oneUser(1L, "events_funnel") == 0)
+    assert(oneUser(2L, "events_funnel_windowed") == 0 && oneUser(2L, "events_funnel") == 1)
+  }
+
   test("events_markov: transitions conserve events and rows normalize per prev") {
     val out = SparkEntry.queries("events_markov")(spark, sf).collect()
     // every user with k events contributes exactly k−1 transitions
