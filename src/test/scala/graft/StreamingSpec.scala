@@ -209,6 +209,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.toSeq == Seq("alpha", "alpha", "bump"))
   }
 
+  test("funnelSteps: streaming conversion feed reproduces the batch windowed funnel") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // batch truth at the real corpus: counts of users reaching each step
+    val batch = SparkEntry.queries("events_funnel_windowed")(spark, sf)
+      .collect().head
+    val expected = Seq(batch.getAs[Long]("n_signup"), batch.getAs[Long]("n_view"),
+      batch.getAs[Long]("n_click"), batch.getAs[Long]("n_purchase"))
+    // streaming: the same events in event-time order through the state
+    // machine (the batch query IS the exact event-time replay)
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("t_us"), col("event_type"))
+      .collect()
+      .map(r => Jobs.FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_.tsMicros)
+    val mem = MemoryStream[Jobs.FunnelEvent]
+    val q = Jobs.funnelSteps(mem.toDS()).writeStream.format("memory")
+      .queryName("funnel_stream").outputMode("append").start()
+    // two batches to exercise cross-batch state carry (split at the median)
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("funnel_stream").as[Jobs.FunnelHit].collect()
+    val got = (1 to 4).map(k => hits.count(_.step == k).toLong)
+    assert(got == expected, s"streaming step counts $got != batch $expected")
+    // each user advances through contiguous steps at increasing timestamps
+    hits.groupBy(_.userId).foreach { case (u, hs) =>
+      val steps = hs.sortBy(_.step)
+      assert(steps.map(_.step).toSeq == (1 to steps.length), s"user $u gaps")
+      assert(steps.map(_.tsMicros).toSeq == steps.map(_.tsMicros).sorted.toSeq,
+        s"user $u steps not time-ordered")
+    }
+  }
+
   test("sessionize: streaming operator agrees with the batch gaps-and-islands twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
