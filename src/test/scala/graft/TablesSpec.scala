@@ -20,7 +20,8 @@ import graft.core.Tables
   */
 class TablesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Tables.localSession("tables-spec", cores = 4)
-  val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
 
   private def shape(name: String, sf: String): Map[String, DataType] = {
     val df = Tables.load(spark, sf, name)
