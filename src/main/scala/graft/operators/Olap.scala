@@ -1045,7 +1045,59 @@ object Olap {
       .orderBy("user_id")
   }
 
+  /** MERGE/UPSERT (CDC apply) — the `MERGE INTO base USING changes` shape
+    * every lakehouse table maintenance job runs: a change set (updates,
+    * deletes, inserts — derived deterministically from the base here so
+    * the query is self-contained) applied to the base table in ONE pass.
+    * Delete wins over update for a key in both sets (anti-join applied
+    * after the update join).
+    *
+    * Scale shape — the part that matters at 100 TB: the change set of a
+    * CDC batch is small relative to the base, so BOTH the update
+    * left-outer join and the delete anti-join broadcast the change side;
+    * the base table is read once and NEVER shuffled (no SortMergeJoin
+    * anywhere), inserts arrive as a union. This is exactly the
+    * copy-on-write MERGE plan Delta/Iceberg generate, minus the file-level
+    * skipping their transaction log adds. */
+  val mergeUpsert = sql(
+    "olap_merge_upsert",
+    """WITH upd AS (SELECT o_orderkey, 'U' AS u_st,
+      |                    round(o_totalprice + 1000, 4) AS u_tp
+      |             FROM orders WHERE o_orderkey % 10 = 0),
+      |del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 17 = 0),
+      |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS status,
+      |               round(o_totalprice, 4) AS total
+      |        FROM orders WHERE o_orderkey % 23 = 0)
+      |SELECT * FROM (
+      |  SELECT b.o_orderkey,
+      |         coalesce(u.u_st, b.o_orderstatus) AS status,
+      |         round(coalesce(u.u_tp, b.o_totalprice), 4) AS total
+      |  FROM orders b
+      |  LEFT JOIN upd u USING (o_orderkey)
+      |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+      |  UNION ALL
+      |  SELECT o_orderkey, status, total FROM ins)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("u_st"),
+        round(col("o_totalprice") + 1000, 4).as("u_tp"))
+    val del = base.filter(col("o_orderkey") % 17 === 0).select("o_orderkey")
+    val ins = base.filter(col("o_orderkey") % 23 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("N").as("status"), round(col("o_totalprice"), 4).as("total"))
+    base.join(broadcast(upd), Seq("o_orderkey"), "left")
+      .join(broadcast(del), Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"),
+        coalesce(col("u_st"), col("o_orderstatus")).as("status"),
+        round(coalesce(col("u_tp"), col("o_totalprice")), 4).as("total"))
+      .unionByName(ins)
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    mergeUpsert,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,

@@ -118,6 +118,25 @@ class OlapSpec extends AnyFunSuite {
     assert(oneUser(2L, "events_funnel_windowed") == 0 && oneUser(2L, "events_funnel") == 1)
   }
 
+  test("olap_merge_upsert: delete wins over update; inserts disjoint; counts conserve") {
+    val base = Tables.orders(spark, sf)
+    val out = SparkEntry.queries("olap_merge_upsert")(spark, sf).cache()
+    val n = base.count()
+    val nDel = base.filter(col("o_orderkey") % 17 === 0).count()
+    val nIns = base.filter(col("o_orderkey") % 23 === 0).count()
+    assert(out.count() == n - nDel + nIns, "merge must conserve row accounting")
+    // delete wins for keys in both change sets (k % 170 == 0)
+    val both = base.filter(col("o_orderkey") % 170 === 0).count()
+    assert(both > 0, "fixture must exercise the update+delete collision")
+    assert(out.filter(col("o_orderkey") % 170 === 0 &&
+      col("o_orderkey") < 10000000L).count() == 0, "delete must win over update")
+    // updated rows carry the new status; untouched rows the old one
+    assert(out.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 17 =!= 0 &&
+      col("o_orderkey") < 10000000L && col("status") =!= "U").count() == 0)
+    assert(out.filter(col("o_orderkey") >= 10000000L && col("status") =!= "N").count() == 0)
+    out.unpersist()
+  }
+
   test("events_markov: transitions conserve events and rows normalize per prev") {
     val out = SparkEntry.queries("events_markov")(spark, sf).collect()
     // every user with k events contributes exactly k−1 transitions

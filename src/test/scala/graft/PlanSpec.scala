@@ -617,6 +617,15 @@ class PlanSpec extends AnyFunSuite {
       "the per-supp/per-order/attainer rollups must all partial-aggregate")
   }
 
+  test("olap_merge_upsert: change sides broadcast; base never sort-merge-shuffles") {
+    val plan = executedPlan("olap_merge_upsert")
+    assert("BroadcastHashJoin".r.findAllIn(finalPlanSection("olap_merge_upsert")).length >= 2,
+      "update (LeftOuter) and delete (LeftAnti) joins must broadcast the CDC side")
+    assert(plan.contains("LeftAnti"), "deletes must apply as an anti-join")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the base table must never shuffle for a small change set")
+  }
+
   test("corpus_curation_e2e: no cartesian; budget offsets window stays reduced") {
     val plan = executedPlan("corpus_curation_e2e")
     assert(!plan.contains("CartesianProduct"),

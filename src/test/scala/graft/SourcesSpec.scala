@@ -121,6 +121,35 @@ class SourcesSpec extends AnyFunSuite {
       .exists(_.getString(0).contains("not json")))
   }
 
+  test("binaryFile source: raw media files load as binary columns with metadata") {
+    // the multimodal INGEST path at 100 TB: image/audio/video files land as
+    // opaque binary columns + path/length metadata, downstream decode stays
+    // in partition-local seams (Multimodal.*). Fixture: write media blobs
+    // as loose files, read back via the built-in binaryFile source.
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("binsrc")
+    val blobs = Map(
+      "a.bin" -> Array[Byte](0x50, 0x4b, 3, 4, 9, 9),         // zip magic
+      "b.bin" -> Array[Byte](-1, -40, -1, -32, 0, 1, 2, 3, 4)) // jpeg magic
+    blobs.foreach { case (n, b) => Files.write(dir.resolve(n), b) }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val got = df.select("path", "length", "content").collect()
+      .map(r => r.getString(0).split('/').last ->
+        (r.getLong(1), r.getAs[Array[Byte]]("content"))).toMap
+    assert(got.keySet == blobs.keySet)
+    blobs.foreach { case (n, b) =>
+      assert(got(n)._1 == b.length.toLong, s"$n length")
+      assert(got(n)._2.toSeq == b.toSeq, s"$n content must round-trip bit-exact")
+    }
+    // and the loaded binary column feeds the existing multimodal meta path:
+    // magic-byte detection runs on the ingested content as-is
+    val magics = df.select(expr("substring(hex(content), 1, 4)").as("m"))
+      .collect().map(_.getString(0)).toSet
+    assert(magics == Set("504B", "FFD8"), s"magic bytes drifted: $magics")
+  }
+
   test("K1/P2: message format -> parse round trip is the identity") {
     // the Kafka value contract: format as '{a},{b}' then split back
     val src = Tables.orders(spark, "/root/testdata/sf0.001")
