@@ -1096,8 +1096,44 @@ object Olap {
       .orderBy("o_orderkey")
   }
 
+  /** SKETCH-MERGE certificate — the INCREMENTAL distinct-count pattern at
+    * 100 TB: one Datasketches HLL sketch per day (written once, kilobytes),
+    * a month's distinct users = the UNION of 30 sketches with no rescan of
+    * any day's data. This is what `olap_approx_distinct`'s single-pass
+    * sketch can't show: mergeability is the whole reason sketches beat
+    * exact counts operationally (exact distincts don't add across days —
+    * on this corpus the naive sum of daily distincts is ~26× the true
+    * month count). Two claims are certified against the exact count and
+    * the direct whole-corpus sketch: the merged estimate is within 5%, and
+    * merge-of-parts EQUALS sketching the whole (HLL union is lossless —
+    * register-wise max — so partitioning cannot degrade the estimate).
+    * Oracle: exact columns from DuckDB; the sketch columns are Spark-side
+    * measured booleans (the `olap_approx_pctl_cert` discipline), bounded
+    * numerically in OlapSpec. */
+  val hllMerge = sql(
+    "olap_hll_merge",
+    """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+      |       TRUE AS merged_within_5pct,
+      |       TRUE AS merge_equals_direct
+      |FROM events""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val daily = ev.select(expr("t_us div 86400000000").as("day"), col("user_id"))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.agg(count(lit(1)).as("n_days"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = ev.agg(countDistinct("user_id").as("exact_distinct"),
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"))
+    merged.crossJoin(broadcast(direct))
+      .select(col("n_days"), col("exact_distinct"),
+        (abs(col("est_merged") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("merged_within_5pct"),
+        (col("est_merged") === col("est_direct")).as("merge_equals_direct"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    mergeUpsert,
+    mergeUpsert, hllMerge,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,

@@ -137,6 +137,19 @@ class OlapSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("olap_hll_merge: sketch union is lossless; summing daily distincts overcounts") {
+    val r = SparkEntry.queries("olap_hll_merge")(spark, sf).collect().head
+    assert(r.getAs[Boolean]("merged_within_5pct"), "merged estimate off by >5%")
+    assert(r.getAs[Boolean]("merge_equals_direct"),
+      "HLL union must equal sketching the whole corpus (register-wise max)")
+    // the operational reason sketches exist: exact daily distincts don't add
+    val sumDaily = Tables.events(spark, sf)
+      .select(expr("t_us div 86400000000").as("day"), col("user_id")).distinct()
+      .groupBy("day").count().agg(sum("count")).head.getLong(0)
+    assert(sumDaily > 2 * r.getAs[Long]("exact_distinct"),
+      s"fixture too weak: sum-of-daily $sumDaily vs exact ${r.getAs[Long]("exact_distinct")}")
+  }
+
   test("events_markov: transitions conserve events and rows normalize per prev") {
     val out = SparkEntry.queries("events_markov")(spark, sf).collect()
     // every user with k events contributes exactly k−1 transitions
