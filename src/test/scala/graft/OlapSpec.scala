@@ -150,6 +150,27 @@ class OlapSpec extends AnyFunSuite {
       s"fixture too weak: sum-of-daily $sumDaily vs exact ${r.getAs[Long]("exact_distinct")}")
   }
 
+  test("olap_sessionize agrees with Spark's built-in session_window aggregation") {
+    // two independent implementations of the same 30-min-gap semantics:
+    // the declared window-based query (oracle-checked vs DuckDB) and
+    // Spark's native session_window grouping (state-store capable, the
+    // streaming-ready form). Their (user, span, count) sets must coincide.
+    val ev = Tables.events(spark, sf)
+    val builtIn = ev
+      .groupBy(col("user_id"), session_window(col("ts_micros"), "30 minutes"))
+      .agg(min("t_us").as("s"), max("t_us").as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val custom = SparkEntry.queries("olap_sessionize")(spark, sf)
+      .groupBy("user_id", "session_id")
+      .agg(min("t_us").as("s"), max("t_us").as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(builtIn == custom,
+      s"built-in session_window and the declared sessionize disagree: " +
+        s"only-builtin=${(builtIn -- custom).take(3)} only-custom=${(custom -- builtIn).take(3)}")
+  }
+
   test("events_markov: transitions conserve events and rows normalize per prev") {
     val out = SparkEntry.queries("events_markov")(spark, sf).collect()
     // every user with k events contributes exactly k−1 transitions

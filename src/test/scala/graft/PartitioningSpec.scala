@@ -53,6 +53,36 @@ class PartitioningSpec extends AnyFunSuite {
     assert(plain.map(_.toString).toSeq == salted.map(_.toString).toSeq)
   }
 
+  test("runtime bloom-filter join reduction: fact scan gets might_contain " +
+      "from the selective dimension side") {
+    // Catalyst's InjectRuntimeFilter — the shuffle-join answer to broadcast
+    // DPP at 100 TB: when a selective filter cuts the creation side, a
+    // bloom filter over its join keys is pushed into the OTHER side's scan,
+    // so the fact shuffles only rows that can possibly match. The default
+    // thresholds (creation <10MB, application scan >10GB) target real
+    // cluster sizes; this test lowers the application threshold to prove
+    // the mechanism on test data and guard the conf wiring.
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prevApp = spark.conf.get(key)
+    val prevB = spark.conf.get(bcast)
+    try {
+      spark.conf.set(key, "0")
+      spark.conf.set(bcast, "-1") // force a shuffle join so the filter applies
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 350000)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set(key, prevApp)
+      spark.conf.set(bcast, prevB)
+    }
+  }
+
   test("GraftExtensions registers native functions via injectFunction") {
     val ext = new graft.functions.GraftExtensions
     ext(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
