@@ -167,6 +167,54 @@ class StreamingSpec extends AnyFunSuite {
       s"restart must neither replay batch 1 nor forget its dedup state: $texts")
   }
 
+  test("funnelSteps checkpoint recovery: a restarted query keeps funnel positions") {
+    // the funnel state machine's operational contract: stop after the
+    // signup batch, restart from the checkpoint, feed the view — the user
+    // must advance from RECOVERED step-1 state (not re-emit step 1, not
+    // reset to step 0), and the pre-restart hit must not be replayed
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("fun_in")
+    val out = Files.createTempDirectory("fun_out")
+    val ckpt = Files.createTempDirectory("fun_ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("userId",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tsMicros",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("eventType",
+        org.apache.spark.sql.types.StringType)))
+    import spark.implicits._
+    def runOnce(): Unit = {
+      val q = Jobs.funnelSteps(
+        spark.readStream.schema(schema).json(in.toString).as[Jobs.FunnelEvent])
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    val t0 = 1700000000000000L
+    val hour = 3600L * 1000000
+    Files.writeString(in.resolve("b1.json"),
+      s"""{"userId":7,"tsMicros":$t0,"eventType":"signup"}""" + "\n")
+    runOnce()
+    Files.writeString(in.resolve("b2.json"),
+      s"""{"userId":7,"tsMicros":${t0 + hour},"eventType":"view"}""" + "\n" +
+      s"""{"userId":7,"tsMicros":${t0 + 2 * hour},"eventType":"click"}""" + "\n")
+    runOnce()
+    val hits = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("userId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("tsMicros",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(out.toString).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(hits == Seq((1, t0), (2, t0 + hour), (3, t0 + 2 * hour)),
+      s"restart must resume from recovered step-1 state, exactly-once: $hits")
+  }
+
   test("streaming dedup drops repeated payloads across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
