@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Docs-code drift tripwire. Round 5 shipped nine queries that were
+  * documented as covered but never registered (dead code the harness never
+  * ran); the structural fix is asserting the two directions that can rot:
+  *
+  *   1. every query declared in `SparkEntry.queries` is documented by name
+  *      in COVERAGE.md (an undocumented operator is invisible to review);
+  *   2. every query name cited in COVERAGE.md resolves to a declared query
+  *      (a documented-but-unregistered operator is the round-5 bug).
+  *
+  * Direction 2 extracts backticked tokens that look like query names and
+  * checks only those that share a declared query's family prefix — code
+  * identifiers in backticks (methods, classes, configs) don't match.
+  */
+class CoverageSpec extends AnyFunSuite {
+  private lazy val declared: Set[String] = SparkEntry.queries.keySet.toSet
+  private lazy val doc: String = java.nio.file.Files.readString(
+    java.nio.file.Paths.get("COVERAGE.md"))
+
+  test("every declared query is documented in COVERAGE.md") {
+    val undocumented = declared.filterNot(n => doc.contains(s"`$n`"))
+    assert(undocumented.isEmpty,
+      s"queries declared but absent from COVERAGE.md: ${undocumented.toSeq.sorted}")
+  }
+
+  test("every query-shaped name cited in COVERAGE.md is actually declared") {
+    val families = declared.map(_.takeWhile(_ != '_')).filter(_.nonEmpty)
+    val cited = "`([a-z][a-z0-9]*(?:_[a-z0-9]+)+)`".r
+      .findAllMatchIn(doc).map(_.group(1)).toSet
+      // only tokens in a declared family's namespace are claims about
+      // queries; other snake_case backticks are code/config identifiers
+      .filter(n => families.contains(n.takeWhile(_ != '_')))
+      // known non-query identifiers sharing a family prefix
+      .filterNot(Set("text_quality_gates", "split_thresholds"))
+    val phantom = cited -- declared
+    assert(phantom.isEmpty,
+      s"COVERAGE.md cites query-like names that are not declared " +
+        s"(the round-5 dead-code bug): ${phantom.toSeq.sorted}")
+  }
+}
