@@ -765,61 +765,13 @@ object Similarity {
         round(col("n_hits") / 10.0, 4).as("recall"))
   }
 
-  /** IVF-PQ RESIDUAL ADC — the full FAISS `IVFADC` serving structure
-    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
-    * Search"): vectors are PQ-coded on their RESIDUAL x − c(cell) w.r.t.
-    * their coarse IVF centroid (residuals are tighter than raw vectors,
-    * so the same code budget buys less quantization error), and the query
-    * probes ONE cell: its own residual q − c(probe_cell) is tabulated
-    * against the residual sub-codebooks (the LUT), and every candidate IN
-    * THE PROBE CELL is scored by M=4 table lookups — no float math
-    * against stored vectors, and only ~1/k of the corpus touched: the
-    * IVF restriction and the ADC trick composed, which is what actually
-    * serves billion-vector indexes.
-    *
-    * Scale shape: residuals are a zip_with against the BROADCAST coarse
-    * codebook (k rows); the residual sub-codebook is k·M tiny rows,
-    * broadcast; codes are index state (computed corpus-wide here exactly
-    * as an index build would); the query-side LUT is k·M rows; the
-    * candidate restriction is a broadcast 1-row cell semi-filter and the
-    * cut is TakeOrdered top-10. Determinism: the codebooks round 4 dp
-    * before any distance, argmins tie-break on the code label, the final
-    * ranking runs on the 4-dp-rounded ADC with a vec_id tie-break — the
-    * `sim_pq_adc` discipline end-to-end. */
-  val simIvfPqAdc = sql(
-    "sim_ivfpq_adc",
-    s"""WITH $ivfAssignSqlCte,
-       |lab AS (SELECT vec_id, label FROM embeddings),
-       |rx AS (SELECT e.vec_id, e.pos, CAST(e.x AS DOUBLE) - ct.c AS r
-       |       FROM ex e JOIN assign a ON a.vec_id = e.vec_id
-       |       JOIN cent ct ON ct.label = a.cell AND ct.pos = e.pos),
-       |rcent AS (SELECT l.label, r.pos, round(avg(r.r), 4) AS rc
-       |          FROM rx r JOIN lab l ON l.vec_id = r.vec_id
-       |          GROUP BY l.label, r.pos),
-       |rdists AS (SELECT r.vec_id, rc.label,
-       |                  CAST(floor((r.pos - 1) / 16) AS INT) AS sub,
-       |                  sum((r.r - rc.rc) * (r.r - rc.rc)) AS dist
-       |           FROM rx r JOIN rcent rc ON rc.pos = r.pos
-       |           GROUP BY r.vec_id, rc.label, 3),
-       |rranked AS (SELECT vec_id, sub, label,
-       |                   row_number() OVER (PARTITION BY vec_id, sub
-       |                                      ORDER BY dist, label) AS rn
-       |            FROM rdists),
-       |rcodes AS (SELECT vec_id, sub, label FROM rranked WHERE rn = 1),
-       |qcell AS (SELECT cell FROM assign WHERE vec_id = 0),
-       |rlut AS (SELECT rc.label, CAST(floor((q.pos - 1) / 16) AS INT) AS sub,
-       |                sum((q.r - rc.rc) * (q.r - rc.rc)) AS lutd
-       |         FROM rx q JOIN rcent rc ON rc.pos = q.pos
-       |         WHERE q.vec_id = 0
-       |         GROUP BY rc.label, 2)
-       |SELECT c.vec_id, round(sum(l.lutd), 4) AS adc
-       |FROM rcodes c
-       |JOIN rlut l ON l.sub = c.sub AND l.label = c.label
-       |JOIN assign a ON a.vec_id = c.vec_id
-       |CROSS JOIN qcell
-       |WHERE a.cell = qcell.cell AND c.vec_id <> 0
-       |GROUP BY c.vec_id
-       |ORDER BY adc, c.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+  /** Shared IVFADC model state — ONE definition behind the single-probe
+    * query, the multi-probe variant, and its recall certificate (the
+    * repo's shared-CTE discipline, so the variants cannot fork):
+    * `rcb`    residual sub-codebook (clabel, sub, rcvec), 4-dp means;
+    * `rsub`   every vector's residual subvectors (vec_id, cell, sub, rsubvec);
+    * `rcodes` candidate PQ codes on residuals (vec_id, cell, sub, code). */
+  private def ivfPqModel(s: org.apache.spark.sql.SparkSession, d: String) = {
     val emb = Tables.embeddings(s, d)
     // residual arrays w.r.t. the assigned coarse cell (broadcast codebook)
     val resid = emb.join(ivfAssignDf(s, d), "vec_id")
@@ -846,6 +798,71 @@ object Similarity {
           col("rsubvec"), col("rcvec")).as("dist"))
       .groupBy("vec_id", "cell", "sub")
       .agg(min(struct(col("dist"), col("clabel"))).getField("clabel").as("code"))
+    (rcb, rsub, rcodes)
+  }
+
+  /** IVF-PQ RESIDUAL ADC — the full FAISS `IVFADC` serving structure
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"): vectors are PQ-coded on their RESIDUAL x − c(cell) w.r.t.
+    * their coarse IVF centroid (residuals are tighter than raw vectors,
+    * so the same code budget buys less quantization error), and the query
+    * probes ONE cell: its own residual q − c(probe_cell) is tabulated
+    * against the residual sub-codebooks (the LUT), and every candidate IN
+    * THE PROBE CELL is scored by M=4 table lookups — no float math
+    * against stored vectors, and only ~1/k of the corpus touched: the
+    * IVF restriction and the ADC trick composed, which is what actually
+    * serves billion-vector indexes.
+    *
+    * Scale shape: residuals are a zip_with against the BROADCAST coarse
+    * codebook (k rows); the residual sub-codebook is k·M tiny rows,
+    * broadcast; codes are index state (computed corpus-wide here exactly
+    * as an index build would); the query-side LUT is k·M rows; the
+    * candidate restriction is a broadcast 1-row cell semi-filter and the
+    * cut is TakeOrdered top-10. Determinism: the codebooks round 4 dp
+    * before any distance, argmins tie-break on the code label, the final
+    * ranking runs on the 4-dp-rounded ADC with a vec_id tie-break — the
+    * `sim_pq_adc` discipline end-to-end. */
+  /** DuckDB CTE chain ending in `rcodes(vec_id, sub, label)` — the shared
+    * IVFADC model state (twin of `ivfPqModel`); also defines `assign`,
+    * `dists`, `cent`, `rcent`. */
+  private val ivfPqSqlCte: String =
+    s"""$ivfAssignSqlCte,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |rx AS (SELECT e.vec_id, e.pos, CAST(e.x AS DOUBLE) - ct.c AS r
+       |       FROM ex e JOIN assign a ON a.vec_id = e.vec_id
+       |       JOIN cent ct ON ct.label = a.cell AND ct.pos = e.pos),
+       |rcent AS (SELECT l.label, r.pos, round(avg(r.r), 4) AS rc
+       |          FROM rx r JOIN lab l ON l.vec_id = r.vec_id
+       |          GROUP BY l.label, r.pos),
+       |rdists AS (SELECT r.vec_id, rc.label,
+       |                  CAST(floor((r.pos - 1) / 16) AS INT) AS sub,
+       |                  sum((r.r - rc.rc) * (r.r - rc.rc)) AS dist
+       |           FROM rx r JOIN rcent rc ON rc.pos = r.pos
+       |           GROUP BY r.vec_id, rc.label, 3),
+       |rranked AS (SELECT vec_id, sub, label,
+       |                   row_number() OVER (PARTITION BY vec_id, sub
+       |                                      ORDER BY dist, label) AS rn
+       |            FROM rdists),
+       |rcodes AS (SELECT vec_id, sub, label FROM rranked WHERE rn = 1)""".stripMargin
+
+  val simIvfPqAdc = sql(
+    "sim_ivfpq_adc",
+    s"""WITH $ivfPqSqlCte,
+       |qcell AS (SELECT cell FROM assign WHERE vec_id = 0),
+       |rlut AS (SELECT rc.label, CAST(floor((q.pos - 1) / 16) AS INT) AS sub,
+       |                sum((q.r - rc.rc) * (q.r - rc.rc)) AS lutd
+       |         FROM rx q JOIN rcent rc ON rc.pos = q.pos
+       |         WHERE q.vec_id = 0
+       |         GROUP BY rc.label, 2)
+       |SELECT c.vec_id, round(sum(l.lutd), 4) AS adc
+       |FROM rcodes c
+       |JOIN rlut l ON l.sub = c.sub AND l.label = c.label
+       |JOIN assign a ON a.vec_id = c.vec_id
+       |CROSS JOIN qcell
+       |WHERE a.cell = qcell.cell AND c.vec_id <> 0
+       |GROUP BY c.vec_id
+       |ORDER BY adc, c.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val (rcb, rsub, rcodes) = ivfPqModel(s, d)
     val qlut = rsub.filter(col("vec_id") === 0)
       .join(broadcast(rcb), Seq("sub"))
       .select(col("sub"), col("clabel").as("code"),
@@ -860,6 +877,113 @@ object Similarity {
       .agg(round(sum("lutd"), 4).as("adc"))
       .orderBy(col("adc"), col("vec_id"))
       .limit(10)
+  }
+
+  /** MULTI-PROBE IVFADC — `sim_ivfpq_adc` with nprobe=3: the query visits
+    * its three nearest coarse cells, carrying a SEPARATE residual LUT per
+    * probed cell (each cell's candidates are coded on residuals w.r.t.
+    * THAT cell's centroid, so one global LUT would be wrong — the
+    * subtlety multi-probe adds over `sim_ivf_topk_mp`). nprobe is the
+    * recall/cost dial: 3× the candidates and 3 tiny LUTs, still ~3/k of
+    * the corpus touched and zero float math against stored vectors. */
+  val simIvfPqAdcMp = sql(
+    "sim_ivfpq_adc_mp",
+    s"""WITH $ivfPqSqlCte,
+       |qpc AS (SELECT label AS pcell FROM dists WHERE vec_id = 0
+       |        ORDER BY dist, label LIMIT 3),
+       |qrmp AS (SELECT p.pcell, e.pos, CAST(e.x AS DOUBLE) - ct.c AS r
+       |         FROM ex e CROSS JOIN qpc p
+       |         JOIN cent ct ON ct.label = p.pcell AND ct.pos = e.pos
+       |         WHERE e.vec_id = 0),
+       |rlutmp AS (SELECT q.pcell, rc.label AS code,
+       |                  CAST(floor((q.pos - 1) / 16) AS INT) AS sub,
+       |                  sum((q.r - rc.rc) * (q.r - rc.rc)) AS lutd
+       |           FROM qrmp q JOIN rcent rc ON rc.pos = q.pos
+       |           GROUP BY q.pcell, rc.label, 3)
+       |SELECT c.vec_id, round(sum(l.lutd), 4) AS adc
+       |FROM rcodes c
+       |JOIN assign a ON a.vec_id = c.vec_id
+       |JOIN rlutmp l ON l.pcell = a.cell AND l.sub = c.sub AND l.code = c.label
+       |WHERE c.vec_id <> 0
+       |GROUP BY c.vec_id
+       |ORDER BY adc, c.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val (rcb, _, rcodes) = ivfPqModel(s, d)
+    val probes = ivfQueryCells(s, d, 3).select(col("cell").as("pcell"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    // per-probed-cell query residual subvectors → per-cell LUT
+    val qlut = broadcast(probes).crossJoin(broadcast(q))
+      .join(broadcast(ivfCodebook(s, d)), col("pcell") === col("clabel"))
+      .select(col("pcell"),
+        expr("zip_with(qv, cvec, (a, b) -> CAST(a AS DOUBLE) - b)").as("rvec"))
+      .select(col("pcell"), explode(sequence(lit(0), lit(3))).as("sub"),
+        col("rvec"))
+      .select(col("pcell"), col("sub"),
+        expr("slice(rvec, sub * 16 + 1, 16)").as("rsubvec"))
+      .join(broadcast(rcb), Seq("sub"))
+      .select(col("pcell"), col("sub").as("psub"), col("clabel").as("pcode"),
+        graft.functions.SquaredDistance.squared_distance(
+          col("rsubvec"), col("rcvec")).as("lutd"))
+    rcodes.filter(col("vec_id") =!= 0)
+      .join(broadcast(qlut), col("cell") === col("pcell") &&
+        col("sub") === col("psub") && col("code") === col("pcode"))
+      .groupBy("vec_id")
+      .agg(round(sum("lutd"), 4).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Recall@10 of multi-probe IVFADC vs the exact squared-L2 ground truth —
+    * with `sim_pq_recall` (PQ, full scan) and `sim_ivf_recall(_mp)` (IVF,
+    * exact within-cell) this completes the certificate grid: every
+    * index-structure × quantization combination the engine serves is
+    * priced against brute force, never trusted on faith. */
+  val simIvfPqRecallMp = sql(
+    "sim_ivfpq_recall_mp",
+    s"""WITH $ivfPqSqlCte,
+       |qpc AS (SELECT label AS pcell FROM dists WHERE vec_id = 0
+       |        ORDER BY dist, label LIMIT 3),
+       |qrmp AS (SELECT p.pcell, e.pos, CAST(e.x AS DOUBLE) - ct.c AS r
+       |         FROM ex e CROSS JOIN qpc p
+       |         JOIN cent ct ON ct.label = p.pcell AND ct.pos = e.pos
+       |         WHERE e.vec_id = 0),
+       |rlutmp AS (SELECT q.pcell, rc.label AS code,
+       |                  CAST(floor((q.pos - 1) / 16) AS INT) AS sub,
+       |                  sum((q.r - rc.rc) * (q.r - rc.rc)) AS lutd
+       |           FROM qrmp q JOIN rcent rc ON rc.pos = q.pos
+       |           GROUP BY q.pcell, rc.label, 3),
+       |adc10 AS (SELECT c.vec_id, round(sum(l.lutd), 4) AS adc
+       |          FROM rcodes c
+       |          JOIN assign a ON a.vec_id = c.vec_id
+       |          JOIN rlutmp l ON l.pcell = a.cell AND l.sub = c.sub
+       |                       AND l.code = c.label
+       |          WHERE c.vec_id <> 0
+       |          GROUP BY c.vec_id
+       |          ORDER BY adc, c.vec_id LIMIT 10),
+       |qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |exact10 AS (SELECT vec_id,
+       |                   round(${sqdistSql("embedding", "qv")}, 4) AS dist
+       |            FROM embeddings, qr
+       |            WHERE vec_id <> 0
+       |            ORDER BY dist, vec_id LIMIT 10)
+       |SELECT 10 AS k, count(*) AS n_hits,
+       |       round(count(*) / 10.0, 4) AS recall
+       |FROM adc10 JOIN exact10 USING (vec_id)""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.SquaredDistance.squared_distance(
+          col("embedding"), col("qv")), 4).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+    simIvfPqAdcMp.fn(s, d).select("vec_id")
+      .join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(10).as("k"), col("n_hits"),
+        round(col("n_hits") / 10.0, 4).as("recall"))
   }
 
   /** Symmetric int8 quantization per vector (max-abs scaling) — the other
@@ -1267,5 +1391,6 @@ object Similarity {
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
-    semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall)
+    semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
+    simIvfPqAdcMp, simIvfPqRecallMp)
 }

@@ -525,13 +525,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("sim_ivfpq_adc: no cartesian beyond broadcasts; final cut is TakeOrdered") {
-    val plan = executedPlan("sim_ivfpq_adc")
-    assert(!plan.contains("CartesianProduct"),
-      "IVFADC must never shuffle a cartesian pair space")
-    assert(plan.contains("TakeOrderedAndProject"),
-      "top-10 must be a per-partition top-k merge")
-    assert(plan.contains("BroadcastHashJoin"),
-      "codebook/LUT joins must broadcast the model state")
+    for (q <- Seq("sim_ivfpq_adc", "sim_ivfpq_adc_mp")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: IVFADC must never shuffle a cartesian pair space")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: top-10 must be a per-partition top-k merge")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: codebook/LUT joins must broadcast the model state")
+    }
   }
 
   test("sem_dedup: eviction join is within-cell equi-join, max partial-aggregates") {

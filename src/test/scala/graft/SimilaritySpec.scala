@@ -183,6 +183,22 @@ class SimilaritySpec extends AnyFunSuite {
     rows.foreach { case (id, _) => assert(assign(id) == qc, s"vec $id off-cell") }
   }
 
+  test("sim_ivfpq_adc_mp: candidates from ≤3 cells; scores dominate single-probe") {
+    val assign = SparkEntry.queries("sim_ivf_assign")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    val mp = SparkEntry.queries("sim_ivfpq_adc_mp")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("adc")))
+    assert(mp.length == 10)
+    assert(mp.map(t => assign(t._1)).distinct.length <= 3,
+      "multi-probe candidates must come from at most nprobe cells")
+    // the probe superset can only improve each rank's ADC
+    val sp = SparkEntry.queries("sim_ivfpq_adc")(spark, sf).collect()
+      .map(_.getAs[Double]("adc"))
+    mp.map(_._2).zip(sp).zipWithIndex.foreach { case ((m, s1), i) =>
+      assert(m <= s1 + 1e-9, s"rank $i: mp adc $m worse than single-probe $s1")
+    }
+  }
+
   test("sim_int8_topk: quantized cosine tracks float cosine; recall certified") {
     val i8 = SparkEntry.queries("sim_int8_topk")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getAs[Double]("cos8")).toMap
