@@ -111,6 +111,37 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalEventTime: layouts agree on 300 seeded-random instants incl. " +
+      "epoch, pre-1970, and far-future") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    // µs-granular instants (the common precision of both layouts): spread
+    // over ±30 years around the epoch plus pinned edges
+    val usVals = (Seq(0L, 1L, -1L, -1000000L, 999999L,
+      1700000000000000L, 4102444800000000L, -500000000000000L) ++
+      Seq.fill(292)((rnd.nextLong() % (30L * 365 * 86400 * 1000000)))).distinct
+    val longDf = usVals.map(us => (us, us * 1000L))
+      .toDF("event_id", "ts")
+    val microsDf = usVals.map { us =>
+      val secs = Math.floorDiv(us, 1000000L)
+      val nanos = (Math.floorMod(us, 1000000L) * 1000L).toInt
+      (us, java.time.LocalDateTime.ofEpochSecond(secs, nanos,
+        java.time.ZoneOffset.UTC))
+    }.toDF("event_id", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      Tables.canonicalEventTime(df)
+        .select(col("event_id"), col("t_us"),
+          unix_micros(col("ts_micros")).as("m_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val (a, b) = (canon(longDf), canon(microsDf))
+    assert(a == b, "layouts must canonicalize identically for every instant")
+    // and t_us is the identity on the generated µs values in BOTH layouts
+    a.foreach { case (us, tUs, mUs) =>
+      assert(tUs == us && mUs == us, s"instant $us: t_us=$tUs ts_micros→$mUs")
+    }
+  }
+
   test("canonicalEventTime: nanos-long and micros-timestamp layouts agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
