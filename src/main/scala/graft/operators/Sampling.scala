@@ -18,25 +18,15 @@ import graft.core.QueryDef.sql
   */
 object Sampling {
 
-  /** First 4 md5 hex digits of the doc id → uniform int in [0, 65536):
-    * the shared deterministic "random" primitive (same formula as the
-    * SimHash token hash — position() arithmetic runs on both engines). */
-  private[operators] def hexBucketSql(key: String): String =
-    s"""(position(substr(md5(CAST($key AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 4096
-       |  + (position(substr(md5(CAST($key AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) * 256
-       |  + (position(substr(md5(CAST($key AS VARCHAR)), 3, 1) IN '0123456789abcdef') - 1) * 16
-       |  + (position(substr(md5(CAST($key AS VARCHAR)), 4, 1) IN '0123456789abcdef') - 1)""".stripMargin
-
-  /** Spark side: conv(hex, 16, 10) of the same 4 digits — same VALUE as
-    * the oracle's position() arithmetic, idiomatic on each engine. */
+  /** Hash-gate primitives + split thresholds live in the dependency-free
+    * [[Keys]] (TextOps' incremental dedup shares them; a direct
+    * TextOps→Sampling reference would cycle object init). These forwards
+    * keep Sampling's call sites unchanged. */
+  private[operators] def hexBucketSql(key: String): String = Keys.hexBucketSql(key)
   private[operators] def hexBucketCol(key: org.apache.spark.sql.Column) =
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
-
-  /** 8/1/1 split boundaries over the 65536-bucket space — the SINGLE source
-    * for split_assign, split_leakage_safe, and decontam_ngram (both engine
-    * sides); rebalancing the split is a one-place edit. */
-  val TrainThr = 52429 // 0.8 * 65536
-  val ValThr = 58982 // 0.9 * 65536
+    Keys.hexBucketCol(key)
+  val TrainThr: Int = Keys.TrainThr
+  val ValThr: Int = Keys.ValThr
 
   /** Deterministic ~10% Bernoulli sample: keep iff hash-bucket < 6554
     * (6554/65536 ≈ 0.1). Reproducible under retries, re-partitioning and

@@ -372,6 +372,67 @@ object TextOps {
       .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
+  /** INCREMENTAL dedup — the shape a production ingestion actually runs:
+    * an INCOMING shard (hash-split here: the split_assign eval buckets)
+    * gated against the EXISTING corpus (the train buckets) without
+    * re-clustering anything. Per incoming doc, in precedence order:
+    * `dup_of_corpus` (shares an LSH band bucket with a corpus doc — the
+    * incoming copy is dropped, corpus is immutable), else `dup_in_batch`
+    * (a smaller-id incoming partner exists — one-pass keep-first greedy,
+    * the standard incremental gate; full transitive clustering is
+    * `dedup_clusters`' job, stated not duplicated), else `unique`.
+    *
+    * Scale shape: the SAME capped band-bucket edge set as the cluster
+    * family (linear in duplicate volume), side labels ride a co-partitioned
+    * doc_id equi-join, verdict joins are left joins against hit sets
+    * bounded by the incoming shard. At 100 TB the corpus's band buckets
+    * are MATERIALIZED once (the `dedup_labels_materialized` discipline)
+    * and each incoming shard joins them — the per-query rebuild here is
+    * the oracle-harness artifact. */
+  val dedupIncremental = sql(
+    "dedup_incremental",
+    s"""WITH $minhashPairsSqlCte,
+       |e2 AS (SELECT da AS a, db AS b FROM mp UNION ALL SELECT db, da FROM mp),
+       |side AS (SELECT doc_id, (${Keys.hexBucketSql("doc_id")}) < ${Keys.TrainThr} AS in_corpus
+       |         FROM documents),
+       |inc AS (SELECT doc_id FROM side WHERE NOT in_corpus),
+       |chit AS (SELECT DISTINCT e.a AS doc_id FROM e2 e
+       |         JOIN side sa ON sa.doc_id = e.a AND NOT sa.in_corpus
+       |         JOIN side sb ON sb.doc_id = e.b AND sb.in_corpus),
+       |bhit AS (SELECT DISTINCT e.a AS doc_id FROM e2 e
+       |         JOIN side sa ON sa.doc_id = e.a AND NOT sa.in_corpus
+       |         JOIN side sb ON sb.doc_id = e.b AND NOT sb.in_corpus
+       |         WHERE e.b < e.a)
+       |SELECT i.doc_id,
+       |       CASE WHEN c.doc_id IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN b.doc_id IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'unique' END AS verdict
+       |FROM inc i
+       |LEFT JOIN chit c ON c.doc_id = i.doc_id
+       |LEFT JOIN bhit b ON b.doc_id = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin) { (s, d) =>
+    val side = Tables.documents(s, d).select(col("doc_id"),
+      (Keys.hexBucketCol(col("doc_id")) < Keys.TrainThr).as("in_corpus"))
+    val mp = minhashBandPairs(s, d)
+    val e2 = mp.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(mp.select(col("db").as("a"), col("da").as("b")))
+    val edges = e2
+      .join(side.select(col("doc_id").as("a"), col("in_corpus").as("a_corpus")), "a")
+      .join(side.select(col("doc_id").as("b"), col("in_corpus").as("b_corpus")), "b")
+      .filter(!col("a_corpus"))
+    val chit = edges.filter(col("b_corpus")).select("a").distinct()
+    val bhit = edges.filter(!col("b_corpus") && col("b") < col("a"))
+      .select("a").distinct()
+    side.filter(!col("in_corpus")).select("doc_id")
+      .join(chit.select(col("a").as("doc_id"), lit(1).as("c")), Seq("doc_id"), "left")
+      .join(bhit.select(col("a").as("doc_id"), lit(1).as("bq")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("c").isNotNull, "dup_of_corpus")
+          .when(col("bq").isNotNull, "dup_in_batch")
+          .otherwise("unique").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val dedupMinhashPairs = sql(
     "dedup_minhash_pairs",
     s"""WITH $minhashPairsSqlCte
@@ -1936,5 +1997,5 @@ object TextOps {
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
-    textBm25, textPplBuckets, dedupLabelsMaterialized)
+    textBm25, textPplBuckets, dedupLabelsMaterialized, dedupIncremental)
 }

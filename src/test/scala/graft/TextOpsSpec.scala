@@ -373,4 +373,29 @@ class TextOpsSpec extends AnyFunSuite {
       assert(byBucket("middle").max <= byBucket("tail").min + 1e-9, s"$lang middle/tail")
     }
   }
+
+  test("dedup_incremental: every verdict recomputable from the declared pair " +
+      "graph and split assignment") {
+    val sf = "/root/testdata/sf0.01"
+    val splits = SparkEntry.queries("split_assign")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val partners = (pairs ++ pairs.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val verdicts = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // incoming = exactly the non-train docs
+    assert(verdicts.keySet == splits.filter(_._2 != "train").keySet)
+    verdicts.foreach { case (doc, got) =>
+      val ps = partners.getOrElse(doc, Set.empty)
+      val expected =
+        if (ps.exists(splits(_) == "train")) "dup_of_corpus"
+        else if (ps.exists(p => splits(p) != "train" && p < doc)) "dup_in_batch"
+        else "unique"
+      assert(got == expected, s"doc $doc: $got != recomputed $expected")
+    }
+    // the fixture exercises all three verdicts
+    assert(verdicts.values.toSet == Set("dup_of_corpus", "dup_in_batch", "unique"))
+  }
 }
