@@ -433,6 +433,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-DRIFT monitor — the distribution-shift check a pipeline runs
+    * shard-over-shard: per source, the quality-score (0–3) distribution of
+    * two cohorts (a deterministic 50/50 hash split here; in production,
+    * yesterday's shard vs today's) compared by Pearson's chi-square
+    * against the pooled expectation, with the df=3 95% cut (7.815).
+    * On a hash split nothing SHOULD drift — the all-false column is the
+    * null-calibration evidence; the spec plants a genuinely shifted
+    * fixture to prove the statistic fires.
+    *
+    * Exactness: all counts are exact integers; chi2 is the only float —
+    * identical arithmetic on identical ints on both engines, rounded 4 dp.
+    * Scale shape: ONE conditional-aggregate pass over the quality frame
+    * (source × 4 scores × 2 cohorts cells), no join wider than the
+    * per-source cell frame, no window. */
+  val corpusQualityDrift = sql(
+    "corpus_quality_drift",
+    s"""WITH ${Quality.metricsSqlCte},
+       |q AS (SELECT doc_id, ${Quality.scoreSql} AS quality FROM m),
+       |g AS (SELECT d.source, q.quality,
+       |             (${Keys.hexBucketSql("d.doc_id")}) < 32768 AS coh_a
+       |      FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       |cells AS (SELECT source, quality,
+       |                 sum(CASE WHEN coh_a THEN 1 ELSE 0 END) AS na,
+       |                 sum(CASE WHEN coh_a THEN 0 ELSE 1 END) AS nb
+       |          FROM g GROUP BY source, quality),
+       |tot AS (SELECT source, sum(na) AS ta, sum(nb) AS tb FROM cells GROUP BY source),
+       |chi AS (SELECT c.source,
+       |               CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+       |               sum(CASE WHEN (c.na + c.nb) > 0 AND t.ta > 0 AND t.tb > 0 THEN
+       |                 (c.na - t.ta * (c.na + c.nb) * 1.0 / (t.ta + t.tb))
+       |                 * (c.na - t.ta * (c.na + c.nb) * 1.0 / (t.ta + t.tb))
+       |                 / (t.ta * (c.na + c.nb) * 1.0 / (t.ta + t.tb))
+       |                 + (c.nb - t.tb * (c.na + c.nb) * 1.0 / (t.ta + t.tb))
+       |                 * (c.nb - t.tb * (c.na + c.nb) * 1.0 / (t.ta + t.tb))
+       |                 / (t.tb * (c.na + c.nb) * 1.0 / (t.ta + t.tb))
+       |               ELSE 0 END) AS chi2
+       |        FROM cells c JOIN tot t ON t.source = c.source
+       |        GROUP BY c.source, t.ta, t.tb)
+       |SELECT source, n_a, n_b, round(chi2, 4) AS chi2,
+       |       chi2 > 7.815 AS drifted
+       |FROM chi ORDER BY source""".stripMargin) { (s, d) =>
+    val g = Quality.metrics(s, d).select("doc_id", "quality")
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("quality"),
+        (Keys.hexBucketCol(col("doc_id")) < 32768).as("coh_a"))
+    val cells = g.groupBy("source", "quality")
+      .agg(sum(when(col("coh_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("coh_a"), 0L).otherwise(1L)).as("nb"))
+    val tot = cells.groupBy("source")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val e = col("ta") * (col("na") + col("nb")) * lit(1.0) / (col("ta") + col("tb"))
+    val eB = col("tb") * (col("na") + col("nb")) * lit(1.0) / (col("ta") + col("tb"))
+    val cell = when((col("na") + col("nb")) > 0 && col("ta") > 0 && col("tb") > 0,
+      (col("na") - e) * (col("na") - e) / e +
+        (col("nb") - eB) * (col("nb") - eB) / eB).otherwise(lit(0.0))
+    cells.join(broadcast(tot), "source")
+      .groupBy(col("source"), col("ta").cast("long").as("n_a"),
+        col("tb").cast("long").as("n_b"))
+      .agg(sum(cell).as("chi2raw"))
+      .select(col("source"), col("n_a"), col("n_b"),
+        round(col("chi2raw"), 4).as("chi2"),
+        (col("chi2raw") > 7.815).as("drifted"))
+      .orderBy("source")
+  }
+
   val dedupMinhashPairs = sql(
     "dedup_minhash_pairs",
     s"""WITH $minhashPairsSqlCte
@@ -1997,5 +2062,6 @@ object TextOps {
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
-    textBm25, textPplBuckets, dedupLabelsMaterialized, dedupIncremental)
+    textBm25, textPplBuckets, dedupLabelsMaterialized, dedupIncremental,
+    corpusQualityDrift)
 }

@@ -374,6 +374,34 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_quality_drift: planted cohort shift fires; identical cohorts don't") {
+    import spark.implicits._
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(md.take(2).map(b => f"$b%02x").mkString, 16)
+    }
+    val good = "the cat sat on the mat and it is warm out today here"
+    val bad = "12345 67890 11111 22222 33333 44444 55555 66666"
+    val rows = (1L to 400L).map { id =>
+      val cohA = bucket(id) < 32768
+      // 'drift': cohort A high-quality, cohort B digit salad; 'calm': same
+      // text both cohorts — only 'drift' may fire
+      val src = if (id % 2 == 0) "drift" else "calm"
+      val text = if (src == "calm" || cohA) good else bad
+      (id, text, "en", src, text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("qdrift").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("corpus_quality_drift")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("chi2"), r.getAs[Boolean]("drifted")))
+      .toMap
+    assert(got("drift")._2, s"planted shift must fire: ${got("drift")}")
+    assert(!got("calm")._2, s"identical cohorts must not fire: ${got("calm")}")
+    assert(got("drift")._1 > got("calm")._1)
+  }
+
   test("dedup_incremental: every verdict recomputable from the declared pair " +
       "graph and split assignment") {
     val sf = "/root/testdata/sf0.01"
