@@ -526,6 +526,83 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** EMBEDDING-COHORT drift — `corpus_quality_drift`'s counterpart for the
+    * vector modality: per label, the centroid of two hash cohorts compared
+    * by L2 shift and cosine. An encoder regression or a corrupted shard
+    * moves a cohort centroid; on a pure hash split the L2 shift stays at
+    * sampling-noise magnitude (measured ~0.2–0.3 here vs unit-norm
+    * vectors) — THAT is the null calibration. The cosine column is only
+    * informative when centroids sit far from the origin: this corpus's
+    * per-label means are near zero, so their directions are noise and the
+    * cosine scatters — reported for the shifted-mean regime it serves
+    * (e.g. un-centered sentence embeddings), not asserted on this data.
+    *
+    * Exactness: per-(label, dim) cohort means round to 4 dp (the IVF
+    * centroid discipline — absorbs each engine's accumulation order), then
+    * scale to ×10⁴ BIGINTs so the cross-dimension sums are EXACT integer
+    * arithmetic — order-independent, bit-identical; the only floats are
+    * the final sqrt/divide on identical integers. Scale shape: posexplode
+    * + two partial-aggregable groupBys (label × 64 dims, then label), no
+    * join wider than the label frame, no window. */
+  val embCohortDrift = sql(
+    "emb_cohort_drift",
+    s"""WITH x AS (SELECT label, vec_id,
+       |                  generate_subscripts(embedding, 1) AS pos,
+       |                  CAST(unnest(embedding) AS DOUBLE) AS v
+       |           FROM embeddings),
+       |xs AS (SELECT label, pos, v,
+       |              (${Keys.hexBucketSql("vec_id")}) < 32768 AS coh_a
+       |       FROM x),
+       |mm AS (SELECT label, pos,
+       |              CAST(round(round(sum(CASE WHEN coh_a THEN v END)
+       |                   / count(CASE WHEN coh_a THEN 1 END), 4) * 10000, 0) AS BIGINT) AS mia,
+       |              CAST(round(round(sum(CASE WHEN NOT coh_a THEN v END)
+       |                   / count(CASE WHEN NOT coh_a THEN 1 END), 4) * 10000, 0) AS BIGINT) AS mib
+       |       FROM xs GROUP BY label, pos),
+       |agg AS (SELECT label,
+       |               CAST(sum((mia - mib) * (mia - mib)) AS BIGINT) AS d2,
+       |               CAST(sum(mia * mib) AS BIGINT) AS dotab,
+       |               CAST(sum(mia * mia) AS BIGINT) AS dotaa,
+       |               CAST(sum(mib * mib) AS BIGINT) AS dotbb
+       |        FROM mm GROUP BY label),
+       |cnt AS (SELECT label,
+       |               CAST(sum(CASE WHEN (${Keys.hexBucketSql("vec_id")}) < 32768
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |               CAST(sum(CASE WHEN (${Keys.hexBucketSql("vec_id")}) < 32768
+       |                        THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |        FROM embeddings GROUP BY label)
+       |SELECT a.label, c.n_a, c.n_b,
+       |       round(sqrt(d2) / 10000, 4) AS centroid_l2,
+       |       round(dotab / (sqrt(dotaa) * sqrt(dotbb)), 4) AS centroid_cos
+       |FROM agg a JOIN cnt c ON c.label = a.label
+       |ORDER BY a.label""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cohA = Keys.hexBucketCol(col("vec_id")) < 32768
+    val xs = emb.select(col("label"), cohA.as("coh_a"),
+        posexplode(col("embedding")).as(Seq("pos0", "vf")))
+      .select(col("label"), col("coh_a"), col("pos0"),
+        col("vf").cast("double").as("v"))
+    def mi(a: Boolean) = round(round(
+      sum(when(col("coh_a") === a, col("v"))) /
+        count(when(col("coh_a") === a, 1)), 4) * 10000).cast("long")
+    val mm = xs.groupBy("label", "pos0")
+      .agg(mi(true).as("mia"), mi(false).as("mib"))
+    val agg = mm.groupBy("label").agg(
+      sum((col("mia") - col("mib")) * (col("mia") - col("mib"))).as("d2"),
+      sum(col("mia") * col("mib")).as("dotab"),
+      sum(col("mia") * col("mia")).as("dotaa"),
+      sum(col("mib") * col("mib")).as("dotbb"))
+    val cnt = emb.groupBy("label").agg(
+      sum(when(cohA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(cohA, 0L).otherwise(1L)).as("n_b"))
+    agg.join(broadcast(cnt), "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(col("d2")) / 10000, 4).as("centroid_l2"),
+        round(col("dotab") / (sqrt(col("dotaa")) * sqrt(col("dotbb"))), 4)
+          .as("centroid_cos"))
+      .orderBy("label")
+  }
+
   /** Random-hyperplane (sign) LSH — the alternative scale path to IVF:
     * `nBits` deterministic pseudo-random planes (splitmix64-seeded), bucket
     * key = the sign-bit signature of the vector. Vectors in the same bucket
@@ -1392,5 +1469,5 @@ object Similarity {
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
-    simIvfPqAdcMp, simIvfPqRecallMp)
+    simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift)
 }

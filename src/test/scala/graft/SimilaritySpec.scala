@@ -199,6 +199,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("emb_cohort_drift: hash-split L2 stays at noise level; planted shift fires") {
+    import spark.implicits._
+    // null calibration on the real corpus: no label's centroid shift
+    // should exceed the sampling-noise band for ~25-vector cohorts
+    val real = SparkEntry.queries("emb_cohort_drift")(spark, sf).collect()
+    assert(real.length == 10)
+    real.foreach { r =>
+      assert(r.getAs[Double]("centroid_l2") < 0.6,
+        s"label ${r.get(0)}: hash cohorts should not drift: $r")
+    }
+    // planted shift: cohort B displaced by +1.0 in every dimension →
+    // centroid L2 ≈ 8 (√64); build ids so the md5 gate splits them
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      Integer.parseInt(md.take(2).map(b => f"$b%02x").mkString, 16)
+    }
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map { id =>
+      val base = Array.fill(64)(rnd.nextFloat() * 0.1f)
+      val v = if (bucket(id) < 32768) base else base.map(_ + 1.0f)
+      (id, v.toSeq, (id % 10).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("embdrift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = SparkEntry.queries("emb_cohort_drift")(spark, dir).collect()
+    planted.foreach { r =>
+      assert(r.getAs[Double]("centroid_l2") > 5.0,
+        s"planted unit shift must register ~8: $r")
+    }
+  }
+
   test("sim_int8_topk: quantized cosine tracks float cosine; recall certified") {
     val i8 = SparkEntry.queries("sim_int8_topk")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getAs[Double]("cos8")).toMap
