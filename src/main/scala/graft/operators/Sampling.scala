@@ -151,12 +151,13 @@ object Sampling {
     (sp, sh.join(hot, Seq("sh"), "left_anti"))
   }
 
-  /** The one decontamination oracle: both the exact inverted-index query and
-    * the bloom-prefiltered variant must produce exactly these rows. */
-  private val decontamOracleSql =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
-       |                  ${hexBucketSql("doc_id")} AS b
-       |           FROM documents),
+  /** DuckDB CTE chain ending in `hits(doc_id, n_hits)` + `sp(doc_id, t,
+    * split)` — shared by the per-doc decontamination oracle and the
+    * per-source report so the chain cannot fork. */
+  private val decontamSqlCte =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t,
+       |             ${hexBucketSql("doc_id")} AS b
+       |      FROM documents),
        |sp AS (SELECT doc_id, t,
        |              CASE WHEN b < $TrainThr THEN 'train'
        |                   WHEN b < $ValThr THEN 'val'
@@ -173,12 +174,53 @@ object Sampling {
        |hits AS (SELECT s.doc_id, count(*) AS n_hits
        |         FROM shc s JOIN ev USING (sh)
        |         WHERE s.split = 'train'
-       |         GROUP BY s.doc_id)
+       |         GROUP BY s.doc_id)""".stripMargin
+
+  /** The one decontamination oracle: both the exact inverted-index query and
+    * the bloom-prefiltered variant must produce exactly these rows. */
+  private val decontamOracleSql =
+    s"""WITH $decontamSqlCte
        |SELECT p.doc_id, coalesce(h.n_hits, 0) AS n_hits,
        |       coalesce(h.n_hits, 0) > 0 AS contaminated
        |FROM sp p LEFT JOIN hits h ON p.doc_id = h.doc_id
        |WHERE p.split = 'train'
        |ORDER BY p.doc_id""".stripMargin
+
+  /** Per-SOURCE contamination report — the rollup a pipeline actually
+    * reviews before a run: which crawls carry benchmark overlap and how
+    * concentrated it is (a source with 30% contaminated docs is a scraped
+    * benchmark mirror; 0.1% is incidental). Shares the decontamination
+    * chain with `decontam_ngram` (one definition), adds one broadcast-size
+    * source join and a tiny per-source conditional aggregate. */
+  val decontamReport = sql(
+    "decontam_report",
+    s"""WITH $decontamSqlCte
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_train,
+       |       CAST(sum(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_contaminated,
+       |       round(sum(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END) * 1.0
+       |             / count(*), 4) AS rate
+       |FROM sp p
+       |JOIN documents d ON d.doc_id = p.doc_id
+       |LEFT JOIN hits h ON h.doc_id = p.doc_id
+       |WHERE p.split = 'train'
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    val (sp, shc) = decontamShingleIndex(s, d)
+    val ev = shc.filter(col("split") === "test").select("sh").distinct()
+    val hits = shc.filter(col("split") === "train")
+      .join(ev, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("h"))
+    val dirty = (coalesce(col("h"), lit(0L)) > 0).cast("long")
+    sp.filter(col("split") === "train").select("doc_id")
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(dirty).as("n_contaminated"),
+        round(sum(dirty) * lit(1.0) / count(lit(1)), 4).as("rate"))
+      .orderBy("source")
+  }
 
   /** N-GRAM DECONTAMINATION — the benchmark-overlap check run before
     * training: flag every TRAIN document that shares an 8-token shingle
@@ -574,6 +616,6 @@ object Sampling {
   val defs: Seq[QueryDef] = Seq(
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
-    corpusReweight, domainCap, tokenBudget, curationE2e)
+    corpusReweight, domainCap, tokenBudget, curationE2e, decontamReport)
 }
 

@@ -223,6 +223,23 @@ class SamplingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("decontam_report: rates recompute exactly from the per-doc decontam query") {
+    val perDoc = SparkEntry.queries("decontam_ngram")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated")).toMap
+    val sources = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val report = SparkEntry.queries("decontam_report")(spark, sf).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      val src = r.getString(0)
+      val docs = perDoc.keys.filter(sources(_) == src)
+      assert(r.getAs[Long]("n_train") == docs.size, s"$src n_train")
+      assert(r.getAs[Long]("n_contaminated") == docs.count(perDoc(_)), s"$src n_contam")
+    }
+    // every train doc is attributed to exactly one source row
+    assert(report.map(_.getAs[Long]("n_train")).sum == perDoc.size)
+  }
+
   test("corpus_curation_e2e: every emitted doc passes every upstream gate") {
     val out = SparkEntry.queries("corpus_curation_e2e")(spark, sf).cache()
     val ids = out.collect().map(_.getLong(0)).toSet
