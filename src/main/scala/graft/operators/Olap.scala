@@ -583,9 +583,11 @@ object Olap {
     * aggregable. No window function, no per-user event-sequence sort. */
   val FunnelWindowUs: Long = 3L * 86400L * 1000000L // 3 days in µs
 
-  val eventsFunnelWindowed = sql(
-    "events_funnel_windowed",
-    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+  /** DuckDB CTE chain `e, s1..s4` of the windowed funnel — shared with
+    * `events_conversion_time` so the qualifying-chain semantics cannot
+    * fork between the counts and the timing distribution. */
+  private val funnelChainSqlCte: String =
+    s"""e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
        |       WHERE event_type = 'signup' GROUP BY 1),
        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
@@ -596,12 +598,10 @@ object Olap {
        |         AND t > t2 AND t <= t2 + $FunnelWindowUs GROUP BY 1),
        |s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 USING (user_id)
        |       WHERE event_type = 'purchase'
-       |         AND t > t3 AND t <= t3 + $FunnelWindowUs GROUP BY 1)
-       |SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
-       |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
-       |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view,
-       |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_click,
-       |       (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n_purchase""".stripMargin) { (s, d) =>
+       |         AND t > t3 AND t <= t3 + $FunnelWindowUs GROUP BY 1)""".stripMargin
+
+  /** Spark side of `s1..s4`: the per-step qualifying frames. */
+  private def funnelChain(s: org.apache.spark.sql.SparkSession, d: String) = {
     val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("t_us"))
     def step(prev: org.apache.spark.sql.DataFrame, prevT: String,
         stepType: String, outT: String) =
@@ -615,6 +615,18 @@ object Olap {
     val s2 = step(s1, "t1", "view", "t2")
     val s3 = step(s2, "t2", "click", "t3")
     val s4 = step(s3, "t3", "purchase", "t4")
+    (e, s1, s2, s3, s4)
+  }
+
+  val eventsFunnelWindowed = sql(
+    "events_funnel_windowed",
+    s"""WITH $funnelChainSqlCte
+       |SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_click,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n_purchase""".stripMargin) { (s, d) =>
+    val (e, s1, s2, s3, s4) = funnelChain(s, d)
     def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
       df.agg(count(lit(1)).as(name))
     e.agg(countDistinct("user_id").as("n_users"))
@@ -622,6 +634,53 @@ object Olap {
       .crossJoin(broadcast(cnt(s2, "n_view")))
       .crossJoin(broadcast(cnt(s3, "n_click")))
       .crossJoin(broadcast(cnt(s4, "n_purchase")))
+  }
+
+  /** TIME-TO-CONVERT distribution — the windowed funnel's companion
+    * metric: among users who COMPLETED the funnel, per-leg and end-to-end
+    * elapsed time (exact interpolated p50/p90 in µs, plus min/max/count).
+    * The chain definition is shared with `events_funnel_windowed`
+    * ([[funnelChainSqlCte]]/[[funnelChain]]) so the completer set cannot
+    * fork from the counts it reports. Scale shape: the percentile sort
+    * runs over the COMPLETER frame (already funnel-filtered, ≤ n_purchase
+    * rows), never the events fact. */
+  val eventsConversionTime = sql(
+    "events_conversion_time",
+    s"""WITH $funnelChainSqlCte,
+       |cmpl AS (SELECT s1.user_id,
+       |                s2.t2 - s1.t1 AS leg1,
+       |                s3.t3 - s2.t2 AS leg2,
+       |                s4.t4 - s3.t3 AS leg3,
+       |                s4.t4 - s1.t1 AS total
+       |         FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+       |         JOIN s4 USING (user_id))
+       |SELECT leg, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(min(us) AS BIGINT) AS min_us,
+       |       round(quantile_cont(us, 0.5), 1) AS p50_us,
+       |       round(quantile_cont(us, 0.9), 1) AS p90_us,
+       |       CAST(max(us) AS BIGINT) AS max_us
+       |FROM (SELECT 'leg1_signup_view' AS leg, leg1 AS us FROM cmpl
+       |      UNION ALL SELECT 'leg2_view_click', leg2 FROM cmpl
+       |      UNION ALL SELECT 'leg3_click_purchase', leg3 FROM cmpl
+       |      UNION ALL SELECT 'total', total FROM cmpl)
+       |GROUP BY leg ORDER BY leg""".stripMargin) { (s, d) =>
+    val (_, s1, s2, s3, s4) = funnelChain(s, d)
+    val full = s1.join(s2, "user_id").join(s3, "user_id").join(s4, "user_id")
+      .select((col("t2") - col("t1")).as("leg1"),
+        (col("t3") - col("t2")).as("leg2"),
+        (col("t4") - col("t3")).as("leg3"),
+        (col("t4") - col("t1")).as("total"))
+    val legs = full.select(lit("leg1_signup_view").as("leg"), col("leg1").as("us"))
+      .unionByName(full.select(lit("leg2_view_click").as("leg"), col("leg2").as("us")))
+      .unionByName(full.select(lit("leg3_click_purchase").as("leg"), col("leg3").as("us")))
+      .unionByName(full.select(lit("total").as("leg"), col("total").as("us")))
+    legs.groupBy("leg")
+      .agg(count(lit(1)).as("n"),
+        min("us").as("min_us"),
+        round(expr("percentile(us, 0.5)"), 1).as("p50_us"),
+        round(expr("percentile(us, 0.9)"), 1).as("p90_us"),
+        max("us").as("max_us"))
+      .orderBy("leg")
   }
 
   /** COHORT RETENTION: users grouped by their first-activity day, counted
@@ -1139,5 +1198,6 @@ object Olap {
     rollingWindow, rangeJoin, resample, approxDistinct,
     eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk,
     eventsMarkov, approxPctlCert, eventsPathTopk, eventsTimeWeighted,
-    windowFamily2, mlLinreg, eventsEwma, layoutZorder, eventsFunnelWindowed)
+    windowFamily2, mlLinreg, eventsEwma, layoutZorder, eventsFunnelWindowed,
+    eventsConversionTime)
 }
