@@ -273,6 +273,53 @@ object Multimodal {
       .orderBy("id", "frame_idx")
   }
 
+  /** FRAME-FINGERPRINT media near-dup — the video/audio counterpart of
+    * text MinHash: two media items are near-dup candidates when ≥2 of
+    * their 3 evenly-sampled frames hash identically (re-encoded or
+    * trimmed copies keep most frames byte-identical under the stub codec;
+    * a real deployment hashes perceptual frame features from the same
+    * seam). Same inverted-index discipline as the shingle family: frame
+    * hashes with document frequency >50 are boilerplate (silence/black
+    * frames at scale — the quadratic-bucket hazard) and leave the
+    * universe BEFORE the self-join, so pairs stay linear in the duplicate
+    * volume; the md5 travels as an equality key only. */
+  val mmFrameNeardup = sql(
+    "mm_frame_neardup",
+    """WITH f AS (SELECT doc_id AS id, text,
+      |                  greatest(1, strlen(text) // 16) AS n
+      |           FROM documents WHERE strlen(text) > 0),
+      |idx AS (SELECT id, text, CAST(i * n // 3 AS INT) AS frame_idx
+      |        FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+      |fr AS (SELECT DISTINCT id, md5(substr(text, frame_idx * 16 + 1, 16)) AS fh
+      |       FROM idx),
+      |df AS (SELECT fh, count(*) AS c FROM fr GROUP BY fh),
+      |frc AS (SELECT fr.id, fr.fh FROM fr JOIN df USING (fh) WHERE df.c <= 50),
+      |p AS (SELECT a.id AS id_a, b.id AS id_b,
+      |             CAST(count(*) AS BIGINT) AS n_shared
+      |      FROM frc a JOIN frc b ON a.fh = b.fh AND a.id < b.id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_shared FROM p
+      |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+      .as(org.apache.spark.sql.Encoders.product[MediaRow])
+    val fr = sampleFrames(media, k = 3).toDF()
+      .select(col("id"), md5(col("frame")).as("fh"))
+      .distinct()
+    val hot = fr.groupBy("fh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 50).select("fh")
+    val frc = fr.join(hot, Seq("fh"), "left_anti")
+    frc.select(col("fh"), col("id").as("id_a"))
+      .join(frc.select(col("fh"), col("id").as("id_b")), "fh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    mmImageFeatures, mmMediaMeta, mmFrameSample, mmImageResize, mmAudioEnergy)
+    mmImageFeatures, mmMediaMeta, mmFrameSample, mmImageResize, mmAudioEnergy,
+    mmFrameNeardup)
 }
