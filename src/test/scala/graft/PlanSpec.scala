@@ -634,6 +634,14 @@ class PlanSpec extends AnyFunSuite {
       "the base table must never shuffle for a small change set")
   }
 
+  test("mm_frame_neardup: inverted-index self-join, never a media cartesian") {
+    val plan = executedPlan("mm_frame_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "frame matching must ride the hash equi-join on the fingerprint key")
+    assert("HashAggregate".r.findAllIn(finalPlanSection("mm_frame_neardup")).length >= 2,
+      "the df cap and the shared-frame count must partial-aggregate")
+  }
+
   test("corpus_curation_e2e: no cartesian; budget offsets window stays reduced") {
     val plan = executedPlan("corpus_curation_e2e")
     assert(!plan.contains("CartesianProduct"),

@@ -374,6 +374,14 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_labels_materialized: snapshot path row-identical to the recompute path") {
+    val sf = "/root/testdata/sf0.01"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+    assert(rows("dedup_labels_materialized") == rows("corpus_dup_stats"),
+      "materialize-then-reuse must be bit-identical to per-query recompute")
+  }
+
   test("corpus_quality_drift: planted cohort shift fires; identical cohorts don't") {
     import spark.implicits._
     def bucket(id: Long): Int = {
