@@ -22,7 +22,12 @@ object Verify {
     // rows exactly that way). Each failure is recorded in failed.json and
     // the process exits nonzero, mirroring Bench's failed/rc discipline.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev-only subset filter (driver never sets it): comma-separated names
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet).filter(_.nonEmpty)
+    def wanted(n: String) = only.forall(_.contains(n))
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted(n) }.foreach { case (name, fn) =>
       // queries that cache intermediates (shingle/decontam/cluster family)
       // must not pin executor storage for the remaining ~80 queries
       spark.catalog.clearCache()
@@ -59,7 +64,8 @@ object Verify {
         .collect().map(_.mkString("\u0001")).sorted.toSeq
     }
     val rowsOnlyNames =
-      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+        .toSeq.sorted.filter(wanted)
     val selfJson = rowsOnlyNames.map { name =>
       spark.catalog.clearCache() // same storage discipline as the dump loop
       val ok =

@@ -37,10 +37,11 @@ object ExplainDump {
     "sim_ivf_topk" -> ("ANN probe: broadcast codebook assigns the query cell, " +
       "the scan touches ~1/k of the corpus, top-k is TakeOrderedAndProject " +
       "(per-partition top-k merge, no global sort)."),
-    "corpus_token_budget" -> ("Two-phase global cumsum: per-(quality, " +
-      "range-bucket) totals, prefix offsets over the 1000x-reduced frame, " +
-      "within-bucket windows — the single-partition window never runs on " +
-      "the corpus."),
+    "corpus_token_budget" -> ("Recursive multi-phase global cumsum: " +
+      "per-(quality, range-bucket) totals, bucket-the-buckets offset " +
+      "reduction (width^levels total), terminal prefix as an EXPLICIT " +
+      "repartition(1) running sum over the doubly-reduced frame — no " +
+      "unpartitioned window anywhere in the plan."),
     "text_winnowing" -> ("Native winnowing selector: zero-shuffle narrow map " +
       "over the codegen'd winnow_fps loop — no Exchange anywhere in the " +
       "fingerprint extraction."),
@@ -49,8 +50,8 @@ object ExplainDump {
       "bounds BOTH filter dimensions per file."),
     "corpus_curation_e2e" -> ("Five-stage curation pipeline composed as one " +
       "plan: gates are narrow filters, stages link by doc_id equi-joins, " +
-      "the budget cumsum stays two-phase — chaining adds no new shuffle " +
-      "shape."))
+      "the budget cumsum keeps its recursive reduction — chaining adds no " +
+      "new shuffle shape."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

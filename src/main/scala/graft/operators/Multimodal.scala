@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
-import graft.core.QueryDef.{rowsOnly, sql}
+import graft.core.QueryDef.sql
 import graft.cv.PlayerIdent.{Image, StubDecoder}
 
 /** Multimodal-column operators: image/audio/video as opaque `binary`
@@ -142,10 +142,77 @@ object Multimodal {
     }
   }
 
-  /** Declared query: metadata + 16-dim features for every document payload
-    * (rows-only — stub decode is not SQL-expressible). One fused decode
-    * pass per payload; no join. */
-  val mmImageFeatures = rowsOnly("mm_image_features") { (s, d) =>
+  // ---- DuckDB replay of the stub decode ------------------------------
+  // The "decode is not SQL-expressible" claim was only true of a REAL
+  // codec; StubDecoder is splitmix64 over the payload bytes, and splitmix
+  // replays exactly in DuckDB with wrapping-u64 arithmetic — so the whole
+  // decode → pixel-math family is oracle-checked, not rows-only.
+
+  /** Wrapping u64 multiply in DuckDB SQL. HUGEINT is int128, so a full
+    * 64×64-bit product overflows — split both operands into 32-bit halves
+    * (low64(a·b) = a_lo·b_lo + ((a_lo·b_hi + a_hi·b_lo) mod 2³²)·2³²);
+    * every intermediate stays under 2⁹⁷. Inlined (no CREATE MACRO — the
+    * driver runs each oracle as ONE statement). */
+  private def mm64(a: String, b: String): String =
+    s"((($a % 4294967296) * ($b % 4294967296) + " +
+      s"((($a % 4294967296) * ($b // 4294967296) + " +
+      s"($a // 4294967296) * ($b % 4294967296)) % 4294967296) * 4294967296) " +
+      "% 18446744073709551616::HUGEINT)"
+
+  private val U64 = "18446744073709551616::HUGEINT"
+  private val SmG = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
+  private val SmM1 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
+  private val SmM2 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
+
+  /** CTE chain `s` → `p(id, i, px)` replaying [[StubDecoder]] in DuckDB:
+    * the seed fold over payload bytes is a sequential `list_reduce` over
+    * ASCII code points (the corpus is pure ASCII, so byte ≡ char — the
+    * `mm_frame_sample` precondition); the per-pixel seed is CLOSED-FORM
+    * (seed₀ + (i+1)·G mod 2⁶⁴ — the decoder's `seed += G` unrolled), so
+    * pixels at any stride replay without sequential state. `step` picks
+    * every step-th pixel (1 = all 4096; 16 = the f0 feature lane). */
+  private def stubPixelsSqlCte(step: Int): String =
+    s"""s AS (
+       |  SELECT doc_id AS id,
+       |         list_reduce(
+       |           list_prepend($SmG,
+       |             [CAST(ascii(substr(text, i, 1)) AS HUGEINT)
+       |              for i in range(1, strlen(text) + 1)]),
+       |           (acc, b) -> ${mm64("xor(acc, b)", SmM1)}) AS seed0
+       |  FROM documents WHERE strlen(text) > 0),
+       |p AS (
+       |  SELECT id, i, xor(z2, z2 // 2147483648) % 16777216 AS px
+       |  FROM (SELECT id, i, ${mm64("xor(z1, z1 // 134217728)", SmM2)} AS z2
+       |        FROM (SELECT id, i, ${mm64("xor(s1, s1 // 1073741824)", SmM1)} AS z1
+       |              FROM (SELECT id, unnest(range(0, 4096, $step)) AS i,
+       |                           (seed0 + (unnest(range(0, 4096, $step)) + 1) * $SmG)
+       |                             % $U64 AS s1
+       |                    FROM s) a) b) c)""".stripMargin
+
+  /** Declared query: metadata + the first feature dim for every document
+    * payload, ORACLE-CHECKED — the stub decode replays in DuckDB (CTEs
+    * above) and the float32 accumulator replays bit-exactly: every step
+    * is CAST(... AS FLOAT), and double-compute-then-cast-to-float32 is
+    * IEEE-identical to native float32 for +, ×, / (the 2p+2 theorem:
+    * 53 ≥ 2·24+2), so `f0` ships RAW, no rounding tolerance needed.
+    * One fused decode pass per payload; no join on the Spark side. */
+  val mmImageFeatures = sql(
+    "mm_image_features",
+    s"""WITH ${stubPixelsSqlCte(16)},
+       |acc AS (
+       |  SELECT id,
+       |         list_reduce(
+       |           list_prepend(CAST(0 AS FLOAT),
+       |             list(CAST(CAST(CAST(px % 256 AS BIGINT) AS FLOAT)
+       |                       / CAST(255.0 AS FLOAT) AS FLOAT) ORDER BY i)),
+       |           (a, v) -> CAST(a + v AS FLOAT)) AS fs
+       |  FROM p GROUP BY id)
+       |SELECT d.doc_id AS id, 64 AS width, 64 AS height,
+       |       CAST(strlen(d.text) AS BIGINT) AS "nBytes",
+       |       'stub-rgb' AS format, 16 AS dim,
+       |       CAST(fs / CAST(256.0 AS FLOAT) AS FLOAT) AS f0
+       |FROM documents d JOIN acc ON acc.id = d.doc_id
+       |ORDER BY id""".stripMargin) { (s, d) =>
     import s.implicits._
     val media = Tables.documents(s, d)
       .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
@@ -153,16 +220,29 @@ object Multimodal {
     imageMetaFeatures(media).toDF()
       .select(col("id"), col("width"), col("height"), col("nBytes"),
         col("format"), col("dim"),
-        round(element_at(col("features"), 1), 4).as("f0"))
+        element_at(col("features"), 1).as("f0"))
       .orderBy("id")
   }
 
-  /** Resize as a declared query (rows-only — decode is the stub seam):
-    * decode → 8×8 box-filter downsample → exact integer channel sums.
-    * The pixel math is genuine and the output is pure integers, so the
-    * run-twice determinism gate pins it bit-exactly. One fused decode +
-    * resize pass per payload; narrow map, no shuffle. */
-  val mmImageResize = rowsOnly("mm_image_resize") { (s, d) =>
+  /** Resize as a declared query, ORACLE-CHECKED: decode → 8×8 box-filter
+    * downsample → exact integer channel sums. DuckDB replays the decode
+    * via the splitmix CTEs and the box filter as pure integer block
+    * sums/divisions (64/8 divides evenly, so each output pixel is an 8×8
+    * block mean with n = 64). One fused decode + resize pass per payload;
+    * narrow map, no shuffle. */
+  val mmImageResize = sql(
+    "mm_image_resize",
+    s"""WITH ${stubPixelsSqlCte(1)},
+       |blk AS (
+       |  SELECT id, ((i // 64) // 8) * 8 + ((i % 64) // 8) AS b,
+       |         sum(px // 65536) AS br, sum((px // 256) % 256) AS bg,
+       |         sum(px % 256) AS bb
+       |  FROM p GROUP BY id, b)
+       |SELECT id, 8 AS w, 8 AS h,
+       |       CAST(sum(br // 64) AS BIGINT) AS sum_r,
+       |       CAST(sum(bg // 64) AS BIGINT) AS sum_g,
+       |       CAST(sum(bb // 64) AS BIGINT) AS sum_b
+       |FROM blk GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
     import s.implicits._
     val media = Tables.documents(s, d)
       .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))

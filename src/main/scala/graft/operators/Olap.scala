@@ -1172,8 +1172,14 @@ object Olap {
     * on this corpus the naive sum of daily distincts is ~26× the true
     * month count). Two claims are certified against the exact count and
     * the direct whole-corpus sketch: the merged estimate is within 5%, and
-    * merge-of-parts EQUALS sketching the whole (HLL union is lossless —
-    * register-wise max — so partitioning cannot degrade the estimate).
+    * merge-of-parts tracks sketching the whole to ≤2% relative. The union
+    * itself is register-lossless (register-wise max), but the ESTIMATE is
+    * not guaranteed bit-equal: while sketches stay in sparse/coupon mode
+    * the two estimates coincide exactly, yet once dense a directly-built
+    * sketch uses the HIP estimator while a union result must fall back to
+    * the composite estimator — so the certificate asserts tight relative
+    * agreement, which holds in both regimes, instead of an equality that
+    * would flip to false at higher user_id cardinality for a non-bug.
     * Oracle: exact columns from DuckDB; the sketch columns are Spark-side
     * measured booleans (the `olap_approx_pctl_cert` discipline), bounded
     * numerically in OlapSpec. */
@@ -1183,7 +1189,7 @@ object Olap {
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
       |       TRUE AS merged_within_5pct,
-      |       TRUE AS merge_equals_direct
+      |       TRUE AS merge_matches_direct
       |FROM events""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     val daily = ev.select(expr("t_us div 86400000000").as("day"), col("user_id"))
@@ -1196,7 +1202,8 @@ object Olap {
       .select(col("n_days"), col("exact_distinct"),
         (abs(col("est_merged") - col("exact_distinct")) <=
           col("exact_distinct") * 0.05).as("merged_within_5pct"),
-        (col("est_merged") === col("est_direct")).as("merge_equals_direct"))
+        (abs(col("est_merged") - col("est_direct")) <=
+          col("est_direct") * 0.02).as("merge_matches_direct"))
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.core.QueryDef.sql
@@ -402,6 +402,68 @@ object Sampling {
     * ranges this wide collapse to one row in the offsets frame. */
   val BudgetRangeWidth = 256
 
+  /** Reduction levels applied before the terminal single-partition prefix
+    * window: the terminal frame is corpus / width^levels rows. Two levels
+    * of 256 bound 10^11 docs to ~1.5M three-long rows (~40 MB) in one
+    * task — safely executor-sized; a bigger corpus raises this (each
+    * level multiplies the reduction by [[BudgetRangeWidth]] at the cost
+    * of one extra tiny shuffle+window). */
+  val BudgetReduceLevels = 2
+
+  /** Recursive prefix-offset reduction — the scale core of the token-budget
+    * cumsum. Input `grp` holds one row per (majorCols..., rb) range bucket
+    * with a long total `gsum`; the result carries `offset` = sum of `gsum`
+    * over every bucket strictly BEFORE this one in (majorOrder..., rb asc)
+    * order. At `levels == 0` the frame is corpus / width^levels rows by
+    * construction, and the prefix runs as an EXPLICIT single-partition
+    * running sum (repartition(1) + sortWithinPartitions + mapPartitions) —
+    * the one task is a declared design fact with a provable row bound, not
+    * a WindowExec no-partition fallback. Above level 0, buckets are
+    * themselves range-bucketed (rb2 = rb / width), the recursion yields
+    * SUPER-bucket offsets, and a window PARTITIONED by the super-bucket
+    * extends them to bucket offsets. All arithmetic is exact longs, so any
+    * depth is hash-identical to the flat global window the oracle
+    * states. */
+  private[operators] def bucketOffsets(
+      grp: DataFrame, majorCols: Seq[String], majorOrder: Seq[Column],
+      levels: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val outCols = (majorCols :+ "rb" :+ "offset").map(col)
+    if (levels <= 0) {
+      val ordered = grp.select((majorCols :+ "rb" :+ "gsum").map(col): _*)
+        .repartition(1)
+        .sortWithinPartitions(majorOrder :+ col("rb"): _*)
+      val enc = org.apache.spark.sql.Encoders.row(
+        ordered.schema.add("offset", org.apache.spark.sql.types.LongType,
+          nullable = false))
+      val gsumIdx = ordered.schema.fieldIndex("gsum")
+      ordered.mapPartitions { it =>
+        var acc = 0L
+        it.map { r =>
+          val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+          acc += r.getLong(gsumIdx)
+          out
+        }
+      }(enc).select(outCols: _*)
+    } else {
+      val withSuper = grp.withColumn("rb2", floor(col("rb") / BudgetRangeWidth))
+      val grp2 = withSuper
+        .groupBy((majorCols :+ "rb2").map(col): _*)
+        .agg(sum("gsum").as("gsum"))
+        .withColumnRenamed("rb2", "rb")
+      val off2 = bucketOffsets(grp2, majorCols, majorOrder, levels - 1)
+        .withColumnRenamed("rb", "rb2")
+        .withColumnRenamed("offset", "offset2")
+      val wIn = Window.partitionBy((majorCols :+ "rb2").map(col): _*)
+        .orderBy("rb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withSuper.join(off2, majorCols :+ "rb2")
+        .withColumn("offset",
+          col("offset2") + sum("gsum").over(wIn) - col("gsum"))
+        .select(outCols: _*)
+    }
+  }
+
   /** PER-SOURCE CAP — the Common-Crawl-style curation rule "keep at most
     * N documents per domain, preferring quality": rank each source's docs
     * by (quality desc, n_tokens desc, doc_id) and flag the top
@@ -447,15 +509,15 @@ object Sampling {
     * the best docs down" step between scoring and shard-writing.
     *
     * Scale shape: the global ordered cumsum is the classic single-partition
-    * window killer, so it runs TWO-PHASE — (1) per-(quality, range-bucket)
+    * window killer, so it runs MULTI-PHASE — (1) per-(quality, range-bucket)
     * token totals, with range buckets of [[BudgetRangeWidth]] consecutive
-    * doc_ids so bucket order IS doc order; (2) bucket offsets from a
-    * prefix window over that 1000×-reduced frame; (3) the within-bucket
-    * cumsum windows on (quality, bucket) — per-bucket state only. The
-    * offsets frame shrinks by the range width per level, so the same
-    * reduction composes recursively if corpus/width still exceeds one
-    * executor. The oracle states the SEMANTICS as the single global window
-    * the two-phase plan refuses to run. */
+    * doc_ids so bucket order IS doc order; (2) bucket offsets via
+    * [[bucketOffsets]], which applies [[BudgetReduceLevels]] recursive
+    * levels of the same reduction (bucket the buckets) so the sole
+    * single-partition frame is corpus / width^levels rows; (3) the
+    * within-bucket cumsum windows on (quality, bucket) — per-bucket state
+    * only. The oracle states the SEMANTICS as the single global window
+    * the multi-phase plan refuses to run. */
   val tokenBudget = sql(
     "corpus_token_budget",
     s"""WITH ${Quality.metricsSqlCte},
@@ -475,11 +537,10 @@ object Sampling {
         floor(col("doc_id") / BudgetRangeWidth).as("rb"))
     // (1) per-(quality, range-bucket) totals — partial-aggregable
     val grp = q.groupBy("quality", "rb").agg(sum("n_tokens").as("gsum"))
-    // (2) prefix offsets over the REDUCED frame (corpus/width rows)
-    val wOff = Window.orderBy(col("quality").desc, col("rb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val off = grp.withColumn("offset", sum("gsum").over(wOff) - col("gsum"))
-      .select("quality", "rb", "offset")
+    // (2) bucket offsets via [[BudgetReduceLevels]] recursive reductions —
+    // the only single-partition frame is corpus / width^levels rows
+    val off = bucketOffsets(grp, Seq("quality"), Seq(col("quality").desc),
+      BudgetReduceLevels)
     // (3) within-bucket cumsum — per-(quality, bucket) state only
     val wIn = Window.partitionBy("quality", "rb").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -593,10 +654,7 @@ object Sampling {
     // offsets window runs on the range-bucket-reduced frame only)
     val q2 = surv.withColumn("rb", floor(col("doc_id") / BudgetRangeWidth))
     val grp = q2.groupBy("rb").agg(sum("n_tokens").as("gsum"))
-    val wOff = Window.orderBy("rb")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val off = grp.withColumn("offset", sum("gsum").over(wOff) - col("gsum"))
-      .select("rb", "offset")
+    val off = bucketOffsets(grp, Nil, Nil, BudgetReduceLevels)
     val wIn = Window.partitionBy("rb").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sel = q2.join(off, "rb")

@@ -1067,16 +1067,19 @@ object Similarity {
     * half of the 100 TB ANN memory story: 4× smaller vectors, checkable
     * exactly. Code rule `floor(x·127/scale + 0.5)` is pure IEEE double ops
     * + an exact floor, identical on both engines (no round-half ambiguity);
-    * `scale = max(|x|)` is exact float math. The query emits the exact
-    * integer summary (min/max/sum of codes, index-order irrelevant for int
-    * sums) rather than 64 code columns. */
+    * `scale = max(|x|)` is exact float math, with scale = 0 (an all-zero
+    * vector) guarded to all-zero codes on both engines — unguarded it is
+    * 0/0 = NaN, a DuckDB cast error vs Spark nulls. The query emits the
+    * exact integer summary (min/max/sum of codes, index-order irrelevant
+    * for int sums) rather than 64 code columns. */
   val embInt8Quantize = sql(
     "emb_int8_quantize",
     """WITH s AS (SELECT vec_id, embedding,
       |                  list_max([abs(x) for x in embedding]) AS scale
       |           FROM embeddings),
       |q AS (SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
-      |             [CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE) + 0.5) AS BIGINT)
+      |             [CASE WHEN scale = 0 THEN 0
+      |                   ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE) + 0.5) AS BIGINT) END
       |              for x in embedding] AS codes
       |      FROM s)
       |SELECT vec_id, scale,
@@ -1090,7 +1093,8 @@ object Similarity {
         expr("array_max(transform(embedding, x -> abs(x)))").as("scalef"))
       .select(col("vec_id"),
         col("scalef").cast("double").as("scale"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / CAST(scalef AS DOUBLE) + 0.5D) AS BIGINT))")
+        expr("transform(embedding, x -> CASE WHEN scalef = 0 THEN 0L " +
+          "ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0D / CAST(scalef AS DOUBLE) + 0.5D) AS BIGINT) END)")
           .as("codes"))
       .select(col("vec_id"), col("scale"),
         expr("array_min(codes)").as("qlo"),
@@ -1375,13 +1379,18 @@ object Similarity {
   }
 
   /** DuckDB CTE chain ending in `qz(vec_id, codes)` — the max-abs int8
-    * quantization codes, the SAME scheme `emb_int8_quantize` certifies. */
+    * quantization codes, the SAME scheme `emb_int8_quantize` certifies.
+    * A scale of 0 (all-zero embedding — legal degenerate input) quantizes
+    * to all-zero codes explicitly: without the guard 0/0 = NaN, which
+    * DuckDB rejects at the BIGINT cast while Spark nulls — a
+    * crash/divergence on a valid row. */
   private val int8CodesSqlCte: String =
     """s8 AS (SELECT vec_id, embedding,
       |               list_max([abs(x) for x in embedding]) AS scale
       |        FROM embeddings),
       |qz AS (SELECT vec_id,
-      |              [CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE) + 0.5) AS BIGINT)
+      |              [CASE WHEN scale = 0 THEN 0
+      |                    ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE) + 0.5) AS BIGINT) END
       |               for x in embedding] AS codes
       |       FROM s8)""".stripMargin
 
@@ -1396,7 +1405,8 @@ object Similarity {
         expr("array_max(transform(embedding, x -> abs(x)))").as("scalef"),
         col("embedding"))
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0D / CAST(scalef AS DOUBLE) + 0.5D) AS BIGINT) AS FLOAT))")
+        expr("transform(embedding, x -> CASE WHEN scalef = 0 THEN CAST(0 AS FLOAT) " +
+          "ELSE CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0D / CAST(scalef AS DOUBLE) + 0.5D) AS BIGINT) AS FLOAT) END)")
           .as("codes"))
 
   /** INT8 top-k — the quantized SERVING scan: cosine over the int8 codes.

@@ -207,46 +207,79 @@ object Jobs {
     * product-analytics dashboard consumes), so counts-by-step downstream
     * reproduce the batch funnel's n_signup..n_purchase exactly.
     *
-    * State per key is two words (current step, its qualifying timestamp),
-    * and it must PERSIST for the stream's lifetime: the batch twin counts
-    * ONE funnel journey per user — a user whose window expired never
-    * re-enters — so expiring the state would let the same user convert
-    * twice (measured: expiry doubled every step count vs the batch twin).
-    * Two words per key over the bounded per-entity domain is the
-    * `anomalyAlerts` state-size argument, the cheapest state this engine
-    * carries. Within a micro-batch rows apply in event-time order; across
-    * batches in arrival order — the same online-processing contract as
+    * State per key is two words (current step, its qualifying timestamp).
+    * The DEFAULT (`stateTtl = None`) persists it for the stream's
+    * lifetime: the batch twin counts ONE funnel journey per user — a user
+    * whose window expired never re-enters — so expiring the state would
+    * let the same user convert twice (measured: expiry doubled every step
+    * count vs the batch twin). Two words per key over the bounded
+    * per-entity domain is the `anomalyAlerts` state-size argument, the
+    * cheapest state this engine carries.
+    *
+    * `stateTtlUs = Some(horizonUs)`: the OPS KNOB for an UNBOUNDED keyspace
+    * (10⁹+ anonymous users where even two words per key is a real RocksDB
+    * bill) — state expires via event-time timeout once the watermark
+    * passes `last qualifying step + horizon`, with the documented semantic
+    * divergence: an expired user who signs up again starts a SECOND
+    * journey, so step counts become "journeys started ≥horizon apart" per
+    * user, not one-per-user. Pick a horizon ≥ the funnel window so an
+    * in-flight journey can't expire mid-window (the spec's TTL-on parity
+    * case proves in-window journeys are unaffected).
+    *
+    * Within a micro-batch rows apply in event-time order; across batches
+    * in arrival order — the same online-processing contract as
     * `anomalyAlerts`, with the batch query as the exact event-time replay
     * (parity spec feeds time-ordered batches and compares step counts). */
   def funnelSteps(events: Dataset[FunnelEvent],
       windowUs: Long = 3L * 86400L * 1000000L,
-      delay: String = "10 minutes"): Dataset[FunnelHit] = {
+      delay: String = "10 minutes",
+      stateTtlUs: Option[Long] = None): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
+    val ttlUs = stateTtlUs
     val marked = events.toDF()
       .withColumn("eventTime", timestamp_micros(col("tsMicros")))
       .withWatermark("eventTime", delay)
       .as[(Long, Long, String, java.sql.Timestamp)]
+    val timeoutConf =
+      if (ttlUs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     marked
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (userId: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
             state: GroupState[FunnelState]) => {
-          var st = state.getOption.getOrElse(FunnelState(0, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
-          rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1).foreach { case (t, tpe) =>
-            if (st.step < FunnelSteps.length && tpe == FunnelSteps(st.step) &&
-                (st.step == 0 ||
-                  (t > st.lastT && t <= st.lastT + windowUs))) {
-              st = FunnelState(st.step + 1, t)
-              out += FunnelHit(userId, st.step, t)
+          if (state.hasTimedOut) {
+            // horizon passed with no qualifying advance: drop the journey
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+            rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1).foreach { case (t, tpe) =>
+              if (st.step < FunnelSteps.length && tpe == FunnelSteps(st.step) &&
+                  (st.step == 0 ||
+                    (t > st.lastT && t <= st.lastT + windowUs))) {
+                st = FunnelState(st.step + 1, t)
+                out += FunnelHit(userId, st.step, t)
+              }
             }
+            if (st.step == 0) {
+              // never entered the funnel: the default state IS (0, 0) —
+              // storing it per never-signing-up user would waste state
+              if (state.exists) state.remove()
+            } else {
+              state.update(st)
+              // event-time TTL anchored at the last QUALIFYING step; the
+              // max() guard keeps the timestamp legal (never behind the
+              // current watermark) when this batch processed late rows
+              ttlUs.foreach { ttl =>
+                state.setTimeoutTimestamp(math.max(
+                  st.lastT / 1000L + ttl / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            out.iterator
           }
-          if (st.step == 0) {
-            // never entered the funnel: the default state IS (0, 0) —
-            // storing it per never-signing-up user would waste state
-            if (state.exists) state.remove()
-          } else state.update(st)
-          out.iterator
         })
   }
 

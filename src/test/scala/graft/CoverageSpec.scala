@@ -40,4 +40,30 @@ class CoverageSpec extends AnyFunSuite {
       s"COVERAGE.md cites query-like names that are not declared " +
         s"(the round-5 dead-code bug): ${phantom.toSeq.sorted}")
   }
+
+  // README drifted off the real totals twice (r5: '9 undeclared queries
+  // documented'; r6: '169-query sweep' vs 168 registered) — so the README's
+  // own numeric claims are asserted against the live surface too.
+  private lazy val readme: String = java.nio.file.Files.readString(
+    java.nio.file.Paths.get("README.md"))
+
+  test("README's N-query sweep claim equals the registered surface") {
+    val counts = "(\\d+)-query sweep".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(counts.nonEmpty, "README must state the N-query sweep total")
+    assert(counts.forall(_ == declared.size),
+      s"README claims ${counts.distinct.sorted}-query sweep(s) but " +
+        s"${declared.size} queries are registered")
+  }
+
+  test("README's oracle-checked/rows-only split matches SparkEntry") {
+    val nOracle = SparkEntry.oracleSql.size
+    val nRowsOnly = declared.size - nOracle
+    val m = "(\\d+) oracle-checked \\+ (\\d+) rows-only".r
+      .findFirstMatchIn(readme)
+    assert(m.isDefined, "README must state the oracle/rows-only split")
+    assert(m.get.group(1).toInt == nOracle && m.get.group(2).toInt == nRowsOnly,
+      s"README says '${m.get.matched}' but the surface is " +
+        s"$nOracle oracle-checked + $nRowsOnly rows-only")
+  }
 }

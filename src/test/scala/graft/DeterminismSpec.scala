@@ -7,7 +7,7 @@ import graft.core.Tables
 
 /** Run-twice determinism gate for the rows-only queries.
   *
-  * Queries without an `oracleSql` entry (stub-codec CV/multimodal paths and
+  * Queries without an `oracleSql` entry (the stub-codec CV pipeline and
   * the RandomForest transform — not SQL-expressible) get only a rows>0
   * check from the driver, which would miss a nondeterminism regression
   * (an unseeded sample, a rand(), a reduce-order-sensitive float path).
@@ -15,6 +15,14 @@ import graft.core.Tables
   * session and must produce byte-identical canonical content — row count
   * plus an order-insensitive md5 over every cell rendered to string.
   */
+/** Pinned-seed golden canonical output of `ml_rf_score` at sf0.001
+  * (computed by [[GoldenDump]]; the RF fit is fully seeded). Re-pin ONLY
+  * in a commit that deliberately changes the model. */
+object RfGolden {
+  val rows = 1473L
+  val md5 = "a76394b557fbef2b9f0ece6a2e87ee7b"
+}
+
 class DeterminismSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Tables.localSession("determinism-spec", cores = 8)
   val sf = "/root/testdata/sf0.001"
@@ -35,11 +43,25 @@ class DeterminismSpec extends AnyFunSuite {
   private val rowsOnly =
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
 
-  test("rows-only set is the expected four (new queries must ship an oracle)") {
+  test("rows-only set is the expected two (new queries must ship an oracle)") {
     // Growing this list is a deliberate act: a new query landing here gets
-    // the weaker rows-only driver check, so the set is pinned.
-    assert(rowsOnly == Seq(
-      "cv_player_pipeline", "ml_rf_score", "mm_image_features", "mm_image_resize"))
+    // the weaker rows-only driver check, so the set is pinned. (The
+    // multimodal pair left it in round 7: the stub decode replays in
+    // DuckDB, so both are oracle-checked now.)
+    assert(rowsOnly == Seq("cv_player_pipeline", "ml_rf_score"))
+  }
+
+  test("ml_rf_score: pinned-seed golden content hash (sf0.001)") {
+    // Run-twice self-consistency alone would pass a deterministic-but-
+    // WRONG regression; this pins the actual scored output. The RF fit is
+    // fully seeded (DeterminismSpec's run-twice test proves the fit is
+    // stable within a session; this constant proves it is stable across
+    // sessions/commits). If a deliberate model change shifts the output,
+    // re-pin BOTH values with the commit that changes the model.
+    val (n, h) = canon(SparkEntry.queries("ml_rf_score")(spark, sf))
+    assert((n, h) == (RfGolden.rows, RfGolden.md5),
+      s"RF scored output drifted from the golden hash: got ($n, $h), " +
+        s"expected (${RfGolden.rows}, ${RfGolden.md5})")
   }
 
   rowsOnly.foreach { name =>

@@ -459,24 +459,36 @@ class PlanSpec extends AnyFunSuite {
       "min-position aggregate must be partial (map-side combinable)")
   }
 
-  test("corpus_token_budget: every corpus-sized window is partitioned (two-phase cumsum)") {
+  test("corpus_token_budget: no unpartitioned window; terminal prefix frame " +
+    "is recursively reduced") {
     val df = SparkEntry.queries("corpus_token_budget")(spark, sf)
     df.collect()
-    // the only UNPARTITIONED window runs over the (quality, range-bucket)
-    // aggregate — the reduced offsets frame — never over per-doc rows
-    val windows = df.queryExecution.optimizedPlan.collect {
+    val plan = df.queryExecution.optimizedPlan
+    // NO window anywhere may fall back to WindowExec's single-partition
+    // mode — every prefix level is either partitioned by its super-bucket
+    // or runs as the explicit repartition(1) running sum below
+    val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(windows.nonEmpty)
-    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
-      val hasAggBelow = w.child.collectFirst {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-      }.isDefined
-      assert(hasAggBelow,
-        s"global window must consume the reduced aggregate frame, not the corpus:\n$w")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window found — would single-partition the corpus at scale")
+    // the declared single-partition running sum consumes the frame reduced
+    // by BudgetReduceLevels+1 aggregate levels (corpus / width^levels rows)
+    val mps = plan.collect {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
     }
-    assert(windows.exists(_.partitionSpec.nonEmpty),
-      "within-bucket cumsum must be a partitioned window")
+    assert(mps.length == 1, "terminal prefix must be ONE explicit running sum")
+    val aggsBelow = mps.head.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.length
+    assert(aggsBelow >= graft.operators.Sampling.BudgetReduceLevels + 1,
+      s"terminal frame must be reduced by width^levels before the one-task " +
+        s"prefix (found $aggsBelow aggregate levels below it)")
+    assert(mps.head.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+        if r.numPartitions == 1 => r
+    }.isDefined, "the one-task prefix must be an EXPLICIT repartition(1)")
   }
 
   test("corpus_domain_cap: rank is ONE window partitioned by source") {
@@ -642,14 +654,21 @@ class PlanSpec extends AnyFunSuite {
       "the df cap and the shared-frame count must partial-aggregate")
   }
 
-  test("corpus_curation_e2e: no cartesian; budget offsets window stays reduced") {
-    val plan = executedPlan("corpus_curation_e2e")
+  test("corpus_curation_e2e: no cartesian; every window partitioned") {
+    val df = SparkEntry.queries("corpus_curation_e2e")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "stage chaining must stay equi-join-linked")
-    // the decontam prefilter + canonical-keep window + budget windows all
-    // partial-aggregate or partition; only the range-bucket offsets frame
-    // (corpus/256 rows) may run partition-less
     assert("HashAggregate".r.findAllIn(plan).length >= 4,
       "stage aggregates must combine map-side")
+    // the budget stage inherits corpus_token_budget's recursive reduction:
+    // no window may run partition-less, at any stage of the composition
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window found in the composed pipeline")
   }
 }

@@ -292,6 +292,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelSteps stateTtl: expiry permits a second journey; in-window " +
+    "journeys are unaffected; default TTL-off keeps one-journey-per-user") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L
+    val min = 60L * 1000000
+    val win = 30 * min // funnel window
+    val ttl = 60 * min // state horizon (> window, per the operator doc)
+    def run(name: String, ttlUs: Option[Long]): Map[Long, Seq[Int]] = {
+      val mem = MemoryStream[Jobs.FunnelEvent]
+      val q = Jobs.funnelSteps(mem.toDS(), windowUs = win,
+        delay = "10 minutes", stateTtlUs = ttlUs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // b1/b2: user 1 advances signup→view in-window
+      mem.addData(Jobs.FunnelEvent(1L, t0, "signup")); q.processAllAvailable()
+      mem.addData(Jobs.FunnelEvent(1L, t0 + 10 * min, "view")); q.processAllAvailable()
+      // b3: user 2 starts much later — advances the watermark past user 1's
+      // horizon (t0+10min+1h); b4 is the batch where the timeout FIRES
+      mem.addData(Jobs.FunnelEvent(2L, t0 + 180 * min, "signup")); q.processAllAvailable()
+      mem.addData(Jobs.FunnelEvent(2L, t0 + 181 * min, "view")); q.processAllAvailable()
+      // b5: user 1 signs up AGAIN after expiry
+      mem.addData(Jobs.FunnelEvent(1L, t0 + 240 * min, "signup")); q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[Jobs.FunnelHit].collect().toSeq
+        .groupBy(_.userId)
+        .map { case (u, hs) => u -> hs.sortBy(_.tsMicros).map(_.step) }
+    }
+    val withTtl = run("funnel_ttl_on", Some(ttl))
+    val noTtl = run("funnel_ttl_off", None)
+    // in-window journeys identical under both modes (user 2, and user 1's
+    // first journey) — the TTL only acts AFTER the horizon
+    assert(withTtl(2L) == Seq(1, 2) && noTtl(2L) == Seq(1, 2))
+    // the documented divergence: expiry lets user 1 START A SECOND JOURNEY
+    assert(withTtl(1L) == Seq(1, 2, 1),
+      s"TTL-on must re-admit an expired user: ${withTtl(1L)}")
+    assert(noTtl(1L) == Seq(1, 2),
+      s"TTL-off must keep one-journey-per-user: ${noTtl(1L)}")
+  }
+
   test("sessionize: streaming operator agrees with the batch gaps-and-islands twin") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
