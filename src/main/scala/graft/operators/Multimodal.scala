@@ -399,7 +399,74 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** SCENE-CUT detection — the shot-boundary pass every video curation
+    * pipeline runs before frame dedup/captioning: per media item, the
+    * full frame-energy contour (every 16-byte stub frame, same exact
+    * integer Σ(sample−96)² as `mm_audio_energy`), a CUT wherever the
+    * energy jumps by more than 4500 between consecutive frames (≈ the
+    * top-30% jump on this corpus), and the resulting segment profile
+    * (n_cuts, longest segment) via gaps-and-islands on the running cut
+    * count. All integer arithmetic — engine-exact, no tolerance.
+    *
+    * Scale shape: the contour is a narrow per-payload flatMap (no
+    * shuffle); the lag/cut/segment windows are all partitioned by media
+    * id — bounded by one item's frame count, never corpus-sized; the
+    * roll-up is partial-aggregable. A 100 TB video corpus streams
+    * through one pass per item. */
+  val mmSceneCut = sql(
+    "mm_scene_cut",
+    """WITH f AS (SELECT doc_id AS id, text,
+      |                  greatest(1, strlen(text) // 16) AS n
+      |           FROM documents WHERE strlen(text) > 0),
+      |fr AS (SELECT id, CAST(unnest(range(0, n)) AS INT) AS fi, text FROM f),
+      |en AS (SELECT id, fi,
+      |              CAST(list_sum([0] || [(ascii(substr(fx, i, 1)) - 96)
+      |                             * (ascii(substr(fx, i, 1)) - 96)
+      |                             for i in range(1, strlen(fx) + 1)]) AS BIGINT)
+      |                AS energy
+      |       FROM (SELECT id, fi, substr(text, fi * 16 + 1, 16) AS fx FROM fr)),
+      |cu AS (SELECT id, fi, energy,
+      |              CASE WHEN abs(energy - lag(energy)
+      |                     OVER (PARTITION BY id ORDER BY fi)) > 4500
+      |                   THEN 1 ELSE 0 END AS cut
+      |       FROM en),
+      |seg AS (SELECT id, sum(cut) OVER (PARTITION BY id ORDER BY fi
+      |                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+      |        FROM cu),
+      |sl AS (SELECT id, seg_id, count(*) AS seg_len FROM seg GROUP BY id, seg_id)
+      |SELECT id, CAST(count(*) AS BIGINT) AS n_segments,
+      |       CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+      |       CAST(max(seg_len) AS BIGINT) AS max_seg_len,
+      |       CAST(sum(seg_len) AS BIGINT) AS n_frames
+      |FROM sl GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val en = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id").as("id"),
+        posexplode(expr(
+          """transform(sequence(0, greatest(1, length(text) div 16) - 1),
+            |  f -> aggregate(
+            |         transform(sequence(1, length(substr(text, f * 16 + 1, 16))),
+            |           i -> CAST((ascii(substr(substr(text, f * 16 + 1, 16), i, 1)) - 96)
+            |                     * (ascii(substr(substr(text, f * 16 + 1, 16), i, 1)) - 96) AS BIGINT)),
+            |         0L, (a, v) -> a + v))""".stripMargin))
+          .as(Seq("fi", "energy")))
+    val wId = Window.partitionBy("id").orderBy("fi")
+    val cut = when(
+      abs(col("energy") - lag("energy", 1).over(wId)) > 4500, 1L).otherwise(0L)
+    val sl = en.withColumn("cut", cut)
+      .withColumn("seg_id",
+        sum("cut").over(wId.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "seg_id").agg(count(lit(1)).as("seg_len"))
+    sl.groupBy("id")
+      .agg(count(lit(1)).as("n_segments"),
+        (count(lit(1)) - 1).as("n_cuts"),
+        max("seg_len").as("max_seg_len"),
+        sum("seg_len").as("n_frames"))
+      .orderBy("id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     mmImageFeatures, mmMediaMeta, mmFrameSample, mmImageResize, mmAudioEnergy,
-    mmFrameNeardup)
+    mmFrameNeardup, mmSceneCut)
 }

@@ -1206,6 +1206,177 @@ object Olap {
           col("est_direct") * 0.02).as("merge_matches_direct"))
   }
 
+  /** SCD TYPE-2 interval build — collapse each user's event-type stream
+    * into versioned validity intervals (state, valid_from, valid_to): the
+    * dimension-history shape every warehouse derives from a change
+    * stream. Islands by LAG-compare: a version starts where the state
+    * differs from the previous observation (null-safe, so row 1 always
+    * opens version 1); the version number is the running count of starts;
+    * `valid_to` is the NEXT version's start (the open interval carries a
+    * -1 sentinel so the hash has no NULL/engine ambiguity).
+    *
+    * Scale shape: two user-partitioned windows over the (t_us, event_id)
+    * total order plus one partial-aggregable roll-up — no self-join, no
+    * unpartitioned frame; a user's history streams through one task
+    * regardless of corpus size, and the second window runs over the
+    * already-collapsed version frame, not the fact table. */
+  val scd2 = sql(
+    "olap_scd2",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS t_us
+      |           FROM events),
+      |m AS (SELECT user_id, event_type, t_us, event_id,
+      |             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |                  THEN 1 ELSE 0 END AS chg
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      |v AS (SELECT user_id, event_type, t_us,
+      |             sum(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                            ROWS UNBOUNDED PRECEDING) AS version
+      |      FROM m),
+      |iv AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+      |              min(event_type) AS state,
+      |              min(t_us) AS valid_from,
+      |              CAST(count(*) AS BIGINT) AS n_obs
+      |       FROM v GROUP BY user_id, version)
+      |SELECT user_id, version, state, valid_from,
+      |       coalesce(lead(valid_from) OVER (PARTITION BY user_id
+      |                                       ORDER BY version), -1) AS valid_to,
+      |       n_obs
+      |FROM iv ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chg = when(not(lag("event_type", 1).over(w) <=> col("event_type")), 1L)
+      .otherwise(0L)
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("t_us"))
+      .withColumn("chg", chg)
+      .withColumn("version", sum("chg").over(wRun))
+      .groupBy("user_id", "version")
+      .agg(min("event_type").as("state"), min("t_us").as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val wVer = Window.partitionBy("user_id").orderBy("version")
+    iv.select(col("user_id"), col("version"), col("state"), col("valid_from"),
+        coalesce(lead("valid_from", 1).over(wVer), lit(-1L)).as("valid_to"),
+        col("n_obs"))
+      .orderBy("user_id", "version")
+  }
+
+  /** CALENDAR GAP-FILL + FORWARD FILL — per-user daily activity grid:
+    * every day between a user's first and last activity appears exactly
+    * once, absent days carry n=0, and the last observed daily spend
+    * carries forward (`last(_, ignoreNulls)` over a ROWS frame) — the
+    * feature-store "value as of day d" shape. Integer day numbers and
+    * integer cents, so grid and fill are engine-exact.
+    *
+    * Scale shape: one partial-aggregable daily roll-up, a per-user bounds
+    * aggregate, a `sequence()` explode whose size is bounded by the TIME
+    * HORIZON (days/user), not the event count, one equi-join back, one
+    * user-partitioned window. No unpartitioned frame anywhere. */
+  val gapFill = sql(
+    "olap_gap_fill",
+    """WITH g AS (SELECT user_id,
+      |                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                  CAST(count(*) AS BIGINT) AS n,
+      |                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM g GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM b),
+      |f AS (SELECT grid.user_id, grid.day, coalesce(g.n, 0) AS n, g.cents
+      |      FROM grid LEFT JOIN g ON g.user_id = grid.user_id AND g.day = grid.day)
+      |SELECT user_id, day, n,
+      |       coalesce(last_value(cents IGNORE NULLS)
+      |                  OVER (PARTITION BY user_id ORDER BY day
+      |                        ROWS UNBOUNDED PRECEDING), 0) AS cents_asof
+      |FROM f ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, d)
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val grid = g.groupBy("user_id").agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wFill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(g, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"), col("cents"))
+      .withColumn("cents_asof",
+        coalesce(last("cents", ignoreNulls = true).over(wFill), lit(0L)))
+      .drop("cents")
+      .orderBy("user_id", "day")
+  }
+
+  /** MULTI-TOUCH ATTRIBUTION — for every purchase, the LAST-TOUCH click
+    * (most recent click at-or-before it within a 7-day lookback) and the
+    * LINEAR credit (split across the k clicks inside the lookback), the
+    * two standard marketing-attribution models, over one event stream.
+    * The linear split is emitted in exact integer parts-per-million
+    * (floor(1e6/k) per purchase) — float 1/k sums would depend on
+    * summation order across engines/executors; integer credits never do.
+    *
+    * Scale shape: the classic join-per-purchase formulation is quadratic
+    * in a hot user's events; here it is two user-partitioned windows (a
+    * ROWS carry-forward for the last click, a RANGE(7d) frame for the
+    * lookback count) — one sorted pass per user, then one partial-
+    * aggregable roll-up. */
+  val eventsAttribution = sql(
+    "events_attribution",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS t_us
+      |           FROM events),
+      |m AS (SELECT user_id, event_type, t_us,
+      |             last_value(CASE WHEN event_type = 'click' THEN t_us END
+      |                        IGNORE NULLS)
+      |               OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS lc,
+      |             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY user_id ORDER BY t_us
+      |                     RANGE BETWEEN 604800000000 PRECEDING
+      |                           AND CURRENT ROW) AS k
+      |      FROM e),
+      |p AS (SELECT user_id, t_us - lc AS gap,
+      |             (lc IS NOT NULL AND t_us - lc <= 604800000000) AS attr, k
+      |      FROM m WHERE event_type = 'purchase')
+      |SELECT user_id,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+      |       CASE WHEN sum(CASE WHEN attr THEN 1 ELSE 0 END) = 0 THEN -1
+      |            ELSE round(sum(CASE WHEN attr THEN gap ELSE 0 END) * 1.0
+      |                       / sum(CASE WHEN attr THEN 1 ELSE 0 END)
+      |                       / 1000000, 4) END AS avg_gap_s,
+      |       CAST(sum(CASE WHEN k > 0 THEN 1000000 // k ELSE 0 END) AS BIGINT)
+      |         AS credit_ppm
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wRows = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRange = Window.partitionBy("user_id").orderBy("t_us")
+      .rangeBetween(-604800000000L, 0L)
+    val p = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("t_us"))
+      .withColumn("lc",
+        last(when(col("event_type") === "click", col("t_us")),
+          ignoreNulls = true).over(wRows))
+      .withColumn("k",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(wRange))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("t_us") - col("lc")).as("gap"),
+        (col("lc").isNotNull && col("t_us") - col("lc") <= 604800000000L)
+          .as("attr"), col("k"))
+    val nAttr = sum(when(col("attr"), 1L).otherwise(0L))
+    p.groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        nAttr.as("n_attributed"),
+        when(nAttr === 0, lit(-1.0))
+          .otherwise(round(sum(when(col("attr"), col("gap")).otherwise(0L))
+            * lit(1.0) / nAttr / 1000000, 4)).as("avg_gap_s"),
+        sum(when(col("k") > 0, expr("CAST(1000000 div k AS BIGINT)"))
+          .otherwise(0L)).as("credit_ppm"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, hllMerge,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
@@ -1214,5 +1385,5 @@ object Olap {
     eventsFunnel, eventsRetention, eventsAnomaly, eventsDauWau, approxTopk,
     eventsMarkov, approxPctlCert, eventsPathTopk, eventsTimeWeighted,
     windowFamily2, mlLinreg, eventsEwma, layoutZorder, eventsFunnelWindowed,
-    eventsConversionTime)
+    eventsConversionTime, scd2, gapFill, eventsAttribution)
 }

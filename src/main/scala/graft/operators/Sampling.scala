@@ -671,9 +671,45 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** CURRICULUM assignment — the deterministic map a staged training run
+    * consumes: each document gets a PHASE (1 = cleanest, by the shared
+    * [[Quality]] score, so training starts on the best text), a SHARD
+    * (md5-bucket mod 8 — uniform, engine/retry-stable), and its
+    * within-shard SORT KEY (the raw bucket; writers emit
+    * `repartition(shard).sortWithinPartitions(phase, sort_bucket)`).
+    *
+    * Deliberately NO ranking window: a per-doc global curriculum index
+    * would put n_docs/n_shards rows through each window partition —
+    * linear in the corpus, the exact hazard the token-budget pair had to
+    * engineer around. The (phase, shard, sort_bucket, doc_id) tuple IS a
+    * total order, so ranks exist implicitly without any stateful pass;
+    * the whole query is one narrow projection over the shared quality
+    * frame. */
+  val corpusCurriculum = sql(
+    "corpus_curriculum",
+    s"""WITH ${Quality.metricsSqlCte},
+       |q AS (SELECT doc_id, n_tokens, ${Quality.scoreSql} AS quality,
+       |             ${hexBucketSql("doc_id")} AS bucket
+       |      FROM m)
+       |SELECT doc_id, CAST(4 - quality AS INT) AS phase,
+       |       CAST(bucket % 8 AS INT) AS shard,
+       |       CAST(bucket AS INT) AS sort_bucket,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Quality.metrics(s, d)
+      .withColumn("bucket", hexBucketCol(col("doc_id")))
+      .select(col("doc_id"),
+        (lit(4) - col("quality")).cast("int").as("phase"),
+        (col("bucket") % 8).cast("int").as("shard"),
+        col("bucket").as("sort_bucket"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
-    corpusReweight, domainCap, tokenBudget, curationE2e, decontamReport)
+    corpusReweight, domainCap, tokenBudget, curationE2e, decontamReport,
+    corpusCurriculum)
 }
 

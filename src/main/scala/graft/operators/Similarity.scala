@@ -1473,11 +1473,97 @@ object Similarity {
         round(col("n_int8_hits") / 10.0, 4).as("recall"))
   }
 
+  /** FIXED-POINT multi-iteration k-means (2 full Lloyd rounds) — the
+    * codebook-training loop `sim_kmeans_step` takes one step of, made
+    * BIT-REPRODUCIBLE: embeddings quantize once to 2⁻²⁰ fixed point
+    * (float32 × 2²⁰ is an exact exponent shift, so the rounding is of an
+    * exact value — no float-summation-order dependence anywhere), every
+    * distance is an exact int64 sum of squares, and centroid updates are
+    * floor(Σx/n) back in fixed point. Identical labels on every engine,
+    * executor count, and partition order — the determinism a reproducible
+    * 100 TB curation run (and its audit) actually requires, which a
+    * float k-means cannot give (tie/boundary flips under reduction
+    * reorder). Output: per-cell size, exact inertia, and the iter-1→2
+    * centroid drift.
+    *
+    * Scale shape per round: one broadcast of the 8×16 codebook, one
+    * partial-aggregable argmin pass, one partial-aggregable centroid
+    * re-sum — no windows over the corpus, no pair joins; rounds compose
+    * linearly. (A cell that loses all members drops out of the next
+    * codebook on both engines identically.) */
+  val simKmeansIter = sql(
+    "sim_kmeans_iter",
+    """WITH xi AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+      |                        AS BIGINT) AS xv
+      |            FROM embeddings),
+      |c1 AS (SELECT CAST(vec_id AS INT) AS cell, pos, xv AS cv
+      |       FROM xi WHERE vec_id < 8),
+      |d1 AS (SELECT x.vec_id, c.cell,
+      |              sum((x.xv - c.cv) * (x.xv - c.cv)) AS dist
+      |       FROM xi x JOIN c1 c ON x.pos = c.pos GROUP BY x.vec_id, c.cell),
+      |a1 AS (SELECT vec_id, cell FROM
+      |         (SELECT vec_id, cell,
+      |                 row_number() OVER (PARTITION BY vec_id
+      |                                    ORDER BY dist, cell) AS rn
+      |          FROM d1) WHERE rn = 1),
+      |c2 AS (SELECT a.cell, x.pos,
+      |              CAST(floor(CAST(sum(x.xv) AS DOUBLE) / count(*)) AS BIGINT)
+      |                AS cv
+      |       FROM xi x JOIN a1 a ON x.vec_id = a.vec_id GROUP BY a.cell, x.pos),
+      |d2 AS (SELECT x.vec_id, c.cell,
+      |              sum((x.xv - c.cv) * (x.xv - c.cv)) AS dist
+      |       FROM xi x JOIN c2 c ON x.pos = c.pos GROUP BY x.vec_id, c.cell),
+      |a2 AS (SELECT vec_id, cell, dist FROM
+      |         (SELECT vec_id, cell, dist,
+      |                 row_number() OVER (PARTITION BY vec_id
+      |                                    ORDER BY dist, cell) AS rn
+      |          FROM d2) WHERE rn = 1),
+      |n2 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(dist) AS BIGINT) AS inertia
+      |       FROM a2 GROUP BY cell),
+      |dr AS (SELECT c2.cell, CAST(sum(abs(c2.cv - c1.cv)) AS BIGINT) AS drift
+      |       FROM c2 JOIN c1 ON c2.cell = c1.cell AND c2.pos = c1.pos
+      |       GROUP BY c2.cell)
+      |SELECT n2.cell, n2.n, n2.inertia, dr.drift
+      |FROM n2 JOIN dr ON n2.cell = dr.cell ORDER BY n2.cell""".stripMargin) { (s, d) =>
+    val xq = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT))"))
+        .as(Seq("pos", "xv")))
+    val c1 = xq.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("pos"),
+        col("xv").as("cv"))
+    def assignTo(c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val diff = col("xv") - col("cv")
+      xq.join(broadcast(c), "pos")
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum(diff * diff).as("dist"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.dist").as("dist"))
+    }
+    val a1 = assignTo(c1)
+    val c2 = xq.join(a1.select("vec_id", "cell"), "vec_id")
+      .groupBy("cell", "pos")
+      .agg(floor(sum("xv").cast("double") / count(lit(1))).cast("long").as("cv"))
+    val a2 = assignTo(c2)
+    val n2 = a2.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("dist").as("inertia"))
+    val dr = c2.join(c1.select(col("cell"), col("pos"), col("cv").as("cv1")),
+        Seq("cell", "pos"))
+      .groupBy("cell")
+      .agg(sum(abs(col("cv") - col("cv1"))).as("drift"))
+    n2.join(dr, "cell")
+      .select(col("cell"), col("n"), col("inertia"), col("drift"))
+      .orderBy("cell")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
-    simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift)
+    simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift, simKmeansIter)
 }

@@ -2071,7 +2071,79 @@ object TextOps {
         round(sum(hit) * lit(1.0) / count(lit(1)), 4).as("prec"))
   }
 
+  /** EXACT-SUBSTRING duplicate runs (the suffix-array dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally): maximal runs of ≥8 consecutive shared
+    * tokens between document pairs, found WITHOUT a suffix array —
+    * 8-gram anchors with positions, a df-capped inverted index, then
+    * gaps-and-islands on each pair's DIAGONAL (pos_a − pos_b): anchors
+    * that advance in lockstep on one diagonal are one maximal run of
+    * `anchors + 7` tokens. Output is the per-pair run profile (n_runs,
+    * longest run, total duplicated tokens) — the thing you'd feed a
+    * span-removal pass.
+    *
+    * Scale shape: the inverted index drops grams in >50 docs BEFORE the
+    * self-join (boilerplate is the quadratic hazard — same discipline as
+    * the shingle family), so pairs stay linear in true duplicate volume;
+    * the islands window is partitioned by (doc_a, doc_b, diag) — bounded
+    * by a single pair's overlap, never corpus-sized; the digest (not the
+    * gram text) is the shuffle key. */
+  val textSubstringDup = sql(
+    "text_substring_dup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 8),
+      |gi AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t FROM toks),
+      |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |             md5(array_to_string(t[i:i+7], ' ')) AS h
+      |      FROM gi),
+      |df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h),
+      |keep AS (SELECT h FROM df WHERE nd BETWEEN 2 AND 50),
+      |gk AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN keep USING (h)),
+      |p AS (SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
+      |             a.pos - b.pos AS diag
+      |      FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |isl AS (SELECT da, db, diag, pa,
+      |               pa - row_number() OVER (PARTITION BY da, db, diag
+      |                                       ORDER BY pa) AS grp
+      |        FROM p),
+      |runs AS (SELECT da, db, min(pa) AS start_a, min(pa) - diag AS start_b,
+      |                CAST(count(*) + 7 AS BIGINT) AS run_tokens
+      |         FROM isl GROUP BY da, db, diag, grp)
+      |SELECT da, db, CAST(count(*) AS BIGINT) AS n_runs,
+      |       max(run_tokens) AS max_run_tokens,
+      |       CAST(sum(run_tokens) AS BIGINT) AS dup_tokens
+      |FROM runs GROUP BY da, db ORDER BY da, db""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(t) - 8), i -> md5(array_join(slice(t, i + 1, 8), ' ')))"))
+        .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val keep = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd").between(2, 50)).select("h")
+    val gk = g.join(keep, "h")
+    val p = gk.select(col("h"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(gk.select(col("h"), col("doc_id").as("db"), col("pos").as("pb")), "h")
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("pa"), col("db"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val wIsl = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    val runs = p.withColumn("grp", col("pa") - row_number().over(wIsl))
+      .groupBy("da", "db", "diag", "grp")
+      .agg(min("pa").as("start_a"),
+        (min("pa") - col("diag")).as("start_b"),
+        (count(lit(1)) + 7).as("run_tokens"))
+    runs.groupBy("da", "db")
+      .agg(count(lit(1)).as("n_runs"),
+        max("run_tokens").as("max_run_tokens"),
+        sum("run_tokens").as("dup_tokens"))
+      .orderBy("da", "db")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    textSubstringDup,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,

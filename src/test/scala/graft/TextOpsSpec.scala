@@ -464,4 +464,22 @@ class TextOpsSpec extends AnyFunSuite {
     // the fixture exercises all three verdicts
     assert(verdicts.values.toSet == Set("dup_of_corpus", "dup_in_batch", "unique"))
   }
+
+  test("text_substring_dup: diagonal islands coalesce anchors into maximal runs") {
+    val run1 = (1 to 12).map(i => s"r$i").mkString(" ") // 12-token shared run
+    val run2 = (1 to 8).map(i => s"q$i").mkString(" ")  // exactly-8-token run
+    val dir = writeDocs(Seq(
+      0L -> s"$run1 a1 a2 a3 $run2",
+      1L -> s"b1 b2 $run1 b3 b4 b5 b6 $run2",
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+    val got = TextOps.textSubstringDup.fn(spark, dir).collect()
+    assert(got.length == 1, s"exactly one dup pair expected: ${got.toSeq}")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((0L, 1L)))
+    // run1: 5 consecutive anchors on one diagonal → ONE run of 5+7=12
+    // tokens (the island merge); run2: 1 anchor → one 8-token run
+    assert(r.getLong(2) == 2L, s"n_runs: ${r.getLong(2)}")
+    assert(r.getLong(3) == 12L, s"max_run_tokens: ${r.getLong(3)}")
+    assert(r.getLong(4) == 20L, s"dup_tokens: ${r.getLong(4)}")
+  }
 }
