@@ -466,7 +466,51 @@ object Multimodal {
       .orderBy("id")
   }
 
+  /** FRAME NOVELTY — the video counterpart of `text_novelty`'s trigram
+    * diminishing-returns curve: per media item, the share of its DISTINCT
+    * frame fingerprints whose corpus-first occurrence (min media id) is
+    * this item. A re-encode or trimmed copy of earlier footage scores ~0;
+    * fresh footage ~1 — the keep/drop signal for incremental video
+    * ingestion, and the storage-savings estimate for frame-level dedup.
+    *
+    * Scale shape: full frame explode (narrow), distinct per (id, hash),
+    * min(id) per hash (partial-aggregable — the billion-copy black frame
+    * collapses map-side), one hash-keyed equi-join back, per-item count
+    * roll-up. No pair join, no window — linear in total frames. */
+  val mmFrameNovelty = sql(
+    "mm_frame_novelty",
+    """WITH f AS (SELECT doc_id AS id, text,
+      |                  greatest(1, strlen(text) // 16) AS n
+      |           FROM documents WHERE strlen(text) > 0),
+      |fr AS (SELECT DISTINCT id,
+      |              md5(substr(text, CAST(unnest(range(0, n)) * 16 + 1 AS INT), 16)) AS fh
+      |       FROM f),
+      |fst AS (SELECT fh, min(id) AS first_id FROM fr GROUP BY fh)
+      |SELECT fr.id,
+      |       CAST(count(*) AS BIGINT) AS n_distinct_frames,
+      |       CAST(sum(CASE WHEN fst.first_id = fr.id THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_novel,
+      |       round(sum(CASE WHEN fst.first_id = fr.id THEN 1 ELSE 0 END) * 1.0
+      |             / count(*), 4) AS novelty
+      |FROM fr JOIN fst USING (fh)
+      |GROUP BY fr.id ORDER BY fr.id""".stripMargin) { (s, d) =>
+    val fr = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id").as("id"),
+        explode(expr(
+          """transform(sequence(0, greatest(1, length(text) div 16) - 1),
+            |  f -> md5(substr(text, f * 16 + 1, 16)))""".stripMargin)).as("fh"))
+      .distinct()
+    val fst = fr.groupBy("fh").agg(min("id").as("first_id"))
+    val novel = when(col("first_id") === col("id"), 1L).otherwise(0L)
+    fr.join(fst, "fh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_distinct_frames"), sum(novel).as("n_novel"),
+        round(sum(novel) * lit(1.0) / count(lit(1)), 4).as("novelty"))
+      .orderBy("id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     mmImageFeatures, mmMediaMeta, mmFrameSample, mmImageResize, mmAudioEnergy,
-    mmFrameNeardup, mmSceneCut)
+    mmFrameNeardup, mmSceneCut, mmFrameNovelty)
 }

@@ -1377,8 +1377,67 @@ object Olap {
       .orderBy("user_id")
   }
 
+  /** RFM SEGMENTATION — the classic recency/frequency/monetary customer
+    * segmentation, banded by FIXED cuts (not ntile: a quantile band would
+    * either window the full user frame unpartitioned or need a sampled
+    * cutoff — fixed cuts keep the whole query two partial-aggregable
+    * passes and make the segment of a user independent of every other
+    * user, so the report composes across shards/date-ranges). Recency is
+    * measured against the corpus max day, a broadcast 1-row aggregate.
+    * All exact integers (days, counts, cents) — engine-exact bands.
+    *
+    * Scale shape: per-user roll-up (one shuffle on user_id), broadcast
+    * scalar, then the ≤36-cell segment aggregate — no window, no
+    * self-join; at 10⁹ users the second aggregate is still 36 cells. */
+  val eventsRfm = sql(
+    "events_rfm",
+    """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS f,
+      |                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS m,
+      |                  max(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS umax
+      |           FROM events GROUP BY user_id),
+      |c AS (SELECT max(umax) AS cmax FROM u),
+      |b AS (SELECT CASE WHEN cmax - umax <= 0 THEN 'r0_today'
+      |                  WHEN cmax - umax <= 3 THEN 'r1_recent'
+      |                  ELSE 'r2_stale' END AS r_band,
+      |             CASE WHEN f >= 73 THEN 'f2_high'
+      |                  WHEN f >= 60 THEN 'f1_mid'
+      |                  ELSE 'f0_low' END AS f_band,
+      |             CASE WHEN m >= 360000 THEN 'm2_high'
+      |                  WHEN m >= 300000 THEN 'm1_mid'
+      |                  ELSE 'm0_low' END AS m_band,
+      |             f, m
+      |      FROM u, c)
+      |SELECT r_band, f_band, m_band,
+      |       CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(f) AS BIGINT) AS n_events,
+      |       CAST(sum(m) AS BIGINT) AS total_cents
+      |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("f"), sum("cents").as("m"), max("day").as("umax"))
+    val c = u.agg(max("umax").as("cmax"))
+    u.crossJoin(broadcast(c))
+      .select(
+        when(col("cmax") - col("umax") <= 0, "r0_today")
+          .when(col("cmax") - col("umax") <= 3, "r1_recent")
+          .otherwise("r2_stale").as("r_band"),
+        when(col("f") >= 73, "f2_high")
+          .when(col("f") >= 60, "f1_mid")
+          .otherwise("f0_low").as("f_band"),
+        when(col("m") >= 360000L, "m2_high")
+          .when(col("m") >= 300000L, "m1_mid")
+          .otherwise("m0_low").as("m_band"),
+        col("f"), col("m"))
+      .groupBy("r_band", "f_band", "m_band")
+      .agg(count(lit(1)).as("n_users"), sum("f").as("n_events"),
+        sum("m").as("total_cents"))
+      .orderBy("r_band", "f_band", "m_band")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    mergeUpsert, hllMerge,
+    mergeUpsert, hllMerge, eventsRfm,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,

@@ -1559,11 +1559,99 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** FARTHEST-POINT (k-center greedy, Gonzalez 1985) codebook seeding —
+    * the deterministic alternative to k-means++'s weighted sampling: seed
+    * from vec 0, then 3× pick the vector farthest from its nearest
+    * already-chosen center (min-id tie-break). 2-approximation for the
+    * k-center radius, and — in the same 2⁻²⁰ fixed point as
+    * `sim_kmeans_iter` — fully BIT-REPRODUCIBLE: no RNG, no float
+    * reduction-order sensitivity, so the seed set (and thus the whole
+    * training run) replays identically anywhere. Emits each selection
+    * with its gap (the chosen vector's exact squared distance to the
+    * nearest earlier center — the decreasing coverage-radius curve).
+    *
+    * Scale shape per round: one 16-row center broadcast + one
+    * partial-aggregable distance pass + a 1-row max(struct) argmax —
+    * k passes total, no window over the corpus, no pair join. */
+  val simKcenterInit = sql(
+    "sim_kcenter_init",
+    """WITH xi AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+      |                        AS BIGINT) AS xv
+      |            FROM embeddings),
+      |cen0 AS (SELECT pos, xv AS cv FROM xi WHERE vec_id = 0),
+      |e1 AS (SELECT x.vec_id, sum((x.xv - c.cv) * (x.xv - c.cv)) AS dist
+      |       FROM xi x JOIN cen0 c ON x.pos = c.pos GROUP BY x.vec_id),
+      |s1 AS (SELECT vec_id, dist FROM
+      |         (SELECT vec_id, dist,
+      |                 row_number() OVER (ORDER BY dist DESC, vec_id) AS rn
+      |          FROM e1) WHERE rn = 1),
+      |cen1 AS (SELECT x.pos, x.xv AS cv FROM xi x JOIN s1 ON x.vec_id = s1.vec_id),
+      |n2 AS (SELECT x.vec_id, sum((x.xv - c.cv) * (x.xv - c.cv)) AS dist
+      |       FROM xi x JOIN cen1 c ON x.pos = c.pos GROUP BY x.vec_id),
+      |f2 AS (SELECT e1.vec_id, least(e1.dist, n2.dist) AS dist
+      |       FROM e1 JOIN n2 ON e1.vec_id = n2.vec_id),
+      |s2 AS (SELECT vec_id, dist FROM
+      |         (SELECT vec_id, dist,
+      |                 row_number() OVER (ORDER BY dist DESC, vec_id) AS rn
+      |          FROM f2) WHERE rn = 1),
+      |cen2 AS (SELECT x.pos, x.xv AS cv FROM xi x JOIN s2 ON x.vec_id = s2.vec_id),
+      |n3 AS (SELECT x.vec_id, sum((x.xv - c.cv) * (x.xv - c.cv)) AS dist
+      |       FROM xi x JOIN cen2 c ON x.pos = c.pos GROUP BY x.vec_id),
+      |f3 AS (SELECT f2.vec_id, least(f2.dist, n3.dist) AS dist
+      |       FROM f2 JOIN n3 ON f2.vec_id = n3.vec_id),
+      |s3 AS (SELECT vec_id, dist FROM
+      |         (SELECT vec_id, dist,
+      |                 row_number() OVER (ORDER BY dist DESC, vec_id) AS rn
+      |          FROM f3) WHERE rn = 1)
+      |SELECT 0 AS step, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS gap
+      |UNION ALL SELECT 1, vec_id, CAST(dist AS BIGINT) FROM s1
+      |UNION ALL SELECT 2, vec_id, CAST(dist AS BIGINT) FROM s2
+      |UNION ALL SELECT 3, vec_id, CAST(dist AS BIGINT) FROM s3
+      |ORDER BY step""".stripMargin) { (s, d) =>
+    val xq = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT))"))
+        .as(Seq("pos", "xv")))
+    def distTo(center: org.apache.spark.sql.DataFrame) = {
+      val diff = col("xv") - col("cv")
+      xq.join(broadcast(center), "pos")
+        .groupBy("vec_id").agg(sum(diff * diff).as("dist"))
+    }
+    // argmax with min-id tie-break as a 1-row aggregate (never a corpus
+    // rank window): max(struct(dist, -id)) picks highest dist, then
+    // highest -id = LOWEST id
+    def argmax(dm: org.apache.spark.sql.DataFrame) =
+      dm.agg(max(struct(col("dist").as("dv"), (-col("vec_id")).as("ni"))).as("m"))
+        .select((-col("m.ni")).as("vec_id"), col("m.dv").as("gap"))
+    def centerOf(sel: org.apache.spark.sql.DataFrame) =
+      xq.join(broadcast(sel.select("vec_id")), "vec_id")
+        .select(col("pos"), col("xv").as("cv"))
+    val cen0 = xq.filter(col("vec_id") === 0)
+      .select(col("pos"), col("xv").as("cv"))
+    val e1 = distTo(cen0)
+    val s1 = argmax(e1)
+    val f2 = e1.join(distTo(centerOf(s1)).withColumnRenamed("dist", "d2"), "vec_id")
+      .select(col("vec_id"), least(col("dist"), col("d2")).as("dist"))
+    val s2 = argmax(f2)
+    val f3 = f2.join(distTo(centerOf(s2)).withColumnRenamed("dist", "d3"), "vec_id")
+      .select(col("vec_id"), least(col("dist"), col("d3")).as("dist"))
+    val s3 = argmax(f3)
+    def row(step: Int, sel: org.apache.spark.sql.DataFrame) =
+      sel.select(lit(step).as("step"), col("vec_id").cast("long").as("vec_id"),
+        col("gap").cast("long").as("gap"))
+    s.range(1)
+      .select(lit(0).as("step"), lit(0L).as("vec_id"), lit(0L).as("gap"))
+      .unionByName(row(1, s1)).unionByName(row(2, s2)).unionByName(row(3, s3))
+      .orderBy("step")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
-    simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift, simKmeansIter)
+    simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift, simKmeansIter,
+    simKcenterInit)
 }

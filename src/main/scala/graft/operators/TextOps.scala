@@ -2142,8 +2142,50 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  /** TOKEN-WEIGHTED dedup yield — what near-dup dedup actually SAVES:
+    * `corpus_dup_stats` counts duplicate documents; the training-budget
+    * question is duplicate TOKENS. Per source: total tokens, tokens kept
+    * under keep-one-per-cluster (the canonical doc), tokens saved, save
+    * rate — the number that decides whether the dedup pass pays for
+    * itself on a given crawl. Shares `clusterLabels` with the rest of the
+    * cluster family (the oracle re-derives it via the recursive CTE), so
+    * the yield cannot fork from the labels it prices.
+    *
+    * Scale shape: one doc_id equi-join of labels onto the token counts,
+    * one partial-aggregable per-source roll-up — nothing beyond what
+    * `corpus_dup_stats` already pays. */
+  val corpusDedupYield = sql(
+    "corpus_dedup_yield",
+    s"""WITH RECURSIVE $clusterLabelsSqlCte
+       |SELECT d.source,
+       |       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+       |       CAST(sum(CASE WHEN c.root = c.doc_id
+       |                     THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+       |         AS kept_tokens,
+       |       CAST(sum(CASE WHEN c.root <> c.doc_id
+       |                     THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+       |         AS saved_tokens,
+       |       round(sum(CASE WHEN c.root <> c.doc_id
+       |                      THEN len(string_split(d.text, ' ')) ELSE 0 END) * 1.0
+       |             / sum(len(string_split(d.text, ' '))), 4) AS save_rate
+       |FROM cc c JOIN documents d ON c.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val kept = when(col("cluster") === col("doc_id"), col("n_tok")).otherwise(0L)
+    val saved = when(col("cluster") =!= col("doc_id"), col("n_tok")).otherwise(0L)
+    clusterLabels(s, d).join(toks, "doc_id")
+      .groupBy("source")
+      .agg(sum("n_tok").as("total_tokens"),
+        sum(kept).as("kept_tokens"),
+        sum(saved).as("saved_tokens"),
+        round(sum(saved) * lit(1.0) / sum("n_tok"), 4).as("save_rate"))
+      .orderBy("source")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    textSubstringDup,
+    textSubstringDup, corpusDedupYield,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,

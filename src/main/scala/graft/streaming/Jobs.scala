@@ -283,6 +283,58 @@ object Jobs {
         })
   }
 
+  final case class Scd2Event(userId: Long, eventId: Long, tsMicros: Long,
+      eventType: String)
+  final case class Scd2State(state: String, version: Long, validFrom: Long,
+      nObs: Long)
+  final case class Scd2Row(userId: Long, version: Long, state: String,
+      validFrom: Long, validTo: Long, nObs: Long)
+
+  /** STREAMING SCD TYPE-2 — the online twin of the batch `olap_scd2`
+    * interval build: per entity, the current (state, version, valid_from,
+    * n_obs) lives in group state; an observation of a DIFFERENT state
+    * closes the open interval (emitted immediately with valid_to = the
+    * new version's start — the live dimension-history feed a warehouse
+    * merge consumes) and opens the next version. Same-state observations
+    * just bump n_obs. The batch query is the exact event-time replay:
+    * its closed intervals (valid_to ≠ -1) match this feed row-for-row;
+    * the one OPEN interval per entity is the state itself, which Append
+    * mode correctly never emits early.
+    *
+    * State is four words per entity and, like `funnelSteps`' default,
+    * persists for the stream's lifetime — dimension history is per-entity
+    * durable by definition (expiring it would fork version numbering on
+    * the entity's next observation; the `stateTtlUs` pattern from
+    * `funnelSteps` applies verbatim if an unbounded keyspace forces the
+    * trade). Within a micro-batch rows apply in (event-time, event-id)
+    * order; across batches in arrival order — the `anomalyAlerts` online
+    * contract, with the batch query as the ordered replay. */
+  def scd2Stream(events: Dataset[Scd2Event]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Scd2Event],
+            state: GroupState[Scd2State]) => {
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).foreach { e =>
+            cur match {
+              case Some(st) if st.state == e.eventType =>
+                cur = Some(st.copy(nObs = st.nObs + 1))
+              case Some(st) =>
+                out += Scd2Row(userId, st.version, st.state, st.validFrom,
+                  e.tsMicros, st.nObs)
+                cur = Some(Scd2State(e.eventType, st.version + 1, e.tsMicros, 1))
+              case None =>
+                cur = Some(Scd2State(e.eventType, 1L, e.tsMicros, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
   final case class StatState(n: Long, s: Long, q: Long)
   final case class AnomalyAlert(userId: Long, tsMicros: Long, cents: Long, nPrior: Long)
 

@@ -725,4 +725,37 @@ class PlanSpec extends AnyFunSuite {
       "curriculum must not rank globally — the sort key IS the implicit order")
     assert(!plan.contains("Join"), "curriculum assignment must not join")
   }
+
+  test("events_rfm: fixed-cut banding — aggregates only, broadcast scalar, no window") {
+    val plan = executedPlan("events_rfm")
+    assert(!plan.contains("Window"),
+      "quantile banding would window the user frame — cuts must stay fixed")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the corpus-max scalar must broadcast, never shuffle the user frame")
+    assert("HashAggregate".r.findAllIn(finalPlanSection("events_rfm")).length >= 2,
+      "per-user and per-segment roll-ups must partial-aggregate")
+  }
+
+  test("mm_frame_novelty: first-occurrence equi-join, no pair join, no window") {
+    val plan = executedPlan("mm_frame_novelty")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      "novelty must stay min(id)-per-hash + equi-join back")
+    assert("HashAggregate".r.findAllIn(finalPlanSection("mm_frame_novelty")).length >= 2,
+      "the min(id) and per-item roll-ups must partial-aggregate")
+  }
+
+  test("corpus_dedup_yield: label join stays doc_id equi — never cartesian") {
+    val plan = executedPlan("corpus_dedup_yield")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "token yield must ride the (doc_id, cluster) equi-join")
+  }
+
+  test("sim_kcenter_init: every round broadcasts its center, argmax is an aggregate") {
+    val plan = executedPlan("sim_kcenter_init")
+    assert(!plan.contains("CartesianProduct"), "distance passes must stay equi-shaped")
+    assert(!plan.contains("Window"),
+      "selection must be max(struct), never a corpus rank window")
+    assert("BroadcastHashJoin".r.findAllIn(finalPlanSection("sim_kcenter_init")).length >= 3,
+      "each greedy round must broadcast the 16-row center frame")
+  }
 }

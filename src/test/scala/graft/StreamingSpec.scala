@@ -292,6 +292,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2Stream: live closed intervals match the batch SCD-2 build row-for-row") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // batch truth: every CLOSED interval (valid_to != -1); the single open
+    // interval per user is the stream's live state, never emitted early
+    val batch = SparkEntry.queries("olap_scd2")(spark, sf)
+      .filter(col("valid_to") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("t_us"), col("event_type"))
+      .collect()
+      .map(r => Jobs.Scd2Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(e => (e.tsMicros, e.eventId))
+    val mem = MemoryStream[Jobs.Scd2Event]
+    val q = Jobs.scd2Stream(mem.toDS()).writeStream.format("memory")
+      .queryName("scd2_stream").outputMode("append").start()
+    // two batches: closed-interval rows must survive the cross-batch state carry
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scd2_stream").as[Jobs.Scd2Row].collect()
+      .map(r => (r.userId, r.version, r.state, r.validFrom, r.validTo, r.nObs))
+      .toSet
+    assert(got == batch,
+      s"streaming SCD-2 diverged: ${got.diff(batch).take(3)} extra, " +
+        s"${batch.diff(got).take(3)} missing")
+  }
+
   test("funnelSteps stateTtl: expiry permits a second journey; in-window " +
     "journeys are unaffected; default TTL-off keeps one-journey-per-user") {
     import spark.implicits._
