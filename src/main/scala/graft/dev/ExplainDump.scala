@@ -51,7 +51,15 @@ object ExplainDump {
     "corpus_curation_e2e" -> ("Five-stage curation pipeline composed as one " +
       "plan: gates are narrow filters, stages link by doc_id equi-joins, " +
       "the budget cumsum keeps its recursive reduction — chaining adds no " +
-      "new shuffle shape."))
+      "new shuffle shape."),
+    "text_substring_dup" -> ("Exact-substring duplicate runs without a " +
+      "suffix array: df-capped gram inverted index feeds the position " +
+      "pair equi-join; the islands window is partitioned by (pair, " +
+      "diagonal) — bounded by one pair's overlap, never corpus-sized."),
+    "sim_kmeans_iter" -> ("Fixed-point 2-round Lloyd: per round one " +
+      "broadcast of the 8x16 codebook, one partial-aggregable min(struct) " +
+      "argmin, one partial-aggregable centroid re-sum — exact int64 " +
+      "arithmetic, bit-reproducible labels, no corpus window."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1436,8 +1436,103 @@ object Olap {
       .orderBy("r_band", "f_band", "m_band")
   }
 
+  /** GROWTH ACCOUNTING — the daily new/retained/resurrected decomposition
+    * every growth dashboard runs (churn is the complement at the weekly
+    * grain and needs a negative "was absent today" join against the day
+    * grid, so the daily report sticks to the three positive states): per
+    * active (user, day), classify by the gap to the user's PREVIOUS
+    * active day — first appearance is `new`, a return within 7 days
+    * `retained`, a return after a longer silence `resurrected` — then
+    * count per (day, state). Integer day arithmetic, engine-exact.
+    *
+    * Scale shape: distinct (user, day) pre-shrinks the fact, ONE
+    * user-partitioned lag window over the per-user day list (bounded by
+    * the calendar, not the event count), one partial-aggregable
+    * (day, state) roll-up. No grid join, no self-join. */
+  val eventsGrowthAccounting = sql(
+    "events_growth_accounting",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |            FROM events),
+      |g AS (SELECT user_id, day,
+      |             day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+      |      FROM ud),
+      |st AS (SELECT day,
+      |              CASE WHEN gap IS NULL THEN 'new'
+      |                   WHEN gap <= 7 THEN 'retained'
+      |                   ELSE 'resurrected' END AS state
+      |       FROM g)
+      |SELECT day, state, CAST(count(*) AS BIGINT) AS n_users
+      |FROM st GROUP BY day, state ORDER BY day, state""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    ud.withColumn("gap", col("day") - lag("day", 1).over(w))
+      .select(col("day"),
+        when(col("gap").isNull, "new")
+          .when(col("gap") <= 7, "retained")
+          .otherwise("resurrected").as("state"))
+      .groupBy("day", "state")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("day", "state")
+  }
+
+  /** COHORT LTV — cumulative revenue per signup cohort by day offset: the
+    * lifetime-value curve that prices acquisition, the revenue
+    * counterpart of `events_retention`'s activity triangle. Cohort = the
+    * user's first active day; revenue accumulates in exact integer cents
+    * over a cohort-partitioned window whose row count is bounded by the
+    * CALENDAR span, never the event count; per-user LTV divides two
+    * exact integers at the end (4 dp).
+    *
+    * Scale shape: per-user min-day cohort (partial-aggregable), one
+    * equi-join back, (cohort, offset) cents roll-up, then the cumsum
+    * window over the ≤|days| offset frame per cohort. */
+  val eventsCohortLtv = sql(
+    "events_cohort_ltv",
+    """WITH e AS (SELECT user_id,
+      |                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |           FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+      |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      |       FROM c GROUP BY cohort),
+      |r AS (SELECT c.cohort, e.day - c.cohort AS "offset",
+      |             CAST(sum(e.cents) AS BIGINT) AS cents
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      GROUP BY 1, 2),
+      |cum AS (SELECT cohort, "offset",
+      |               sum(cents) OVER (PARTITION BY cohort ORDER BY "offset"
+      |                                ROWS UNBOUNDED PRECEDING) AS cum_cents
+      |        FROM r)
+      |SELECT cum.cohort, cum."offset",
+      |       cs.n_users,
+      |       CAST(cum.cum_cents AS BIGINT) AS cum_cents,
+      |       round(cum.cum_cents * 1.0 / cs.n_users, 4) AS ltv_cents
+      |FROM cum JOIN cs ON cum.cohort = cs.cohort
+      |ORDER BY cum.cohort, cum."offset"""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val c = e.groupBy("user_id").agg(min("day").as("cohort"))
+    val cs = c.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val r = e.join(c, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset"))
+      .agg(sum("cents").as("cents"))
+    val wCum = Window.partitionBy("cohort").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.withColumn("cum_cents", sum("cents").over(wCum))
+      .join(cs, "cohort")
+      .select(col("cohort"), col("offset"), col("n_users"), col("cum_cents"),
+        round(col("cum_cents") * lit(1.0) / col("n_users"), 4).as("ltv_cents"))
+      .orderBy("cohort", "offset")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    mergeUpsert, hllMerge, eventsRfm,
+    mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,

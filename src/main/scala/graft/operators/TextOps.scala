@@ -1872,6 +1872,67 @@ object TextOps {
     bigramSurprisalDf(s, d).orderBy("doc_id")
   }
 
+  /** INTERPOLATED KNESER-NEY bigram surprisal — the smoothing KenLM
+    * actually ships (add-1 systematically over-penalizes seen bigrams in
+    * Zipfian text; KN discounts each count by D and backs off to the
+    * CONTINUATION probability "how many contexts does w2 follow", the
+    * correct novelty prior):
+    *
+    *   P(w2|w1) = (max(c12 − D, 0) + D·N1+(w1,·)·Pcont(w2)) / c(w1),
+    *   Pcont(w2) = N1+(·,w2) / |bigram types|,  D = 0.75
+    *
+    * Trained on the scoring corpus itself so every scored bigram has
+    * c12 ≥ 1 — no zero-probability path. All model statistics are exact
+    * integer counts; the only floats are the final per-bigram formula and
+    * the 4-dp-rounded per-doc mean (the `text_bigram_logprob` float
+    * policy).
+    *
+    * Scale shape: identical to `text_bigram_logprob` — three
+    * partial-aggregable count frames (c12, c(w1)+N1+(w1,·) fused in ONE
+    * groupBy, N1+(·,w2)), one broadcast scalar (type count), equi-joins
+    * back, per-doc mean. No window, no pair join. */
+  val textBigramKn = sql(
+    "text_bigram_kn",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+      |              unnest(toks[2:len(toks)]) AS w2 FROM t),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |cx AS (SELECT w1, count(*) AS ctx, count(DISTINCT w2) AS n1p_fwd
+      |       FROM bg GROUP BY w1),
+      |cw AS (SELECT w2, count(DISTINCT w1) AS n1p_bwd FROM bg GROUP BY w2),
+      |ty AS (SELECT count(*) AS n_types FROM bc),
+      |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+      |              round(sum(-ln((greatest(c12 - 0.75, 0)
+      |                             + 0.75 * n1p_fwd * n1p_bwd / n_types)
+      |                            / ctx)) / count(*), 4) AS kn_surprisal
+      |       FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1)
+      |       JOIN cw USING (w2) CROSS JOIN ty
+      |       GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, kn_surprisal
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bg = t
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cx = bg.groupBy("w1").agg(count(lit(1)).as("ctx"),
+      countDistinct("w2").as("n1p_fwd"))
+    val cw = bg.groupBy("w2").agg(countDistinct("w1").as("n1p_bwd"))
+    val ty = bc.agg(count(lit(1)).as("n_types"))
+    val p = (greatest(col("c12") - lit(0.75), lit(0)) +
+      lit(0.75) * col("n1p_fwd") * col("n1p_bwd") / col("n_types")) / col("ctx")
+    bg.join(bc, Seq("w1", "w2")).join(cx, Seq("w1")).join(cw, Seq("w2"))
+      .crossJoin(broadcast(ty))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(-log(p)) / count(lit(1)), 4).as("kn_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-STYLE PERPLEXITY BUCKETS — the standard corpus triage: per
     * LANGUAGE, rank documents by LM score (here the bigram surprisal —
     * CCNet uses a KenLM 5-gram; the bucketing is the part that matters)
@@ -2185,7 +2246,7 @@ object TextOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    textSubstringDup, corpusDedupYield,
+    textSubstringDup, corpusDedupYield, textBigramKn,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,

@@ -750,6 +750,28 @@ class PlanSpec extends AnyFunSuite {
       "token yield must ride the (doc_id, cluster) equi-join")
   }
 
+  test("events_growth_accounting: one per-user lag window, no grid join") {
+    val plan = executedPlan("events_growth_accounting")
+    assert(!plan.contains("Join"),
+      "daily states come from the per-user gap — no day-grid or self-join")
+    allWindowsPartitioned("events_growth_accounting")
+  }
+
+  test("events_cohort_ltv: cumsum window per cohort, joins stay equi") {
+    val plan = executedPlan("events_cohort_ltv")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "cohort join and size join must ride equi keys")
+    allWindowsPartitioned("events_cohort_ltv")
+  }
+
+  test("text_bigram_kn: count frames partial-aggregate, type total broadcast, no window") {
+    val plan = executedPlan("text_bigram_kn")
+    assert(!plan.contains("CartesianProduct"), "model joins must stay equi/broadcast")
+    assert(!plan.contains("Window"), "KN scoring must not window")
+    assert("HashAggregate".r.findAllIn(finalPlanSection("text_bigram_kn")).length >= 4,
+      "c12/ctx/continuation/type-count aggregates must combine map-side")
+  }
+
   test("sim_kcenter_init: every round broadcasts its center, argmax is an aggregate") {
     val plan = executedPlan("sim_kcenter_init")
     assert(!plan.contains("CartesianProduct"), "distance passes must stay equi-shaped")

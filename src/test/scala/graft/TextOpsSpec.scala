@@ -465,6 +465,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(verdicts.values.toSet == Set("dup_of_corpus", "dup_in_batch", "unique"))
   }
 
+  test("text_bigram_kn: discounted smoothing scores seen text sharper than add-1") {
+    val sf = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val kn = TextOps.textBigramKn.fn(spark, sf)
+      .select(col("doc_id"), col("kn_surprisal")).as[(Long, Double)].collect().toMap
+    val add1 = TextOps.textBigramLogprob.fn(spark, sf)
+      .select(col("doc_id"), col("avg_surprisal")).as[(Long, Double)].collect().toMap
+    assert(kn.keySet == add1.keySet)
+    // add-1 spreads V pseudo-counts across every context, inflating the
+    // surprisal of SEEN bigrams; KN discounts only 0.75 per type — on text
+    // scored by its own training corpus KN must be sharper in aggregate
+    val meanKn = kn.values.sum / kn.size
+    val meanAdd1 = add1.values.sum / add1.size
+    assert(meanKn < meanAdd1,
+      s"KN mean surprisal $meanKn not below add-1 $meanAdd1")
+    // and every score is a valid finite positive surprisal
+    assert(kn.values.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
+  }
+
   test("text_substring_dup: diagonal islands coalesce anchors into maximal runs") {
     val run1 = (1 to 12).map(i => s"r$i").mkString(" ") // 12-token shared run
     val run2 = (1 to 8).map(i => s"q$i").mkString(" ")  // exactly-8-token run
