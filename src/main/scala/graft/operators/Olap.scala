@@ -1531,8 +1531,77 @@ object Olap {
       .orderBy("cohort", "offset")
   }
 
+  /** SEASONAL-NAIVE BACKTEST — the forecast-accuracy report that decides
+    * whether daily revenue needs a real model: over the gap-filled day
+    * grid, score the two zero-parameter baselines every forecasting
+    * effort must beat — `naive_1` (yesterday's value) and
+    * `seasonal_naive_7` (same weekday last week) — on the last-14-day
+    * holdout, by WAPE (Σ|err|/Σactual — the scale-free error ratio of
+    * exact integer cents; MAPE explodes on near-zero days, so WAPE is
+    * the robust choice). A model that can't beat the better baseline
+    * here isn't worth its training cost.
+    *
+    * Scale shape: one partial-aggregable daily roll-up, then every
+    * window runs over the gap-filled DAY GRID — bounded by the calendar
+    * (the `events_ewma` frame argument), never the event count; the
+    * holdout cut is a broadcast bounds scalar. */
+  val eventsSeasonalBacktest = sql(
+    "events_seasonal_backtest",
+    """WITH g AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |           FROM events GROUP BY 1),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM g),
+      |grid AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+      |f AS (SELECT grid.day, coalesce(g.cents, 0) AS cents
+      |      FROM grid LEFT JOIN g ON g.day = grid.day),
+      |w AS (SELECT day, cents,
+      |             lag(cents, 7) OVER (ORDER BY day) AS fc7,
+      |             lag(cents, 1) OVER (ORDER BY day) AS fc1
+      |      FROM f),
+      |h AS (SELECT w.* FROM w CROSS JOIN b WHERE w.day > b.hi - 14),
+      |sc AS (SELECT 'naive_1' AS model, count(*) AS n_days,
+      |              CAST(sum(abs(cents - fc1)) AS BIGINT) AS sum_abs_err,
+      |              sum(cents) AS sum_actual
+      |       FROM h
+      |       UNION ALL
+      |       SELECT 'seasonal_naive_7', count(*),
+      |              CAST(sum(abs(cents - fc7)) AS BIGINT), sum(cents)
+      |       FROM h)
+      |SELECT model, CAST(n_days AS BIGINT) AS n_days, sum_abs_err,
+      |       CASE WHEN sum_actual = 0 THEN -1
+      |            ELSE round(sum_abs_err * 1.0 / sum_actual, 4) END AS wape
+      |FROM sc ORDER BY model""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, d)
+      .select(expr("t_us div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+    val b = g.agg(min("day").as("lo"), max("day").as("hi"))
+    val grid = b.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val f = grid.join(g, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val o = Window.orderBy("day") // bounded day-grid frame (events_ewma argument)
+    val h = f
+      .withColumn("fc7", lag("cents", 7).over(o))
+      .withColumn("fc1", lag("cents", 1).over(o))
+      .crossJoin(broadcast(b))
+      .filter(col("day") > col("hi") - 14)
+    def score(model: String, fc: org.apache.spark.sql.Column) =
+      h.agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - fc)).as("sum_abs_err"),
+        sum("cents").as("sum_actual"))
+        .select(lit(model).as("model"), col("n_days"), col("sum_abs_err"),
+          when(col("sum_actual") === 0, lit(-1.0))
+            .otherwise(round(col("sum_abs_err") * lit(1.0) / col("sum_actual"), 4))
+            .as("wape"))
+    score("naive_1", col("fc1"))
+      .unionByName(score("seasonal_naive_7", col("fc7")))
+      .orderBy("model")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
+    eventsSeasonalBacktest,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,

@@ -1646,6 +1646,71 @@ object Similarity {
       .orderBy("step")
   }
 
+  /** EMBEDDING OUTLIER flags — encoder QC per label cohort: a vector is
+    * an outlier when its squared distance to its label's centroid sits
+    * more than 2σ ABOVE the cohort mean (mislabeled/corrupted items,
+    * encoder regressions on a slice). The z-test is the `events_anomaly`
+    * exact-integer discipline applied to embeddings: centroids and
+    * distances live in 2⁻²⁰ fixed point (the `sim_kmeans_iter`
+    * quantization), and (n·d − S)² > 4·(n·Q − S²) ∧ n·d > S is evaluated
+    * over exact integer sums in DECIMAL(38)/HUGEINT — no float mean or
+    * variance ever exists, so the flag is bit-identical across engines
+    * and reduction orders.
+    *
+    * Scale shape: per-(label, dim) centroid sums (partial-aggregable),
+    * tiny centroid + stats frames broadcast back, one distance pass, one
+    * per-label roll-up. No window, no pair join. */
+  val embOutlier = sql(
+    "emb_outlier",
+    """WITH xi AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+      |                        AS BIGINT) AS xv
+      |            FROM embeddings),
+      |cen AS (SELECT label, pos,
+      |               CAST(floor(CAST(sum(xv) AS DOUBLE) / count(*)) AS BIGINT)
+      |                 AS cv
+      |        FROM xi GROUP BY label, pos),
+      |d2 AS (SELECT x.vec_id, x.label,
+      |              sum((x.xv - c.cv) * (x.xv - c.cv)) AS dd
+      |       FROM xi x JOIN cen c ON x.label = c.label AND x.pos = c.pos
+      |       GROUP BY x.vec_id, x.label),
+      |st AS (SELECT label, count(*) AS n, sum(dd) AS s,
+      |              sum(CAST(dd AS HUGEINT) * dd) AS q
+      |       FROM d2 GROUP BY label)
+      |SELECT st.label, CAST(st.n AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN CAST(st.n AS HUGEINT) * d.dd > st.s
+      |                      AND (CAST(st.n AS HUGEINT) * d.dd - st.s)
+      |                          * (CAST(st.n AS HUGEINT) * d.dd - st.s)
+      |                          > 4 * (st.n * st.q - CAST(st.s AS HUGEINT) * st.s)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(max(d.dd) AS BIGINT) AS max_d2
+      |FROM d2 d JOIN st ON d.label = st.label
+      |GROUP BY st.label, st.n ORDER BY st.label""".stripMargin) { (s, d) =>
+    val xq = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(expr(
+        "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT))"))
+        .as(Seq("pos", "xv")))
+    val cen = xq.groupBy("label", "pos")
+      .agg(floor(sum("xv").cast("double") / count(lit(1))).cast("long").as("cv"))
+    val diff = col("xv") - col("cv")
+    val d2 = xq.join(broadcast(cen), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(diff * diff).as("dd"))
+    val st = d2.groupBy("label").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("dd").cast("decimal(38,0)").as("s"),
+      sum(col("dd").cast("decimal(19,0)") * col("dd")).as("q"))
+    val dev = col("n") * col("dd") - col("s")
+    val isOut = (col("n") * col("dd") > col("s")) &&
+      (dev * dev > lit(4) * (col("n") * col("q") - col("s") * col("s")))
+    d2.join(broadcast(st), "label")
+      .groupBy("label")
+      .agg(max(col("n").cast("long")).as("n"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        max("dd").as("max_d2"))
+      .orderBy("label")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
@@ -1653,5 +1718,5 @@ object Similarity {
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
     simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift, simKmeansIter,
-    simKcenterInit)
+    simKcenterInit, embOutlier)
 }

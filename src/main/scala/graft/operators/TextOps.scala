@@ -2245,8 +2245,67 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** DUPLICATION PARETO — how concentrated the dedup win is: the top-20
+    * clusters by duplicated TOKENS with each cluster's cumulative share
+    * of the corpus-wide duplicate-token total. If the curve saturates in
+    * a handful of clusters (boilerplate), a cheap targeted blocklist
+    * recovers most of `corpus_dedup_yield`'s savings without running the
+    * full pipeline — the prioritization read every dedup rollout starts
+    * with.
+    *
+    * Scale shape: per-cluster token roll-up (partial-aggregable), the
+    * duplicate-token total as a broadcast 1-row scalar, top-20 via
+    * TakeOrdered (exact integer rank, cluster tie-break), and the
+    * cumulative-share window runs over the BOUNDED 20-row top list (the
+    * `text_zipf_fit` frame argument) — never the cluster universe. */
+  val dedupParetoTopk = sql(
+    "dedup_pareto_topk",
+    s"""WITH RECURSIVE $clusterLabelsSqlCte,
+       |tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+       |cl AS (SELECT c.root AS cluster,
+       |              CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(CASE WHEN c.doc_id <> c.root THEN tk.n_tok
+       |                            ELSE 0 END) AS BIGINT) AS dup_tokens
+       |       FROM cc c JOIN tk ON tk.doc_id = c.doc_id
+       |       GROUP BY c.root),
+       |tot AS (SELECT sum(dup_tokens) AS total_dup FROM cl),
+       |top AS (SELECT cluster, n_docs, dup_tokens FROM cl
+       |        ORDER BY dup_tokens DESC, cluster LIMIT 20),
+       |r AS (SELECT cluster, n_docs, dup_tokens,
+       |             CAST(row_number() OVER (ORDER BY dup_tokens DESC, cluster)
+       |                  AS INT) AS rank,
+       |             sum(dup_tokens) OVER (ORDER BY dup_tokens DESC, cluster
+       |                                   ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM top)
+       |SELECT r.rank, r.cluster, r.n_docs, r.dup_tokens,
+       |       CASE WHEN t.total_dup = 0 THEN 0.0
+       |            ELSE round(r.cum * 1.0 / t.total_dup, 4) END AS cum_share
+       |FROM r CROSS JOIN tot t ORDER BY r.rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val cl = clusterLabels(s, d).join(tk, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("cluster"), col("n_tok")).otherwise(0L))
+          .as("dup_tokens"))
+    val tot = cl.agg(sum("dup_tokens").as("total_dup"))
+    val top = cl.orderBy(col("dup_tokens").desc, col("cluster")).limit(20)
+    val o = Window.orderBy(col("dup_tokens").desc, col("cluster")) // 20-row frame
+    top
+      .withColumn("rank", row_number().over(o).cast("int"))
+      .withColumn("cum", sum("dup_tokens")
+        .over(o.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("cluster"), col("n_docs"), col("dup_tokens"),
+        when(col("total_dup") === 0, lit(0.0))
+          .otherwise(round(col("cum") * lit(1.0) / col("total_dup"), 4))
+          .as("cum_share"))
+      .orderBy("rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    textSubstringDup, corpusDedupYield, textBigramKn,
+    textSubstringDup, corpusDedupYield, textBigramKn, dedupParetoTopk,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,

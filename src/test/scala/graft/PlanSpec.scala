@@ -772,6 +772,57 @@ class PlanSpec extends AnyFunSuite {
       "c12/ctx/continuation/type-count aggregates must combine map-side")
   }
 
+  test("events_seasonal_backtest: windows consume the day aggregate; holdout cut broadcast") {
+    val df = SparkEntry.queries("events_seasonal_backtest")(spark, sf)
+    df.collect()
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // the lag windows run over the calendar-bounded day grid, never raw
+    // events (the events_ewma frame argument)
+    windows.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined, "window must consume the day aggregate, not raw events")
+    }
+    assert(!executedPlan("events_seasonal_backtest").contains("SortMergeJoin"),
+      "bounds scalar must broadcast")
+  }
+
+  test("dedup_pareto_topk: top-20 is a limit, the share window sees only the 20-row list") {
+    val df = SparkEntry.queries("dedup_pareto_topk")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // every window must sit above the LIMIT 20 (the zipf bounded-frame
+    // discipline): a Limit node below the window proves the frame is 20
+    // rows, not the cluster universe
+    windows.foreach { w =>
+      assert(w.child.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      }.isDefined, "share window must consume the bounded top-20 list")
+    }
+  }
+
+  test("mm_audio_vad: narrow contour + per-media islands window, no join before the rollup") {
+    allWindowsPartitioned("mm_audio_vad")
+    val plan = executedPlan("mm_audio_vad")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "the voiced/total merge must stay a small equi/broadcast join")
+  }
+
+  test("emb_outlier: centroid and stats broadcast, z-test aggregates partial, no window") {
+    val plan = executedPlan("emb_outlier")
+    assert(!plan.contains("Window"), "outlier flag must be the exact-integer z-test, not a rank")
+    assert(!plan.contains("CartesianProduct"), "joins must stay label-keyed equi")
+    assert("BroadcastHashJoin".r.findAllIn(finalPlanSection("emb_outlier")).length >= 2,
+      "centroid and stats frames must broadcast back")
+  }
+
   test("sim_kcenter_init: every round broadcasts its center, argmax is an aggregate") {
     val plan = executedPlan("sim_kcenter_init")
     assert(!plan.contains("CartesianProduct"), "distance passes must stay equi-shaped")
