@@ -2304,8 +2304,234 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** One BPE merge round in the oracle SQL, from `seg$r(word, n, i, sym)`
+    * to `seg${r+1}` + the chosen merge `bt$r(a, b, c)`. Greedy leftmost
+    * pairing is exact-relational: match positions can only be ADJACENT
+    * when a = b (pos i and i+1 both matching forces sym[i+1] = b = a), so
+    * islands of consecutive matches + even-offset parity reproduce the
+    * left-to-right non-overlapping scan ("aaaa" → [aa][aa], "aaa" →
+    * [aa][a]) without any sequential fold. */
+  private def bpeRoundSql(r: Int): String = {
+    val (s, s1) = (s"seg$r", s"seg${r + 1}")
+    s"""pr$r AS (SELECT x.word, x.n, x.i, x.sym AS a, y.sym AS b
+       |         FROM $s x JOIN $s y ON x.word = y.word AND y.i = x.i + 1),
+       |bt$r AS (SELECT a, b, c FROM
+       |           (SELECT a, b, sum(n) AS c FROM pr$r GROUP BY a, b)
+       |         ORDER BY c DESC, a, b LIMIT 1),
+       |mp$r AS (SELECT p.word, p.i FROM pr$r p
+       |         JOIN bt$r t ON p.a = t.a AND p.b = t.b),
+       |il$r AS (SELECT word, i,
+       |                i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+       |         FROM mp$r),
+       |sl$r AS (SELECT word, i FROM
+       |           (SELECT word, i,
+       |                   i - min(i) OVER (PARTITION BY word, grp) AS off
+       |            FROM il$r) WHERE off % 2 = 0),
+       |rb$r AS (SELECT g.word, g.n, g.i,
+       |                CASE WHEN m1.i IS NOT NULL THEN t.a || t.b
+       |                     WHEN m2.i IS NOT NULL THEN NULL
+       |                     ELSE g.sym END AS sym
+       |         FROM $s g CROSS JOIN bt$r t
+       |         LEFT JOIN sl$r m1 ON g.word = m1.word AND g.i = m1.i
+       |         LEFT JOIN sl$r m2 ON g.word = m2.word AND g.i = m2.i + 1),
+       |$s1 AS (SELECT word, n,
+       |               CAST(row_number() OVER (PARTITION BY word ORDER BY i)
+       |                    AS BIGINT) AS i, sym
+       |        FROM rb$r WHERE sym IS NOT NULL)""".stripMargin
+  }
+
+  /** BPE TOKENIZER TRAINING — 3 unrolled merge rounds of the Sennrich
+    * et al. byte-pair-encoding trainer, the step `text_bigram_topk` only
+    * scores candidates for: per round, count every adjacent symbol pair
+    * over the word-type vocabulary weighted by word frequency, pick the
+    * max (count DESC, then lexicographic — fully deterministic), and
+    * apply it greedily leftmost to every word's segmentation. Output is
+    * the learned merge table (round, pair, merged symbol, count) — the
+    * artifact a tokenizer ships.
+    *
+    * The greedy-overlap subtlety ("aaaa" must pair as [aa][aa], not
+    * [aa]a[a]-style): adjacent match positions only occur when a = b, so
+    * islands-of-consecutive-matches + even-offset parity reproduce the
+    * sequential left-to-right scan exactly — spec-proven on a planted
+    * repeated-letter fixture.
+    *
+    * Scale shape: training runs over the DEDUPLICATED word-type table
+    * (the classic dict-of-words formulation — vocabulary-sized, not
+    * corpus-sized, after one partial-aggregable word count); every window
+    * is partitioned by word and bounded by word LENGTH; the chosen pair
+    * is a 1-row aggregate broadcast back. No corpus-sized window, no pair
+    * join beyond the i→i+1 self-join on the segmentation. */
+  val textBpeTrain = sql(
+    "text_bpe_train",
+    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |                 FROM documents)
+       |           WHERE word <> '' GROUP BY word),
+       |seg1 AS (SELECT word, n,
+       |                CAST(unnest(range(1, len(word) + 1)) AS BIGINT) AS i,
+       |                substr(word, CAST(unnest(range(1, len(word) + 1)) AS INT), 1)
+       |                  AS sym
+       |         FROM w),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}
+       |SELECT r AS round, a, b, a || b AS merged, CAST(c AS BIGINT) AS pair_count
+       |FROM (SELECT 1 AS r, * FROM bt1
+       |      UNION ALL SELECT 2, * FROM bt2
+       |      UNION ALL SELECT 3, * FROM bt3)
+       |ORDER BY r""".stripMargin) { (s, d) =>
+    val (bt1, bt2, bt3, _) = bpeRounds(s, d)
+    def outRow(r: Int, bt: org.apache.spark.sql.DataFrame) =
+      bt.select(lit(r).as("round"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"),
+        col("c").cast("long").as("pair_count"))
+    outRow(1, bt1).unionByName(outRow(2, bt2)).unionByName(outRow(3, bt3))
+      .orderBy("round")
+  }
+
+  /** Initial character segmentation over the word-type vocabulary:
+    * (word, n, i, sym). */
+  private[graft] def bpeSeg1(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    w.select(col("word"), col("n"),
+      posexplode(expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+        .as(Seq("p0", "sym")))
+      .select(col("word"), col("n"), (col("p0") + 1).cast("long").as("i"),
+        col("sym"))
+  }
+
+  /** One BPE merge round: seg → (nextSeg, chosen merge bt(a, b, c)). The
+    * plan shape is the scale contract (PlanSpec asserts it per-round):
+    * every window word-partitioned, the winner a 1-row broadcast, pair
+    * counts partial-aggregable, no cartesian beyond the 1-row winner. */
+  private[graft] def bpeMergeRound(seg: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wWord = Window.partitionBy("word").orderBy("i")
+    val right = seg.select(col("word").as("w2"), col("i").as("i2"),
+      col("sym").as("b"))
+    val pr = seg.join(right,
+        col("word") === col("w2") && col("i2") === col("i") + 1)
+      .select(col("word"), col("n"), col("i"), col("sym").as("a"), col("b"))
+    val bt = pr.groupBy("a", "b").agg(sum("n").as("c"))
+      .agg(min(struct((-col("c")).as("nc"), col("a"), col("b"))).as("m"))
+      .select(col("m.a").as("a"), col("m.b").as("b"), (-col("m.nc")).as("c"))
+    val mp = pr.join(broadcast(bt.select(col("a").as("ba"), col("b").as("bb"))),
+        col("a") === col("ba") && col("b") === col("bb"))
+      .select(col("word"), col("i"))
+    val sl = mp
+      .withColumn("grp", col("i") - row_number().over(wWord))
+      .withColumn("off",
+        col("i") - min("i").over(Window.partitionBy("word", "grp")))
+      .filter(col("off") % 2 === 0)
+      .select(col("word"), col("i"))
+    val rb = seg.crossJoin(broadcast(bt))
+      .join(sl.select(col("word").as("sw1"), col("i").as("si1")),
+        col("word") === col("sw1") && col("i") === col("si1"), "left")
+      .join(sl.select(col("word").as("sw2"), col("i").as("si2")),
+        col("word") === col("sw2") && col("i") === col("si2") + 1, "left")
+      .select(col("word"), col("n"), col("i"),
+        when(col("si1").isNotNull, concat(col("a"), col("b")))
+          .when(col("si2").isNotNull, lit(null))
+          .otherwise(col("sym")).as("sym"))
+      .filter(col("sym").isNotNull)
+    val next = rb.withColumn("i", row_number().over(wWord).cast("long"))
+      .select("word", "n", "i", "sym")
+    (next, bt)
+  }
+
+  /** The 3 chained rounds — the ONE machinery shared by the trainer
+    * (`text_bpe_train`, reads the bt frames) and the evaluator
+    * (`text_bpe_apply`, reads seg4), so the applied tokenizer cannot fork
+    * from the trained one. Each round's outputs are `localCheckpoint`ed
+    * (eager): iterative DataFrame composition otherwise references the
+    * previous segmentation ~4× per round, compounding to ~4³ copies of
+    * the base subtree — MEASURED 57 s of pure plan optimization at sf0.1
+    * vs ~2 s checkpointed. The checkpointed state is VOCABULARY-sized
+    * (word types × symbols), so truncation is cheap at any corpus scale —
+    * the standard iterative-algorithm pattern (ALS/GraphX do the same).
+    * Returns (bt1, bt2, bt3, seg4). */
+  private def bpeRounds(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    var seg = bpeSeg1(s, d).localCheckpoint()
+    val bts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    (1 to 3).foreach { _ =>
+      val (next, bt) = bpeMergeRound(seg)
+      bts += bt.localCheckpoint()
+      seg = next.localCheckpoint()
+    }
+    (bts(0), bts(1), bts(2), seg)
+  }
+
+  /** Final segmentation after the 3 trained merges (see [[bpeRounds]]). */
+  private def bpeSeg4(s: org.apache.spark.sql.SparkSession, d: String) =
+    bpeRounds(s, d)._4
+
+  /** BPE TOKENIZER EVALUATION — the trained merge table applied back to
+    * the corpus: per document, word count, BPE token count after the 3
+    * learned merges, and the chars-per-token COMPRESSION ratio — the
+    * fertility number that decides whether a tokenizer (and its training
+    * budget) is worth shipping for a corpus/language. Shares the exact
+    * round machinery with `text_bpe_train` (same Spark round function,
+    * same oracle CTEs), so the evaluation cannot fork from the trainer.
+    *
+    * Scale shape: segmentation work stays VOCABULARY-sized (per-word-type
+    * token counts after 3 rounds), then one word-keyed equi-join onto the
+    * per-doc word counts and a partial-aggregable per-doc roll-up — the
+    * corpus is touched once, by the word explode. */
+  val textBpeApply = sql(
+    "text_bpe_apply",
+    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |                 FROM documents)
+       |           WHERE word <> '' GROUP BY word),
+       |seg1 AS (SELECT word, n,
+       |                CAST(unnest(range(1, len(word) + 1)) AS BIGINT) AS i,
+       |                substr(word, CAST(unnest(range(1, len(word) + 1)) AS INT), 1)
+       |                  AS sym
+       |         FROM w),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)},
+       |tc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok,
+       |              CAST(len(min(word)) AS BIGINT) AS n_chr
+       |       FROM seg4 GROUP BY word),
+       |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS m
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |             FROM documents)
+       |       WHERE word <> '' GROUP BY doc_id, word)
+       |SELECT dw.doc_id,
+       |       CAST(sum(dw.m) AS BIGINT) AS n_words,
+       |       CAST(sum(dw.m * tc.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |       round(sum(dw.m * tc.n_chr) * 1.0 / sum(dw.m * tc.n_tok), 4)
+       |         AS chars_per_token
+       |FROM dw JOIN tc ON dw.word = tc.word
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin) { (s, d) =>
+    val seg4 = bpeSeg4(s, d)
+    val tc = seg4.groupBy("word")
+      .agg(count(lit(1)).as("n_tok"), length(min("word")).cast("long").as("n_chr"))
+    val dw = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("m"))
+    dw.join(tc, "word")
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_words"),
+        sum(col("m") * col("n_tok")).as("n_bpe_tokens"),
+        round(sum(col("m") * col("n_chr")) * lit(1.0)
+          / sum(col("m") * col("n_tok")), 4).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textSubstringDup, corpusDedupYield, textBigramKn, dedupParetoTopk,
+    textBpeTrain, textBpeApply,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,

@@ -335,6 +335,45 @@ object Jobs {
         })
   }
 
+  final case class GrowthHit(userId: Long, day: Long, state: String)
+
+  /** STREAMING growth accounting — the online twin of the batch
+    * `events_growth_accounting` query: per entity, ONE word of state (the
+    * last active day); the first event of each new activity day emits the
+    * user's lifecycle classification live (`new` on first sight,
+    * `retained` within 7 days, `resurrected` after a longer silence) —
+    * counts-by-(day, state) downstream reproduce the batch decomposition
+    * exactly (parity spec). Same-day repeat events emit nothing and cost
+    * nothing. One word per entity is the smallest state this engine
+    * carries (half of `funnelSteps`' two); the `stateTtlUs` pattern
+    * applies verbatim if an unbounded anonymous keyspace forces the
+    * trade, with the documented divergence that an expired user re-enters
+    * as `new`. Within a micro-batch rows apply in event-time order;
+    * across batches in arrival order (the `anomalyAlerts` contract, the
+    * batch query as the ordered replay). */
+  def growthStream(events: Dataset[Event]): Dataset[GrowthHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[Long]) => {
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[GrowthHit]
+          rows.map(_.tsMicros / 86400000000L).toSeq.sorted.foreach { day =>
+            if (day > last) {
+              val st =
+                if (last == Long.MinValue) "new"
+                else if (day - last <= 7) "retained"
+                else "resurrected"
+              out += GrowthHit(userId, day, st)
+              last = day
+            }
+          }
+          state.update(last)
+          out.iterator
+        })
+  }
+
   final case class StatState(n: Long, s: Long, q: Long)
   final case class AnomalyAlert(userId: Long, tsMicros: Long, cents: Long, nPrior: Long)
 

@@ -823,6 +823,41 @@ class PlanSpec extends AnyFunSuite {
       "centroid and stats frames must broadcast back")
   }
 
+  test("text_bpe rounds: per-word windows, pair counts partial, winner broadcast " +
+    "(asserted on ONE round — the chained query truncates lineage per round)") {
+    // the full 3-round queries localCheckpoint between rounds (lineage
+    // truncation: ~4x subtree compounding per round measured 57 s of plan
+    // optimization at sf0.1), so the scale contract is asserted on the
+    // round machinery itself
+    val (next, _) = graft.operators.TextOps.bpeMergeRound(
+      graft.operators.TextOps.bpeSeg1(spark, sf))
+    next.collect()
+    val plan = next.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "segmentation joins must stay (word, i) equi; only the 1-row winner broadcasts")
+    val windows = next.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "every island/reindex window must be word-partitioned (bounded by word length)")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "the round's pair counts must combine map-side")
+  }
+
+  test("text_bpe_apply: segmentation stays vocab-sized, doc stats by one word equi-join") {
+    // the round internals are guarded by the dedicated round test; this
+    // plan starts from the checkpointed seg4, so it shows the consumer
+    // side: word-keyed equi-join + partial-aggregable roll-ups, no window
+    val plan = executedPlan("text_bpe_apply")
+    assert(!plan.contains("CartesianProduct"),
+      "the tokenizer applies by word-keyed equi-join, never a cartesian")
+    assert(!plan.contains("Window"),
+      "the consumer side must not window — ranks live in the round machinery")
+    assert("HashAggregate".r.findAllIn(finalPlanSection("text_bpe_apply")).length >= 4,
+      "per-word token counts and the per-doc roll-up must partial-aggregate")
+  }
+
   test("sim_kcenter_init: every round broadcasts its center, argmax is an aggregate") {
     val plan = executedPlan("sim_kcenter_init")
     assert(!plan.contains("CartesianProduct"), "distance passes must stay equi-shaped")

@@ -292,6 +292,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("growthStream: live lifecycle feed reproduces the batch growth accounting") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val batch = SparkEntry.queries("events_growth_accounting")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("t_us"), col("value"))
+      .collect()
+      .map(r => Jobs.Event(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_.tsMicros)
+    val mem = MemoryStream[Jobs.Event]
+    val q = Jobs.growthStream(mem.toDS()).writeStream.format("memory")
+      .queryName("growth_stream").outputMode("append").start()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    mem.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("growth_stream").as[Jobs.GrowthHit].collect()
+      .groupBy(h => (h.day, h.state)).view.mapValues(_.length.toLong).toMap
+    assert(got == batch,
+      s"streaming lifecycle counts diverged: extra=${(got.toSet -- batch.toSet).take(3)} " +
+        s"missing=${(batch.toSet -- got.toSet).take(3)}")
+  }
+
   test("scd2Stream: live closed intervals match the batch SCD-2 build row-for-row") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -484,6 +484,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kn.values.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
   }
 
+  test("text_bpe_train: greedy leftmost pairing — repeated letters merge with correct parity") {
+    // 'aaab' must segment [aa, a, b] after merging (a,a) — the WRONG parity
+    // ([a, aa, b]) would surface as round-2 merge (a, aa) instead of (a, b),
+    // and the whole downstream merge table would fork
+    val dir = writeDocs(Seq(
+      0L -> "aaab aaab aaab bb"))
+    val got = TextOps.textBpeTrain.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", "aa", 6L),    // aaab has 2 overlapping (a,a) x 3 copies
+      (2, "a", "b", "ab", 3L),    // tie (aa,a)=3 vs (a,b)=3 → lexicographic
+      (3, "aa", "ab", "aaab", 3L) // the word reassembles — parity held
+    ), s"merge table: ${got.toSeq}")
+  }
+
   test("text_substring_dup: diagonal islands coalesce anchors into maximal runs") {
     val run1 = (1 to 12).map(i => s"r$i").mkString(" ") // 12-token shared run
     val run2 = (1 to 8).map(i => s"q$i").mkString(" ")  // exactly-8-token run
