@@ -1599,9 +1599,82 @@ object Olap {
       .orderBy("model")
   }
 
+  /** A/B EXPERIMENT READOUT — the two-proportion z-test every
+    * experimentation platform runs, in EXACT integer arithmetic: variant
+    * assignment by the shared md5 hash gate (deterministic, the
+    * `split_assign` discipline — no assignment table to store), metric =
+    * heavy-buyer conversion (≥ 14 purchases — the corpus mean, so the
+    * null split lands near 50% and the test has real variance to work
+    * with), and the |z| > 2 significance decision cross-multiplied into
+    * D²·N > 4·X·(N−X)·n_a·n_b over integer counts (D = x_a·n_b − x_b·n_a,
+    * X = x_a+x_b, N = n_a+n_b) — no float proportion or pooled variance
+    * ever exists, so the verdict is bit-identical across engines. The
+    * strict > also makes the zero-variance degenerate cases (all or none
+    * converted → D = 0 = both sides) correctly NOT significant. On the
+    * hash split this is an A/A test and the spec pins the null
+    * calibration (must not fire) plus a planted divergent fixture (must
+    * fire) — the `corpus_quality_drift` certificate discipline.
+    * DECIMAL(38)/HUGEINT intermediates are exact through arm sizes ~10⁷;
+    * beyond that any real difference is astronomically significant and
+    * the float z is the honest form.
+    *
+    * Scale shape: one per-user purchase-count aggregate, a 2-row arm
+    * aggregate — the test itself runs on 4 scalars. No window, no join
+    * against an assignment table. */
+  val eventsAbTest = sql(
+    "events_ab_test",
+    s"""WITH u AS (SELECT user_id,
+       |                 CASE WHEN sum(CASE WHEN event_type = 'purchase'
+       |                                    THEN 1 ELSE 0 END) >= 14
+       |                      THEN 1 ELSE 0 END AS conv
+       |          FROM events GROUP BY user_id),
+       |arms AS (SELECT CASE WHEN ${Keys.hexBucketSql("user_id")} < 32768
+       |                     THEN 'A' ELSE 'B' END AS variant,
+       |                CAST(count(*) AS BIGINT) AS n,
+       |                CAST(sum(conv) AS BIGINT) AS x
+       |         FROM u GROUP BY 1),
+       |s AS (SELECT max(CASE WHEN variant = 'A' THEN n END) AS na,
+       |             max(CASE WHEN variant = 'A' THEN x END) AS xa,
+       |             max(CASE WHEN variant = 'B' THEN n END) AS nb,
+       |             max(CASE WHEN variant = 'B' THEN x END) AS xb
+       |      FROM arms)
+       |SELECT na AS n_a, xa AS conv_a, nb AS n_b, xb AS conv_b,
+       |       round(xa * 1.0 / na, 4) AS rate_a,
+       |       round(xb * 1.0 / nb, 4) AS rate_b,
+       |       (CAST(xa * nb - xb * na AS HUGEINT)
+       |          * (xa * nb - xb * na) * (na + nb)
+       |        > 4 * CAST(xa + xb AS HUGEINT)
+       |            * (na + nb - xa - xb) * na * nb) AS significant
+       |FROM s""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14, 1L).otherwise(0L).as("conv"))
+    val arms = u
+      .select(when(Keys.hexBucketCol(col("user_id")) < 32768, "A").otherwise("B")
+        .as("variant"), col("conv"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+    val sc = arms.agg(
+      max(when(col("variant") === "A", col("n"))).as("na"),
+      max(when(col("variant") === "A", col("x"))).as("xa"),
+      max(when(col("variant") === "B", col("n"))).as("nb"),
+      max(when(col("variant") === "B", col("x"))).as("xb"))
+    val dec = "decimal(38,0)"
+    val dD = (col("xa") * col("nb") - col("xb") * col("na")).cast(dec)
+    sc.select(col("na").as("n_a"), col("xa").as("conv_a"),
+      col("nb").as("n_b"), col("xb").as("conv_b"),
+      round(col("xa") * lit(1.0) / col("na"), 4).as("rate_a"),
+      round(col("xb") * lit(1.0) / col("nb"), 4).as("rate_b"),
+      (dD * dD * (col("na") + col("nb")).cast(dec) >
+        lit(4) * (col("xa") + col("xb")).cast(dec)
+          * (col("na") + col("nb") - col("xa") - col("xb")).cast(dec)
+          * col("na").cast(dec) * col("nb").cast(dec)).as("significant"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
-    eventsSeasonalBacktest,
+    eventsSeasonalBacktest, eventsAbTest,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,

@@ -318,4 +318,43 @@ class OlapSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-3, s"$lang shares sum to $s")
     }
   }
+
+  test("events_ab_test: the A/A hash split never fires; a planted divergence does") {
+    import spark.implicits._
+    // null calibration: the hash split is an A/A test on the real corpus
+    val aa = SparkEntry.queries("events_ab_test")(spark, sf).collect().head
+    assert(!aa.getBoolean(6),
+      s"A/A split fired: rates ${aa.getDouble(4)} vs ${aa.getDouble(5)}")
+    // planted divergence: arm-A users are heavy buyers (20 purchases),
+    // arm-B users are not (1) — arm membership computed with the SAME
+    // shared hash gate the query uses, so the plant can't mis-assign
+    val arms = (1L to 60L).toDF("user_id")
+      .select(col("user_id"),
+        (graft.operators.Keys.hexBucketCol(col("user_id")) < 32768).as("isA"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(arms.values.exists(identity) && arms.values.exists(!_),
+      "fixture needs users in both arms")
+    val dayNs = 86400L * 1000000000L
+    val rows = (1L to 60L).flatMap { u =>
+      val k = if (arms(u)) 20 else 1
+      (1 to k).map(j => (u * 1000 + j, j * dayNs, u, "purchase", 1.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ab-plant").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("events_ab_test")(spark, dir).collect().head
+    assert(r.getBoolean(6), s"planted divergence must fire: $r")
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 0.0,
+      s"rates must separate completely: $r")
+    // degenerate guard: if EVERYONE converts, D = 0 and the strict
+    // inequality correctly reports not-significant (zero variance)
+    val allRows = (1L to 60L).flatMap { u =>
+      (1 to 20).map(j => (u * 1000 + j, j * dayNs, u, "purchase", 1.0, "{}"))
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("ab-degen").toString
+    allRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val r2 = SparkEntry.queries("events_ab_test")(spark, dir2).collect().head
+    assert(!r2.getBoolean(6), s"zero-variance case must not fire: $r2")
+  }
 }

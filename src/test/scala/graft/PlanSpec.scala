@@ -858,6 +858,15 @@ class PlanSpec extends AnyFunSuite {
       "per-word token counts and the per-doc roll-up must partial-aggregate")
   }
 
+  test("events_ab_test: two aggregates and four scalars — no window, no assignment join") {
+    val plan = executedPlan("events_ab_test")
+    assert(!plan.contains("Window"), "the z-test must not window")
+    assert(!plan.contains("Join"),
+      "variant assignment is the in-row hash gate — no assignment table join")
+    assert("HashAggregate".r.findAllIn(finalPlanSection("events_ab_test")).length >= 2,
+      "per-user and per-arm aggregates must combine map-side")
+  }
+
   test("sim_kcenter_init: every round broadcasts its center, argmax is an aggregate") {
     val plan = executedPlan("sim_kcenter_init")
     assert(!plan.contains("CartesianProduct"), "distance passes must stay equi-shaped")

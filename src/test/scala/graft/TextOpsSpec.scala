@@ -500,6 +500,53 @@ class TextOpsSpec extends AnyFunSuite {
     ), s"merge table: ${got.toSeq}")
   }
 
+  test("text_bpe_train: relational rounds match an independent sequential BPE " +
+      "on randomized corpora") {
+    // reference implementation: the classic sequential fold (count all
+    // adjacent pairs; merge greedy leftmost), written with none of the
+    // islands/parity machinery under test
+    def refBpe(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+      var segs: Seq[(Vector[String], Long)] =
+        words.toSeq.map { case (w, n) => w.toVector.map(_.toString) -> n }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      (1 to rounds).foreach { _ =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        segs.foreach { case (syms, n) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+        }
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), k) => (-k, x, y) }
+        out += ((a, b, c))
+        segs = segs.map { case (syms, n) =>
+          val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              nb += (a + b); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          nb.toVector -> n
+        }
+      }
+      out.toSeq
+    }
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // heavy repetition from a 3-letter alphabet so repeated-letter runs
+      // (the parity-sensitive case) occur often
+      val words = (1 to 10).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => "abc" (rnd.nextInt(3))).mkString
+      }
+      val counts = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val text = words.mkString(" ")
+      val dir = writeDocs(Seq(0L -> text))
+      val got = TextOps.textBpeTrain.fn(spark, dir).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val expect = refBpe(counts, 3)
+      assert(got == expect, s"seed $seed: corpus '$text': $got != $expect")
+    }
+  }
+
   test("text_substring_dup: diagonal islands coalesce anchors into maximal runs") {
     val run1 = (1 to 12).map(i => s"r$i").mkString(" ") // 12-token shared run
     val run2 = (1 to 8).map(i => s"q$i").mkString(" ")  // exactly-8-token run
