@@ -1672,9 +1672,95 @@ object Olap {
           * col("na").cast(dec) * col("nb").cast(dec)).as("significant"))
   }
 
+  /** KAPLAN-MEIER repeat-purchase latency — the censoring-correct "days
+    * until the next purchase" curve (the naive histogram of observed gaps
+    * OVERSTATES fast repurchase: a customer whose observation window ends
+    * before their next purchase is not a non-repurchaser — they are
+    * CENSORED). Subjects are distinct per-user purchase DAYS: the next
+    * purchase day is an observed death at t = next − day (one per-user
+    * lead window); a user's last purchase day is censored at horizon −
+    * day. S(t) multiplies (1 − d/n) over death times; the risk set
+    * shrinks by both deaths and censorings. Exact integer day arithmetic
+    * for every count; the only floats are the hazard ratios and the 4-dp
+    * survival product (exp-sum-ln over the t-ordered frame).
+    *
+    * Scale shape: distinct (user, day) pre-shrink, ONE user-partitioned
+    * lead window, a (t, flag) roll-up, then every remaining window runs
+    * over the DISTINCT-DURATION frame — bounded by the calendar span
+    * (the `events_ewma` argument), never the user or purchase count.
+    * Horizon is a broadcast 1-row scalar. */
+  val eventsSurvivalKm = sql(
+    "events_survival_km",
+    """WITH p AS (SELECT DISTINCT user_id,
+      |                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events WHERE event_type = 'purchase'),
+      |h AS (SELECT max(day) AS hz FROM p),
+      |iv AS (SELECT user_id, day,
+      |              lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+      |       FROM p),
+      |lf AS (SELECT CASE WHEN iv.nxt IS NULL THEN h.hz - iv.day
+      |                   ELSE iv.nxt - iv.day END AS t,
+      |              CASE WHEN iv.nxt IS NULL THEN 0 ELSE 1 END AS death
+      |       FROM iv CROSS JOIN h),
+      |g AS (SELECT t, CAST(sum(death) AS BIGINT) AS d,
+      |             CAST(count(*) AS BIGINT) AS leave_t
+      |      FROM lf GROUP BY t),
+      |r AS (SELECT t, d,
+      |             (SELECT count(*) FROM lf) -
+      |             coalesce(sum(leave_t) OVER (ORDER BY t
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |               AS n_risk
+      |      FROM g),
+      |s AS (SELECT t, d, n_risk,
+      |             round(CASE WHEN sum(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+      |                          OVER w > 0 THEN 0.0
+      |                   ELSE exp(sum(CASE WHEN d < n_risk
+      |                                     THEN ln(1.0 - d * 1.0 / n_risk)
+      |                                     ELSE 0.0 END) OVER w) END, 4)
+      |               AS survival
+      |      FROM r WHERE d > 0
+      |      WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))
+      |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_deaths, survival
+      |FROM s ORDER BY t""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"))
+      .distinct()
+    val h = p.agg(max("day").as("hz"))
+    val wUser = Window.partitionBy("user_id").orderBy("day")
+    val lf = p.withColumn("nxt", lead("day", 1).over(wUser))
+      .crossJoin(broadcast(h))
+      .select(
+        when(col("nxt").isNull, col("hz") - col("day"))
+          .otherwise(col("nxt") - col("day")).as("t"),
+        when(col("nxt").isNull, 0L).otherwise(1L).as("death"))
+    val g = lf.groupBy("t")
+      .agg(sum("death").as("d"), count(lit(1)).as("leave_t"))
+    val total = lf.agg(count(lit(1)).as("n_total"))
+    val wPrior = Window.orderBy("t") // bounded distinct-duration frame
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum("leave_t").over(wPrior), lit(0L)))
+      .filter(col("d") > 0)
+      // the terminal all-die time has factor 0: ln(0) errors in DuckDB and
+      // nulls in Spark, so the zero factor is carried as a windowed flag
+      .withColumn("survival",
+        round(when(sum(when(col("d") >= col("n_risk"), 1L).otherwise(0L))
+            .over(wRun) > 0, lit(0.0))
+          .otherwise(exp(sum(when(col("d") < col("n_risk"),
+            log(lit(1.0) - col("d") * lit(1.0) / col("n_risk")))
+            .otherwise(lit(0.0))).over(wRun))), 4))
+      .select(col("t"), col("n_risk"), col("d").as("n_deaths"), col("survival"))
+      .orderBy("t")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
-    eventsSeasonalBacktest, eventsAbTest,
+    eventsSeasonalBacktest, eventsAbTest, eventsSurvivalKm,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
     groupingSets, windowFamily, percentiles, dateOps, sessionize,
     rollingWindow, rangeJoin, resample, approxDistinct,

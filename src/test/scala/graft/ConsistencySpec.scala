@@ -119,6 +119,48 @@ class ConsistencySpec extends AnyFunSuite {
       s"top-20 dup tokens $paretoSum must be within the corpus total $savedTotal")
   }
 
+  test("Kaplan-Meier curve matches an independent sequential estimator") {
+    // reference: the textbook K-M computed with plain Scala collections
+    // from the same raw events — none of the windowed machinery under test
+    val p = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hz = p.map(_._2).max
+    val subjects = p.groupBy(_._1).values.flatMap { rows =>
+      val days = rows.map(_._2).sorted
+      days.zip(days.tail).map { case (a, b) => (b - a, true) } :+
+        ((hz - days.last, false))
+    }.toSeq
+    val byT = subjects.groupBy(_._1).view
+      .mapValues(s => (s.count(_._2).toLong, s.size.toLong)).toMap
+    var atRisk = subjects.size.toLong
+    var surv = 1.0
+    val expect = byT.toSeq.sortBy(_._1).flatMap { case (t, (d, leave)) =>
+      val row = if (d > 0) {
+        surv = if (d >= atRisk) 0.0 else surv * (1.0 - d.toDouble / atRisk)
+        Some((t, atRisk, d, math.rint(surv * 10000) / 10000))
+      } else None
+      atRisk -= leave
+      row
+    }
+    val got = q("events_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // compare counts exactly; survival to 4 dp with a 1-ulp tolerance for
+    // the exp-sum-ln vs direct-product formulation
+    assert(got.map(t => (t._1, t._2, t._3)) == expect.map(t => (t._1, t._2, t._3)),
+      s"risk sets diverge: $got vs $expect")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) <= 0.0001 + 1e-9,
+        s"t=${g._1}: survival ${g._4} vs reference ${e._4}")
+    }
+    // and the curve is a valid survival function: strictly within [0,1],
+    // nonincreasing
+    val curve = got.map(_._4)
+    assert(curve.forall(s => s >= 0 && s <= 1))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
+  }
+
   test("substring runs imply span-level duplication: every run pair has dup spans on both sides") {
     val dup = q("text_substring_dup").collect()
       .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet

@@ -858,6 +858,47 @@ class PlanSpec extends AnyFunSuite {
       "per-word token counts and the per-doc roll-up must partial-aggregate")
   }
 
+  test("GLOBAL: every unpartitioned window in EVERY registered query consumes an aggregate") {
+    // the repo-wide scale invariant behind all the per-query guards: an
+    // unpartitioned window is only legal over a frame already reduced by
+    // aggregation (day grids, top-k lists, bucket reductions — bounded by
+    // calendar/k/width, not the corpus). A violation is the single-task
+    // sort that kills a 100 TB run. Sweeps the full surface so a NEW query
+    // cannot ship the anti-pattern unguarded.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sf)
+        df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty && w.child.collectFirst {
+                case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+              }.isEmpty =>
+            name
+        }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"unpartitioned window over a non-aggregated frame in: $offenders")
+  }
+
+  test("events_survival_km: per-user lead window; curve windows consume the duration aggregate") {
+    val df = SparkEntry.queries("events_survival_km")(spark, sf)
+    df.collect()
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // the only unpartitioned windows run over the distinct-duration frame
+    // (calendar-bounded): each must sit above the (t) aggregate, never the
+    // raw purchase stream
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined, "unpartitioned curve window must consume the duration aggregate")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the next-purchase lead must be a user-partitioned window")
+  }
+
   test("events_ab_test: two aggregates and four scalars — no window, no assignment join") {
     val plan = executedPlan("events_ab_test")
     assert(!plan.contains("Window"), "the z-test must not window")
