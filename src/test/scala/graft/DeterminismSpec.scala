@@ -23,6 +23,16 @@ object RfGolden {
   val md5 = "a76394b557fbef2b9f0ece6a2e87ee7b"
 }
 
+/** Pinned golden canonical output of `cv_player_pipeline` at sf0.001
+  * (computed by [[GoldenDump]]; every stage — stub decode, stub pose,
+  * posture gate, digit spotting, seeded k-means color, stats join — is
+  * deterministic). Re-pin ONLY in a commit that deliberately changes the
+  * pipeline. */
+object CvGolden {
+  val rows = 613L
+  val md5 = "ce0907bb6a6312fe942492b4c7886bdd"
+}
+
 class DeterminismSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Tables.localSession("determinism-spec", cores = 8)
   val sf = "/root/testdata/sf0.001"
@@ -62,6 +72,17 @@ class DeterminismSpec extends AnyFunSuite {
     assert((n, h) == (RfGolden.rows, RfGolden.md5),
       s"RF scored output drifted from the golden hash: got ($n, $h), " +
         s"expected (${RfGolden.rows}, ${RfGolden.md5})")
+  }
+
+  test("cv_player_pipeline: pinned golden content hash (sf0.001)") {
+    // Same discipline as the RF pin: run-twice self-consistency alone
+    // passes a deterministic-but-wrong regression, so the actual pipeline
+    // output is pinned across sessions/commits. If a deliberate pipeline
+    // change shifts the output, re-pin BOTH values with that commit.
+    val (n, h) = canon(SparkEntry.queries("cv_player_pipeline")(spark, sf))
+    assert((n, h) == (CvGolden.rows, CvGolden.md5),
+      s"CV pipeline output drifted from the golden hash: got ($n, $h), " +
+        s"expected (${CvGolden.rows}, ${CvGolden.md5})")
   }
 
   rowsOnly.foreach { name =>
