@@ -140,6 +140,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    // Contention self-description (round-7 lesson: a 4.4× contended driver
+    // run cost real adjudication time because nothing in the artifact said
+    // "don't trust per-query deltas"). Two indicators, derivable from the
+    // artifact alone but now first-class fields:
+    //   contention   — wall_sec / (3 × sum-of-min): the wall covers three
+    //                  back-to-back passes per query, so an uncontended run
+    //                  scores ~1.0–1.2 (non-min passes + session overhead);
+    //                  ≥1.5 means other load stole the machine and
+    //                  per-query deltas vs earlier rounds are suspect.
+    //   n_spread     — queries whose max/min ratio over the NON-FIRST
+    //                  passes exceeds 2× (no clean pass can be assumed for
+    //                  these individually). The first pass is excluded
+    //                  because it legitimately carries Janino codegen
+    //                  compile — on an idle host short queries still show
+    //                  pass1 ≈ 2× pass2, which is measurement, not load.
+    val contention = if (total > 0) wallSec / (3.0 * total) else 1.0
+    val nSpread = raw.valuesIterator.map(_.drop(1))
+      .count(ts => ts.nonEmpty && ts.max > 2.0 * ts.min)
+
     // ---- compact stdout line, hard budget ≤ LineBudget chars ----
     // Failed entries first (a regression must survive the cut), messages
     // truncated; then queries slowest-first until the budget is spent.
@@ -147,7 +166,7 @@ object Bench {
     val failedShort = failed.take(5)
       .map { case (k, m) => jstr(k) + ":" + jstr(m.take(60)) }
       .mkString("{", ",", "}")
-    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"wall_sec":${jnum(wallSec)},"n_failed":${failed.size},"failed":$failedShort,"""
+    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"wall_sec":${jnum(wallSec)},"contention":${jnum(contention)},"n_spread":$nSpread,"n_failed":${failed.size},"failed":$failedShort,"""
     val bySlow = results.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + jnum(v) }
     // room for: "queries":{…},"queries_omitted":NNN}
     val fixed = head.length + """"queries":{},"queries_omitted":000}""".length
@@ -160,7 +179,7 @@ object Bench {
     val line = head + "\"queries\":{" + bySlow.take(kept).mkString(",") +
       s"""},"queries_omitted":${bySlow.size - kept}}"""
 
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","wall_sec":${jnum(wallSec)},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"raw":$rawJson}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","wall_sec":${jnum(wallSec)},"contention":${jnum(contention)},"n_spread":$nSpread,"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"raw":$rawJson}"""
     // a dev-subset run must not clobber the committed full-sweep artifact
     val fullPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
     try java.nio.file.Files.writeString(
