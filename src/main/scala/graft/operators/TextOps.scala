@@ -2313,9 +2313,17 @@ object TextOps {
     * [aa][a]) without any sequential fold. */
   private def bpeRoundSql(r: Int): String = {
     val (s, s1) = (s"seg$r", s"seg${r + 1}")
-    s"""pr$r AS (SELECT x.word, x.n, x.i, x.sym AS a, y.sym AS b
+    // MATERIALIZED is the oracle-side twin of the Spark loop's
+    // localCheckpoint: each round references the previous segmentation
+    // ~10×, so DuckDB's default CTE inlining re-expands the base subtree
+    // ~10^N times — N=5 exhausted the fd limit on parquet opens before it
+    // could even run. Materializing pr/bt/$s1 keeps the oracle linear in N
+    // exactly as the checkpoint keeps the Spark plan linear in N.
+    s"""pr$r AS MATERIALIZED (
+       |         SELECT x.word, x.n, x.i, x.sym AS a, y.sym AS b
        |         FROM $s x JOIN $s y ON x.word = y.word AND y.i = x.i + 1),
-       |bt$r AS (SELECT a, b, c FROM
+       |bt$r AS MATERIALIZED (
+       |         SELECT a, b, c FROM
        |           (SELECT a, b, sum(n) AS c FROM pr$r GROUP BY a, b)
        |         ORDER BY c DESC, a, b LIMIT 1),
        |mp$r AS (SELECT p.word, p.i FROM pr$r p
@@ -2334,20 +2342,61 @@ object TextOps {
        |         FROM $s g CROSS JOIN bt$r t
        |         LEFT JOIN sl$r m1 ON g.word = m1.word AND g.i = m1.i
        |         LEFT JOIN sl$r m2 ON g.word = m2.word AND g.i = m2.i + 1),
-       |$s1 AS (SELECT word, n,
+       |$s1 AS MATERIALIZED (
+       |        SELECT word, n,
        |               CAST(row_number() OVER (PARTITION BY word ORDER BY i)
        |                    AS BIGINT) AS i, sym
        |        FROM rb$r WHERE sym IS NOT NULL)""".stripMargin
   }
 
-  /** BPE TOKENIZER TRAINING — 3 unrolled merge rounds of the Sennrich
+  /** The shared oracle-SQL prefix of every BPE query: word-frequency
+    * vocabulary + initial character segmentation + N chained merge-round
+    * CTEs. The generator scales with the driver loop in [[bpeRoundsN]] —
+    * one N, both engines. */
+  private def bpeBaseSql(nRounds: Int): String =
+    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |           FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |                 FROM documents)
+       |           WHERE word <> '' GROUP BY word),
+       |seg1 AS (SELECT word, n,
+       |                CAST(unnest(range(1, len(word) + 1)) AS BIGINT) AS i,
+       |                substr(word, CAST(unnest(range(1, len(word) + 1)) AS INT), 1)
+       |                  AS sym
+       |         FROM w),
+       |${(1 to nRounds).map(bpeRoundSql).mkString(",\n")}""".stripMargin
+
+  /** The trainer's merge-table SELECT over N rounds' bt CTEs. */
+  private def bpeTrainSql(nRounds: Int): String =
+    s"""${bpeBaseSql(nRounds)}
+       |SELECT r AS round, a, b, a || b AS merged, CAST(c AS BIGINT) AS pair_count
+       |FROM (${(1 to nRounds)
+             .map(r => s"SELECT $r AS r, * FROM bt$r")
+             .mkString("\n      UNION ALL ")})
+       |ORDER BY r""".stripMargin
+
+  /** The trainer's Spark side over N rounds: stack the learned merges. */
+  private def bpeTrainFrame(s: org.apache.spark.sql.SparkSession, d: String,
+      nRounds: Int): org.apache.spark.sql.DataFrame = {
+    val (bts, _) = bpeRoundsN(s, d, nRounds)
+    bts.zipWithIndex.map { case (bt, idx) =>
+      bt.select(lit(idx + 1).as("round"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"),
+        col("c").cast("long").as("pair_count"))
+    }.reduce(_ unionByName _).orderBy("round")
+  }
+
+  /** BPE TOKENIZER TRAINING — N merge rounds of the Sennrich
     * et al. byte-pair-encoding trainer, the step `text_bigram_topk` only
     * scores candidates for: per round, count every adjacent symbol pair
     * over the word-type vocabulary weighted by word frequency, pick the
     * max (count DESC, then lexicographic — fully deterministic), and
     * apply it greedily leftmost to every word's segmentation. Output is
     * the learned merge table (round, pair, merged symbol, count) — the
-    * artifact a tokenizer ships.
+    * artifact a tokenizer ships. N is a plain driver-loop parameter
+    * ([[bpeRoundsN]]): the declared queries pin N=3 (this one, bench
+    * continuity) and N=5 (`text_bpe_train_n5`, proving the oracle-SQL
+    * generator and the loop scale together); a real training run dials
+    * the same parameter to thousands.
     *
     * The greedy-overlap subtlety ("aaaa" must pair as [aa][aa], not
     * [aa]a[a]-style): adjacent match positions only occur when a = b, so
@@ -2361,32 +2410,16 @@ object TextOps {
     * is partitioned by word and bounded by word LENGTH; the chosen pair
     * is a 1-row aggregate broadcast back. No corpus-sized window, no pair
     * join beyond the i→i+1 self-join on the segmentation. */
-  val textBpeTrain = sql(
-    "text_bpe_train",
-    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
-       |           FROM (SELECT unnest(string_split(text, ' ')) AS word
-       |                 FROM documents)
-       |           WHERE word <> '' GROUP BY word),
-       |seg1 AS (SELECT word, n,
-       |                CAST(unnest(range(1, len(word) + 1)) AS BIGINT) AS i,
-       |                substr(word, CAST(unnest(range(1, len(word) + 1)) AS INT), 1)
-       |                  AS sym
-       |         FROM w),
-       |${bpeRoundSql(1)},
-       |${bpeRoundSql(2)},
-       |${bpeRoundSql(3)}
-       |SELECT r AS round, a, b, a || b AS merged, CAST(c AS BIGINT) AS pair_count
-       |FROM (SELECT 1 AS r, * FROM bt1
-       |      UNION ALL SELECT 2, * FROM bt2
-       |      UNION ALL SELECT 3, * FROM bt3)
-       |ORDER BY r""".stripMargin) { (s, d) =>
-    val (bt1, bt2, bt3, _) = bpeRounds(s, d)
-    def outRow(r: Int, bt: org.apache.spark.sql.DataFrame) =
-      bt.select(lit(r).as("round"), col("a"), col("b"),
-        concat(col("a"), col("b")).as("merged"),
-        col("c").cast("long").as("pair_count"))
-    outRow(1, bt1).unionByName(outRow(2, bt2)).unionByName(outRow(3, bt3))
-      .orderBy("round")
+  val textBpeTrain = sql("text_bpe_train", bpeTrainSql(3)) { (s, d) =>
+    bpeTrainFrame(s, d, 3)
+  }
+
+  /** N=5 twin of `text_bpe_train`: same driver loop, same oracle-SQL
+    * generator, two more rounds — the existence proof that the round count
+    * is a genuine parameter (the oracle CTE chain and the Spark loop are
+    * generated from the same N, so neither can silently cap out). */
+  val textBpeTrainN5 = sql("text_bpe_train_n5", bpeTrainSql(5)) { (s, d) =>
+    bpeTrainFrame(s, d, 5)
   }
 
   /** Initial character segmentation over the word-type vocabulary:
@@ -2444,34 +2477,38 @@ object TextOps {
     (next, bt)
   }
 
-  /** The 3 chained rounds — the ONE machinery shared by the trainer
-    * (`text_bpe_train`, reads the bt frames) and the evaluator
-    * (`text_bpe_apply`, reads seg4), so the applied tokenizer cannot fork
-    * from the trained one. Each round's outputs are `localCheckpoint`ed
-    * (eager): iterative DataFrame composition otherwise references the
-    * previous segmentation ~4× per round, compounding to ~4³ copies of
-    * the base subtree — MEASURED 57 s of pure plan optimization at sf0.1
-    * vs ~2 s checkpointed. The checkpointed state is VOCABULARY-sized
-    * (word types × symbols), so truncation is cheap at any corpus scale —
-    * the standard iterative-algorithm pattern (ALS/GraphX do the same).
-    * Returns (bt1, bt2, bt3, seg4). */
-  private def bpeRounds(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  /** The N chained rounds — the ONE machinery shared by the trainer
+    * (`text_bpe_train*`, reads the bt frames) and the evaluator
+    * (`text_bpe_apply`, reads the final segmentation), so the applied
+    * tokenizer cannot fork from the trained one. Each round's outputs are
+    * `localCheckpoint`ed (eager): iterative DataFrame composition
+    * otherwise references the previous segmentation ~4× per round,
+    * compounding to ~4^N copies of the base subtree — MEASURED 57 s of
+    * pure plan optimization at sf0.1 vs ~2 s checkpointed; with the
+    * checkpoint, cost is at-most-linear in N (bench at sf0.1: N=3 4.31 s,
+    * N=5 4.70 s — the corpus-touching seg1 dominates and each marginal
+    * round costs ~0.2 s of vocabulary-sized work). The
+    * checkpointed state is VOCABULARY-sized (word types × symbols), so
+    * truncation is cheap at any corpus scale — the standard
+    * iterative-algorithm pattern (ALS/GraphX do the same).
+    * Returns (bt per round, final segmentation). */
+  private[graft] def bpeRoundsN(s: org.apache.spark.sql.SparkSession,
+      d: String, nRounds: Int)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
     var seg = bpeSeg1(s, d).localCheckpoint()
     val bts = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]
-    (1 to 3).foreach { _ =>
+    (1 to nRounds).foreach { _ =>
       val (next, bt) = bpeMergeRound(seg)
       bts += bt.localCheckpoint()
       seg = next.localCheckpoint()
     }
-    (bts(0), bts(1), bts(2), seg)
+    (bts.toSeq, seg)
   }
 
-  /** Final segmentation after the 3 trained merges (see [[bpeRounds]]). */
+  /** Final segmentation after the 3 trained merges (see [[bpeRoundsN]]). */
   private def bpeSeg4(s: org.apache.spark.sql.SparkSession, d: String) =
-    bpeRounds(s, d)._4
+    bpeRoundsN(s, d, 3)._2
 
   /** BPE TOKENIZER EVALUATION — the trained merge table applied back to
     * the corpus: per document, word count, BPE token count after the 3
@@ -2487,18 +2524,7 @@ object TextOps {
     * corpus is touched once, by the word explode. */
   val textBpeApply = sql(
     "text_bpe_apply",
-    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
-       |           FROM (SELECT unnest(string_split(text, ' ')) AS word
-       |                 FROM documents)
-       |           WHERE word <> '' GROUP BY word),
-       |seg1 AS (SELECT word, n,
-       |                CAST(unnest(range(1, len(word) + 1)) AS BIGINT) AS i,
-       |                substr(word, CAST(unnest(range(1, len(word) + 1)) AS INT), 1)
-       |                  AS sym
-       |         FROM w),
-       |${bpeRoundSql(1)},
-       |${bpeRoundSql(2)},
-       |${bpeRoundSql(3)},
+    s"""${bpeBaseSql(3)},
        |tc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok,
        |              CAST(len(min(word)) AS BIGINT) AS n_chr
        |       FROM seg4 GROUP BY word),
@@ -2531,7 +2557,7 @@ object TextOps {
 
   val defs: Seq[QueryDef] = Seq(
     textSubstringDup, corpusDedupYield, textBigramKn, dedupParetoTopk,
-    textBpeTrain, textBpeApply,
+    textBpeTrain, textBpeTrainN5, textBpeApply,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,

@@ -544,6 +544,14 @@ class TextOpsSpec extends AnyFunSuite {
         .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
       val expect = refBpe(counts, 3)
       assert(got == expect, s"seed $seed: corpus '$text': $got != $expect")
+      // and the N-parameterized twin stays glued to the same sequential
+      // reference two rounds deeper (the driver loop + oracle generator
+      // share one N, so this is the loop's correctness proof at N=5)
+      val got5 = TextOps.textBpeTrainN5.fn(spark, dir).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val expect5 = refBpe(counts, 5)
+      assert(got5 == expect5, s"seed $seed N=5: corpus '$text': $got5 != $expect5")
     }
   }
 
