@@ -61,6 +61,15 @@ object Bench {
       .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The 5 pinned aggregate-bounded unpartitioned windows (PlanSpec's
+    // GLOBAL guard + PlanSpec.LegalUnpartitionedWindowQueries) would spam
+    // `WindowExec: No Partition Defined` across the tail and mask a NEW
+    // genuine offender. The guard — not this logger — is the protection:
+    // any unpartitioned window over a non-aggregated frame fails the test
+    // sweep, so the runtime warning carries no extra signal here.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () } // warmup only

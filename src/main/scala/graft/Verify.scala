@@ -16,6 +16,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // see Bench: the pinned aggregate-bounded windows are guard-proven
+    // (PlanSpec.LegalUnpartitionedWindowQueries); the runtime warning is
+    // pure tail noise here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Failure honesty: a throwing query MUST leave a visible artifact, not
     // silently vanish from the correctness compare (round 5 lost 21 red
