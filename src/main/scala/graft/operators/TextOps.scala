@@ -2103,8 +2103,7 @@ object TextOps {
     * output; the exact-J lookup LEFT-joins it against the capped pair
     * scaffolding (linear, the same discipline as the queries it grades);
     * the report is one global aggregate row. */
-  val dedupSimhashPrec = sql(
-    "dedup_simhash_prec",
+  private val simhashPrecOracleSql: String =
     s"""WITH $cappedPairsSqlCte,
        |${simhashPairsSqlWith("sx")},
        |scored AS (
@@ -2118,18 +2117,67 @@ object TextOps {
        |       round(avg(ej), 4) AS mean_exact_j,
        |       round(sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
        |         AS prec
-       |FROM scored""".stripMargin) { (s, d) =>
-    val flagged = dedupSimhashPairs.fn(s, d).select("da", "db")
+       |FROM scored""".stripMargin
+
+  /** The certificate's report aggregation over (flagged pairs, capped
+    * pairs+sizes) — ONE definition read by both the recompute query and
+    * its materialized twin, so the grading formula cannot fork. */
+  private def simhashPrecReport(flagged: org.apache.spark.sql.DataFrame,
+      capped: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ej = coalesce(
       col("common") * lit(1.0) / (col("na") + col("nb") - col("common")),
       lit(0.0))
     val hit = when(ej >= 0.5, 1L).otherwise(0L)
     flagged
-      .join(cappedPairsWithSizes(s, d), Seq("da", "db"), "left")
+      .join(capped, Seq("da", "db"), "left")
       .agg(count(lit(1)).as("n_flagged"),
         sum(hit).as("n_near_dup"),
         round(avg(ej), 4).as("mean_exact_j"),
         round(sum(hit) * lit(1.0) / count(lit(1)), 4).as("prec"))
+  }
+
+  val dedupSimhashPrec = sql("dedup_simhash_prec", simhashPrecOracleSql) {
+    (s, d) =>
+      simhashPrecReport(dedupSimhashPairs.fn(s, d).select("da", "db"),
+        cappedPairsWithSizes(s, d))
+  }
+
+  /** One snapshot pair per (application, dataset) — same discipline as
+    * [[labelSnapCache]]: Verify/Bench invoke query fns repeatedly and a
+    * fresh temp dir per call would leak AND re-run the chains this twin
+    * exists to amortize. */
+  private val precSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  /** The MATERIALIZED twin of `dedup_simhash_prec` — the
+    * `dedup_labels_materialized` snapshot discipline generalized to the
+    * OTHER two expensive fingerprint frames: the df-capped exact-pair
+    * scaffolding (pairs+sizes) and the simhash-flagged pair set are each
+    * computed ONCE per corpus snapshot, written as parquet, and the
+    * certificate reads the snapshots. Same oracle SQL as the recompute
+    * twin ON PURPOSE: the driver's hash compare is the bit-identity proof.
+    * At 100 TB this is the deployment shape — every consumer of the
+    * capped-pair frame (jaccard/containment/minhash-est/this certificate)
+    * joins the snapshot instead of re-running shingle→df-cap→self-join,
+    * and the simhash chain runs once per corpus, not once per grader. */
+  val dedupSimhashPrecMaterialized = sql(
+    "dedup_simhash_prec_materialized", simhashPrecOracleSql) { (s, d) =>
+    val (cappedSnap, flaggedSnap) = precSnapCache.computeIfAbsent(
+      (s.sparkContext.applicationId, d), { _ =>
+        val pc = java.nio.file.Files
+          .createTempDirectory("capped-pairs-snap").toString
+        // repartition shapes the FILES (hash-ranged, no small-file spray);
+        // a co-located-join deployment writes bucketBy into a catalog
+        // table instead (the BucketingSpec discipline)
+        cappedPairsWithSizes(s, d).repartition(col("da"))
+          .write.mode("overwrite").parquet(pc)
+        val pf = java.nio.file.Files
+          .createTempDirectory("simhash-flagged-snap").toString
+        dedupSimhashPairs.fn(s, d).select("da", "db")
+          .repartition(col("da")).write.mode("overwrite").parquet(pf)
+        (pc, pf)
+      })
+    simhashPrecReport(s.read.parquet(flaggedSnap), s.read.parquet(cappedSnap))
   }
 
   /** EXACT-SUBSTRING duplicate runs (the suffix-array dedup of Lee et
@@ -2559,6 +2607,7 @@ object TextOps {
     textSubstringDup, corpusDedupYield, textBigramKn, dedupParetoTopk,
     textBpeTrain, textBpeTrainN5, textBpeApply,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
+    dedupSimhashPrecMaterialized,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
