@@ -464,6 +464,26 @@ object Sampling {
     }
   }
 
+  /** Doc-id-ordered token cumsum in the two-phase budget shape — expects
+    * (doc_id, n_tokens), adds `cum_tokens`. The ONE definition of the
+    * budget-stage running total, shared by `corpus_token_budget`'s e2e
+    * sibling and the streaming curation twin (`Jobs.curationSink`), so the
+    * selection arithmetic cannot fork between batch and stream. Never a
+    * corpus-wide single-partition window: range-bucket totals →
+    * [[bucketOffsets]] recursive reduction → within-bucket windows. */
+  private[graft] def docOrderedCumsum(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q2 = df.withColumn("rb", floor(col("doc_id") / BudgetRangeWidth))
+    val grp = q2.groupBy("rb").agg(sum("n_tokens").as("gsum"))
+    val off = bucketOffsets(grp, Nil, Nil, BudgetReduceLevels)
+    val wIn = Window.partitionBy("rb").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q2.join(off, "rb")
+      .withColumn("cum_tokens",
+        (col("offset") + sum("n_tokens").over(wIn)).cast("long"))
+      .drop("rb", "offset")
+  }
+
   /** PER-SOURCE CAP — the Common-Crawl-style curation rule "keep at most
     * N documents per domain, preferring quality": rank each source's docs
     * by (quality desc, n_tokens desc, doc_id) and flag the top
@@ -651,16 +671,9 @@ object Sampling {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
     // stage 4: two-phase budget cumsum (the corpus_token_budget plan; the
-    // offsets window runs on the range-bucket-reduced frame only)
-    val q2 = surv.withColumn("rb", floor(col("doc_id") / BudgetRangeWidth))
-    val grp = q2.groupBy("rb").agg(sum("n_tokens").as("gsum"))
-    val off = bucketOffsets(grp, Nil, Nil, BudgetReduceLevels)
-    val wIn = Window.partitionBy("rb").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sel = q2.join(off, "rb")
-      .withColumn("cum_tokens",
-        (col("offset") + sum("n_tokens").over(wIn)).cast("long"))
-      .filter(col("cum_tokens") <= E2eBudget)
+    // offsets window runs on the range-bucket-reduced frame only) — shared
+    // with the streaming curation twin via docOrderedCumsum
+    val sel = docOrderedCumsum(surv).filter(col("cum_tokens") <= E2eBudget)
     // stage 5: per-shard packing of the selected stream (pack_sequences)
     val wPack = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

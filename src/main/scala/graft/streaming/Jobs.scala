@@ -560,6 +560,59 @@ object Jobs {
       .drop("__toks")
   }
 
+  /** STREAMING CURATION COMPOSITION (pre-budget stages) — the arrival-time
+    * twin of the batch `corpus_curation_e2e` chain, composed from the SAME
+    * streaming pieces the batch stages twin individually:
+    *
+    *   1. quality gate + watermark-bounded exact dedup ([[documentIngest]] —
+    *      stateless gates first so junk never reaches the state store);
+    *   2. decontamination ([[contaminationGate]] — broadcast bloom over the
+    *      static eval set, stateless executor-side filter).
+    *
+    * Pure `DataFrame => DataFrame`: these stages run inside the streaming
+    * plan itself. The token-budget stage needs cross-batch state and lives
+    * in [[curationSink]]'s foreachBatch. Input needs (doc_id, text, ts). */
+  def curationStream(docs: DataFrame, evalTexts: DataFrame,
+      minTokens: Int = 5, delay: String = "10 minutes"): DataFrame =
+    contaminationGate(documentIngest(docs, minTokens, delay), evalTexts)
+
+  /** The budget + emit stage of the streaming curation job: a foreachBatch
+    * sink that keeps the greedy running token total across micro-batches
+    * and emits each batch's selected docs (cum_tokens ≤ budget, the batch
+    * pipeline's selection rule) to `onBatch`.
+    *
+    * Semantics: greedy in ARRIVAL order — within a batch docs are ordered
+    * by doc_id via the shared two-phase cumsum
+    * ([[graft.operators.Sampling.docOrderedCumsum]], the exact machinery
+    * the batch e2e uses, so the selection arithmetic cannot fork), and the
+    * cross-batch offset advances by every gated survivor's tokens whether
+    * or not it fit (the batch chain's cum-over-all-survivors semantics).
+    * When docs arrive in doc_id order the streamed selection is therefore
+    * IDENTICAL to the batch chain's — StreamingSpec proves it.
+    *
+    * Recovery note: the running total lives on the driver; a restart
+    * replays it from zero. A production deployment persists (batchId,
+    * spent) next to the checkpoint (the [[writeBatchIdempotent]]
+    * discipline) and seeds the counter on recovery — kept out of this
+    * composition so the parity semantics stay visible. */
+  def curationSink(gated: DataFrame, budget: Long)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spent = new java.util.concurrent.atomic.AtomicLong(0L)
+    gated.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        val base = spent.get()
+        val total = batch.agg(coalesce(sum(col("n_tokens").cast("long")),
+          lit(0L))).first().getLong(0)
+        val sel = graft.operators.Sampling.docOrderedCumsum(batch)
+          .withColumn("cum_tokens", col("cum_tokens") + base)
+          .filter(col("cum_tokens") <= budget)
+        onBatch(sel, id)
+        spent.addAndGet(total)
+        ()
+    }
+  }
+
   /** STREAMING EMBEDDING ROUTER — the ingest path of a vector index: each
     * arriving embedding is assigned to its nearest codebook cell, so a
     * downstream `partitionBy("cell")` sink co-locates every cell's vectors

@@ -620,6 +620,75 @@ class StreamingSpec extends AnyFunSuite {
       s"gate must drop exactly the benchmark-overlapping doc, got $kept")
   }
 
+  test("curation composition: streamed quality→dedup→decontam→budget matches " +
+      "the batch chain of the same stage definitions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L
+    val benchGram = (1 to 8).map(i => s"bench$i").mkString(" ")
+    val evalSet = Seq(s"benchmark prompt containing $benchGram verbatim").toDF("text")
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      // batch 1
+      Seq(1L -> words("alpha", 8),              // clean, 8 tokens
+        2L -> "too short",                      // quality-gated (< 5 tokens)
+        3L -> words("alpha", 8),                // exact dup of 1 → dropped
+        4L -> s"padding words around $benchGram here", // contaminated → dropped
+        5L -> words("beta", 10)),               // clean, 10 tokens
+      // batch 2
+      Seq(6L -> words("alpha", 8),              // cross-batch dup of 1 → dropped
+        7L -> words("gamma", 12),               // clean, 12 → cum 30, selected
+        8L -> words("delta", 9)),               // clean, 9 → cum 39 > budget
+      // batch 3
+      Seq(9L -> words("eps", 7),                // clean but budget already spent
+        10L -> "1234 5678 9012 3456 7890 1111")) // non-alphabetic → gated
+    val budget = 35L
+
+    // --- streamed composition, fed in doc_id order across 3 micro-batches
+    val mem = MemoryStream[(Long, String, Long)]
+    val shaped = mem.toDF().toDF("doc_id", "text", "us")
+      .withColumn("ts", timestamp_micros($"us"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("curation-ckpt").toString
+    val q = Jobs.curationSink(Jobs.curationStream(shaped, evalSet), budget) {
+      (sel, _) =>
+        got ++= sel.select("doc_id", "n_tokens", "cum_tokens").collect()
+          .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2)))
+        ()
+    }.option("checkpointLocation", ckpt).start()
+    docs.foreach { b =>
+      mem.addData(b.map { case (id, t) => (id, t, t0) }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // --- batch chain of the SAME stage definitions
+    val all = docs.flatten.toDF("doc_id", "text")
+    val toks = size(split(col("text"), " "))
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")) * 1.0 >=
+      length(col("text")) * 0.5
+    val gate = all.filter(toks >= 5 && alpha)
+      .withColumn("h", md5(col("text").cast("binary")))
+    val keepFirst = gate.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val dedup = gate.join(keepFirst, "doc_id")
+    val decontam = Jobs.contaminationGate(dedup, evalSet)
+      .withColumn("n_tokens", toks)
+    val expect = graft.operators.Sampling
+      .docOrderedCumsum(decontam.select("doc_id", "n_tokens"))
+      .filter(col("cum_tokens") <= budget)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+        r.getLong(2))).toSet
+
+    assert(expect == Set((1L, 8L, 8L), (5L, 10L, 18L), (7L, 12L, 30L)),
+      s"batch reference drifted from the designed fixture: $expect")
+    assert(got.toSet == expect,
+      s"streamed selection forked from the batch chain: ${got.toSet} vs $expect")
+    // the budget genuinely truncated mid-stream AND selection spans batches
+    // (batch 2's pick carries batch 1's running offset)
+    assert(got.exists(_._1 == 7L) && !got.exists(_._1 == 8L))
+  }
+
   test("anomalyAlerts: online z-alerts match the batch prior-window replay exactly") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
