@@ -153,16 +153,16 @@ object Multimodal {
     * (low64(a·b) = a_lo·b_lo + ((a_lo·b_hi + a_hi·b_lo) mod 2³²)·2³²);
     * every intermediate stays under 2⁹⁷. Inlined (no CREATE MACRO — the
     * driver runs each oracle as ONE statement). */
-  private def mm64(a: String, b: String): String =
+  private[operators] def mm64(a: String, b: String): String =
     s"((($a % 4294967296) * ($b % 4294967296) + " +
       s"((($a % 4294967296) * ($b // 4294967296) + " +
       s"($a // 4294967296) * ($b % 4294967296)) % 4294967296) * 4294967296) " +
       "% 18446744073709551616::HUGEINT)"
 
-  private val U64 = "18446744073709551616::HUGEINT"
-  private val SmG = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
-  private val SmM1 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
-  private val SmM2 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
+  private[operators] val U64 = "18446744073709551616::HUGEINT"
+  private[operators] val SmG = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
+  private[operators] val SmM1 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
+  private[operators] val SmM2 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
 
   /** CTE chain `s` → `p(id, i, px)` replaying [[StubDecoder]] in DuckDB:
     * the seed fold over payload bytes is a sequential `list_reduce` over
@@ -171,7 +171,7 @@ object Multimodal {
     * (seed₀ + (i+1)·G mod 2⁶⁴ — the decoder's `seed += G` unrolled), so
     * pixels at any stride replay without sequential state. `step` picks
     * every step-th pixel (1 = all 4096; 16 = the f0 feature lane). */
-  private def stubPixelsSqlCte(step: Int): String =
+  private[operators] def stubPixelsSqlCte(step: Int): String =
     s"""s AS (
        |  SELECT doc_id AS id,
        |         list_reduce(

@@ -57,21 +57,31 @@ object Pipelines {
   /** Player identification: binary image column → pose/digit/color stub
     * pipeline → explode detections → broadcast stats lookup (SURVEY §3.2).
     * Images are synthesized from document text bytes (no image corpus in
-    * testdata); the stats dimension is generated to cover both teams. */
-  val cvPlayerPipeline = rowsOnly("cv_player_pipeline") { (s, d) =>
-    val images = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("img"))
-    val stats = s.range(0, 100).select(
-      explode(array(lit("team_a"), lit("team_b"))).as("team"),
-      col("id").cast("int").as("num"),
-      round(col("id") * 1.7 % 30, 1).as("score"),
-      round(col("id") * 1.3 % 15, 1).as("reb"),
-      round(col("id") * 0.7 % 12, 1).as("ast"))
-      .filter(col("num") % 3 =!= 0) // force some 'player not found' misses
-    PlayerIdent.pipeline(s, images, "img", stats)
-      .withColumn("msg", concat_ws(",",
-        col("team"), col("num"), col("score"), col("reb"), col("ast")))
-      .orderBy("doc_id", "team", "num")
+    * testdata); the stats dimension is generated to cover both teams.
+    *
+    * ORACLE-CHECKED since round 8: every stage of the stub pipeline is
+    * deterministic integer/IEEE math over the payload bytes, and
+    * [[CvOracle.pipelineSql]] replays it stage-for-stage in DuckDB
+    * (splitmix decode → box denoise → pose → acos gate → box-sum digit
+    * spotting with closed-form 3-box NMS → 10-round Lloyd's k-means →
+    * L1 team → stats join). The stat columns are integer-exact k/10
+    * arithmetic (not round(double·fmod)) so values AND their string
+    * renderings in `msg` agree bit-for-bit across engines. */
+  val cvPlayerPipeline = sql("cv_player_pipeline", CvOracle.pipelineSql) {
+    (s, d) =>
+      val images = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("img"))
+      val stats = s.range(0, 100).select(
+        explode(array(lit("team_a"), lit("team_b"))).as("team"),
+        col("id").cast("int").as("num"),
+        (col("id") * 17 % 300 / 10.0).as("score"),
+        (col("id") * 13 % 150 / 10.0).as("reb"),
+        (col("id") * 7 % 120 / 10.0).as("ast"))
+        .filter(col("num") % 3 =!= 0) // force some 'player not found' misses
+      PlayerIdent.pipeline(s, images, "img", stats)
+        .withColumn("msg", concat_ws(",",
+          col("team"), col("num"), col("score"), col("reb"), col("ast")))
+        .orderBy("doc_id", "team", "num")
   }
 
   val defs: Seq[QueryDef] = Seq(mlRfScore, mlFeatures, cvPlayerPipeline)

@@ -53,12 +53,13 @@ class DeterminismSpec extends AnyFunSuite {
   private val rowsOnly =
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
 
-  test("rows-only set is the expected two (new queries must ship an oracle)") {
+  test("rows-only set is the expected one (new queries must ship an oracle)") {
     // Growing this list is a deliberate act: a new query landing here gets
     // the weaker rows-only driver check, so the set is pinned. (The
-    // multimodal pair left it in round 7: the stub decode replays in
-    // DuckDB, so both are oracle-checked now.)
-    assert(rowsOnly == Seq("cv_player_pipeline", "ml_rf_score"))
+    // multimodal pair left it in round 7 and the CV pipeline in round 8 —
+    // every stub-codec chain now replays in DuckDB; only the RandomForest
+    // transform itself remains non-SQL-expressible, golden-pinned below.)
+    assert(rowsOnly == Seq("ml_rf_score"))
   }
 
   test("ml_rf_score: pinned-seed golden content hash (sf0.001)") {
