@@ -590,25 +590,64 @@ object Jobs {
     * When docs arrive in doc_id order the streamed selection is therefore
     * IDENTICAL to the batch chain's — StreamingSpec proves it.
     *
-    * Recovery note: the running total lives on the driver; a restart
-    * replays it from zero. A production deployment persists (batchId,
-    * spent) next to the checkpoint (the [[writeBatchIdempotent]]
-    * discipline) and seeds the counter on recovery — kept out of this
-    * composition so the parity semantics stay visible. */
-  def curationSink(gated: DataFrame, budget: Long)(
+    * Recovery: with `stateDir` set, the running total is CRASH-RECOVERABLE
+    * and batch-replay-IDEMPOTENT via a per-batch ledger (the
+    * [[writeBatchIdempotent]] discipline applied to driver state). Before
+    * a batch is emitted, its (base, total) is atomically written to
+    * `stateDir/batch-<id>`; a restarted query seeds the counter from the
+    * newest ledger entry (max base+total — totals are non-negative, so
+    * that is the latest committed batch), and a REPLAYED batch (crash
+    * between emit and checkpoint commit) reads its own ledger entry back
+    * and recomputes the identical selection instead of double-counting.
+    * One tiny file per micro-batch: a long-running deployment compacts
+    * old entries the same way it expires checkpoint files. `stateDir =
+    * None` keeps the in-memory counter (tests, bounded replays). */
+  def curationSink(gated: DataFrame, budget: Long,
+      stateDir: Option[String] = None)(
       onBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val spent = new java.util.concurrent.atomic.AtomicLong(0L)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def ledger(id: Long) = Paths.get(stateDir.get, f"batch-$id%012d")
+    def readLedger(p: java.nio.file.Path): (Long, Long) = {
+      val Array(b, t) = Files.readString(p).trim.split(' ')
+      (b.toLong, t.toLong)
+    }
+    val seed = stateDir.map { dir =>
+      Files.createDirectories(Paths.get(dir))
+      val it = Files.list(Paths.get(dir)).iterator()
+      var m = 0L
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("batch-")) {
+          val (b, t) = readLedger(p)
+          m = math.max(m, b + t)
+        }
+      }
+      m
+    }.getOrElse(0L)
+    val spent = new java.util.concurrent.atomic.AtomicLong(seed)
     gated.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
-        val base = spent.get()
+        val replayed = stateDir.nonEmpty && Files.exists(ledger(id))
+        val base =
+          if (replayed) readLedger(ledger(id))._1 else spent.get()
         val total = batch.agg(coalesce(sum(col("n_tokens").cast("long")),
           lit(0L))).first().getLong(0)
+        // ledger BEFORE emit: a crash mid-emit replays this batch with the
+        // same recorded base, so the re-emitted selection is identical
+        stateDir.foreach { _ =>
+          if (!replayed) {
+            val tmp = Files.createTempFile(
+              Paths.get(stateDir.get), "batch-tmp", "")
+            Files.writeString(tmp, s"$base $total")
+            Files.move(tmp, ledger(id), StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
         val sel = graft.operators.Sampling.docOrderedCumsum(batch)
           .withColumn("cum_tokens", col("cum_tokens") + base)
           .filter(col("cum_tokens") <= budget)
         onBatch(sel, id)
-        spent.addAndGet(total)
+        spent.set(base + total)
         ()
     }
   }

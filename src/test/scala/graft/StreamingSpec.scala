@@ -689,6 +689,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._1 == 7L) && !got.exists(_._1 == 8L))
   }
 
+  test("curationSink recovery: a restarted query resumes the budget ledger, " +
+      "not from zero") {
+    // the budget stage's operational contract: stop after batch 1, start a
+    // NEW query (new driver counter) from the same checkpoint + state dir,
+    // and prove batch 2's selection uses batch 1's RECOVERED running total
+    // — a reset-to-zero counter would wrongly select both batch-2 docs
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("cur_in")
+    val ckpt = Files.createTempDirectory("cur_ckpt")
+    val state = Files.createTempDirectory("cur_state")
+    val evalSet = {
+      import spark.implicits._
+      Seq((1 to 9).map(i => s"bench$i").mkString(" ")).toDF("text")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("us",
+        org.apache.spark.sql.types.LongType)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def runOnce(): Unit = {
+      val shaped = spark.readStream.schema(schema).json(in.toString)
+        .withColumn("ts", timestamp_micros(col("us")))
+      val q = Jobs.curationSink(
+        Jobs.curationStream(shaped, evalSet), budget = 45L,
+        stateDir = Some(state.toString)) { (sel, _) =>
+        got ++= sel.select("doc_id", "cum_tokens").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.option("checkpointLocation", ckpt.toString).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val t0 = 1700000000000000L
+    def doc(id: Long, p: String, n: Int) =
+      s"""{"doc_id":$id,"text":"${(1 to n).map(i => s"$p$i").mkString(" ")}","us":$t0}"""
+    // batch 1: 30 survivor tokens → counter must land at 30
+    Files.writeString(in.resolve("b1.json"),
+      doc(1, "alpha", 12) + "\n" + doc(2, "beta", 18) + "\n")
+    runOnce()
+    // restart; batch 2: 10-token doc fits (cum 40 ≤ 45), 8-token doesn't
+    // (cum 48) — iff the 30 was recovered
+    Files.writeString(in.resolve("b2.json"),
+      doc(3, "gamma", 10) + "\n" + doc(4, "delta", 8) + "\n")
+    runOnce()
+    assert(got.toSet == Set((1L, 12L), (2L, 30L), (3L, 40L)),
+      s"restart must resume the 30-token ledger (4 rejected at cum 48): " +
+        s"${got.toSet}")
+  }
+
   test("anomalyAlerts: online z-alerts match the batch prior-window replay exactly") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
