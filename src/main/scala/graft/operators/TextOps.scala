@@ -2197,9 +2197,13 @@ object TextOps {
     * the islands window is partitioned by (doc_a, doc_b, diag) — bounded
     * by a single pair's overlap, never corpus-sized; the digest (not the
     * gram text) is the shuffle key. */
-  val textSubstringDup = sql(
-    "text_substring_dup",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  /** The shared maximal-run scaffolding of the substring-dedup pair — SQL
+    * CTE chain ending in `runs(da, db, start_a, start_b, run_tokens)` and
+    * the matching Spark builder. ONE definition so the anchor/df-cap/
+    * diagonal-island semantics cannot fork between the report
+    * (`text_substring_dup`) and the removal pass (`dedup_span_remove`). */
+  private val substringRunsSqlCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |              WHERE len(string_split(text, ' ')) >= 8),
       |gi AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t FROM toks),
       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
@@ -2217,11 +2221,10 @@ object TextOps {
       |        FROM p),
       |runs AS (SELECT da, db, min(pa) AS start_a, min(pa) - diag AS start_b,
       |                CAST(count(*) + 7 AS BIGINT) AS run_tokens
-      |         FROM isl GROUP BY da, db, diag, grp)
-      |SELECT da, db, CAST(count(*) AS BIGINT) AS n_runs,
-      |       max(run_tokens) AS max_run_tokens,
-      |       CAST(sum(run_tokens) AS BIGINT) AS dup_tokens
-      |FROM runs GROUP BY da, db ORDER BY da, db""".stripMargin) { (s, d) =>
+      |         FROM isl GROUP BY da, db, diag, grp)""".stripMargin
+
+  private def substringRuns(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -2239,16 +2242,90 @@ object TextOps {
       .select(col("da"), col("pa"), col("db"), col("pb"),
         (col("pa") - col("pb")).as("diag"))
     val wIsl = Window.partitionBy("da", "db", "diag").orderBy("pa")
-    val runs = p.withColumn("grp", col("pa") - row_number().over(wIsl))
+    p.withColumn("grp", col("pa") - row_number().over(wIsl))
       .groupBy("da", "db", "diag", "grp")
       .agg(min("pa").as("start_a"),
         (min("pa") - col("diag")).as("start_b"),
         (count(lit(1)) + 7).as("run_tokens"))
-    runs.groupBy("da", "db")
+  }
+
+  val textSubstringDup = sql(
+    "text_substring_dup",
+    s"""WITH $substringRunsSqlCte
+      |SELECT da, db, CAST(count(*) AS BIGINT) AS n_runs,
+      |       max(run_tokens) AS max_run_tokens,
+      |       CAST(sum(run_tokens) AS BIGINT) AS dup_tokens
+      |FROM runs GROUP BY da, db ORDER BY da, db""".stripMargin) { (s, d) =>
+    substringRuns(s, d).groupBy("da", "db")
       .agg(count(lit(1)).as("n_runs"),
         max("run_tokens").as("max_run_tokens"),
         sum("run_tokens").as("dup_tokens"))
       .orderBy("da", "db")
+  }
+
+  /** SPAN REMOVAL — the pass `text_substring_dup` only reports: actually
+    * strip the duplicated runs from the corpus, keeping the FIRST copy
+    * (the smaller-doc_id side of every pair, Lee et al.'s
+    * keep-one-occurrence rule) and emit the per-doc cleaned profile —
+    * token counts before/after and the md5 of the reconstructed cleaned
+    * text, the fingerprint a shard writer would persist. A doc whose
+    * every token is covered (fully contained in an earlier doc) comes out
+    * with n_kept 0 and the md5 of the empty string, not a dropped row.
+    *
+    * Scale shape: shares the `runs` scaffolding (anchors, df≤50 cap,
+    * diagonal islands — all bounded by true duplicate volume); the cover
+    * set explodes each run into its token positions (linear in duplicated
+    * tokens), removal is one (doc_id, pos) anti-join, and reconstruction
+    * is a per-doc sort-by-position aggregation bounded by document
+    * length. Nothing corpus-quadratic anywhere. */
+  val dedupSpanRemove = sql(
+    "dedup_span_remove",
+    s"""WITH $substringRunsSqlCte,
+      |cov AS (SELECT DISTINCT db AS doc_id,
+      |               CAST(unnest(range(start_b, start_b + run_tokens)) AS BIGINT)
+      |                 AS pos
+      |        FROM runs),
+      |tl0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tli AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM tl0),
+      |tl AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[CAST(i AS INT)] AS tok
+      |       FROM tli),
+      |kp AS (SELECT tl.doc_id, tl.pos, tl.tok
+      |       FROM tl LEFT JOIN cov
+      |         ON cov.doc_id = tl.doc_id AND cov.pos = tl.pos
+      |       WHERE cov.pos IS NULL),
+      |sel AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |               string_agg(tok, ' ' ORDER BY pos) AS txt
+      |        FROM kp GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0)
+      |            AS BIGINT) AS n_removed,
+      |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |       md5(coalesce(k.txt, '')) AS kept_md5
+      |FROM documents d LEFT JOIN sel k ON k.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val cov = substringRuns(s, d)
+      .select(col("db").as("doc_id"),
+        explode(expr("sequence(start_b, start_b + run_tokens - 1)")).as("pos"))
+      .distinct()
+    val tl = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val sel = tl.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("txt"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("txt"), lit("")).cast("binary")).as("kept_md5"))
+      .orderBy("doc_id")
   }
 
   /** TOKEN-WEIGHTED dedup yield — what near-dup dedup actually SAVES:
@@ -2604,7 +2681,7 @@ object TextOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    textSubstringDup, corpusDedupYield, textBigramKn, dedupParetoTopk,
+    textSubstringDup, dedupSpanRemove, corpusDedupYield, textBigramKn, dedupParetoTopk,
     textBpeTrain, textBpeTrainN5, textBpeApply,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
     dedupSimhashPrecMaterialized,

@@ -572,4 +572,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 12L, s"max_run_tokens: ${r.getLong(3)}")
     assert(r.getLong(4) == 20L, s"dup_tokens: ${r.getLong(4)}")
   }
+
+  test("dedup_span_remove: later copies stripped, first kept, full containment → empty doc") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val run1 = (1 to 12).map(i => s"r$i").mkString(" ")
+    val run2 = (1 to 8).map(i => s"q$i").mkString(" ")
+    val d0 = s"$run1 a1 a2 a3 $run2"
+    val d1 = s"b1 b2 $run1 b3 b4 b5 b6 $run2"
+    val d3 = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    val dir = writeDocs(Seq(
+      0L -> d0,        // first copy of both runs → keeps everything
+      1L -> d1,        // later copy → both runs stripped, filler kept
+      2L -> run1,      // fully contained in doc 0 → empty after removal
+      3L -> d3))       // no 8-gram overlap → untouched
+    val got = TextOps.dedupSpanRemove.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 23L, 0L, 23L, md5hex(d0)),
+      (1L, 26L, 20L, 6L, md5hex("b1 b2 b3 b4 b5 b6")),
+      (2L, 12L, 12L, 0L, md5hex("")),
+      (3L, 10L, 0L, 10L, md5hex(d3))), s"got: $got")
+  }
 }
