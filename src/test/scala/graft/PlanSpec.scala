@@ -695,6 +695,17 @@ class PlanSpec extends AnyFunSuite {
       "the df cap and the run roll-ups must partial-aggregate")
   }
 
+  test("dedup_span_remove: cover set anti-joins by (doc, pos), reconstruction partial-aggregates") {
+    val plan = executedPlan("dedup_span_remove")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "span removal must stay on the inverted-index equi-join path")
+    allWindowsPartitioned("dedup_span_remove")
+    assert(plan.contains("LeftAnti"),
+      "covered positions must be removed by an anti-join, not a filter-over-collect")
+    assert("HashAggregate".r.findAllIn(finalPlanSection("dedup_span_remove")).length >= 2,
+      "the per-doc reconstruction and counts must partial-aggregate")
+  }
+
   test("olap_scd2 / olap_gap_fill / events_attribution: every window user-partitioned") {
     allWindowsPartitioned("olap_scd2")
     allWindowsPartitioned("olap_gap_fill")
