@@ -59,7 +59,12 @@ object ExplainDump {
     "sim_kmeans_iter" -> ("Fixed-point 2-round Lloyd: per round one " +
       "broadcast of the 8x16 codebook, one partial-aggregable min(struct) " +
       "argmin, one partial-aggregable centroid re-sum — exact int64 " +
-      "arithmetic, bit-reproducible labels, no corpus window."))
+      "arithmetic, bit-reproducible labels, no corpus window."),
+    "dedup_span_remove" -> ("Span removal over the shared maximal-run " +
+      "scaffolding: covered positions explode linearly in duplicated " +
+      "tokens, removal is one (doc_id, pos) LeftAnti equi-join, and the " +
+      "cleaned-text reconstruction partial-aggregates per doc — no " +
+      "cartesian, no unpartitioned window."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
