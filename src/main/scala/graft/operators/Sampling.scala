@@ -127,6 +127,51 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** PACKING-EFFICIENCY report — what `pack_sequences`' assignment costs
+    * in padding: per shard, documents, sequences opened, token volume,
+    * nominal capacity (sequences × 4096) and utilization. A doc larger
+    * than the budget straddles sequences (the packer's documented
+    * greedy-running-sum semantics), so utilization can exceed 1 on a
+    * pathological shard — the report surfaces exactly that. This is the
+    * readout that decides sequence-length and shard-count knobs before a
+    * training run burns compute on pad tokens.
+    *
+    * Scale shape: consumes the `pack_sequences` frame (same builder — the
+    * report cannot fork from the packer) and adds one partial-aggregable
+    * per-shard rollup; the only windows are the packer's own per-shard
+    * cumsums. */
+  val packPaddingWaste = sql(
+    "pack_padding_waste",
+    s"""WITH t AS (SELECT doc_id,
+       |                  (${hexBucketSql("doc_id")}) % 16 AS shard,
+       |                  len(string_split(text, ' ')) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM t),
+       |pk AS (SELECT doc_id, shard, n_tokens,
+       |              CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS seq_id
+       |       FROM c)
+       |SELECT shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(max(seq_id) + 1 AS BIGINT) AS n_seqs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST((max(seq_id) + 1) * 4096 AS BIGINT) AS capacity,
+       |       round(sum(n_tokens) * 1.0 / ((max(seq_id) + 1) * 4096), 4)
+       |         AS utilization
+       |FROM pk GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    packSequences.fn(s, d)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        (max("seq_id") + 1).as("n_seqs"),
+        sum("n_tokens").cast("long").as("total_tokens"),
+        ((max("seq_id") + 1) * 4096).as("capacity"),
+        round(sum("n_tokens") * lit(1.0) / ((max("seq_id") + 1) * 4096), 4)
+          .as("utilization"))
+      .orderBy("shard")
+  }
+
   /** Shared decontamination plumbing: split-tagged tokenized docs (`sp`)
     * and the df-capped split-tagged 8-token shingle index (`shc`, 16-byte
     * binary md5 keys). `shc`'s upstream is cached — it is read three ways
@@ -723,6 +768,7 @@ object Sampling {
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
     corpusReweight, domainCap, tokenBudget, curationE2e, decontamReport,
+    packPaddingWaste,
     corpusCurriculum)
 }
 

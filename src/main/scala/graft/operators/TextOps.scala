@@ -1327,6 +1327,46 @@ object TextOps {
       .limit(50)
   }
 
+  /** OOV-RATE certificate — tokenizer/vocab coverage: fix the vocabulary
+    * at the top-1000 corpus tokens by frequency (count desc, token
+    * tie-break — deterministic in both engines) and report each document's
+    * out-of-vocabulary token share, the number that decides whether a
+    * vocab size is adequate for a corpus (the UNK-rate a word-level
+    * tokenizer would produce, and the coverage check run before committing
+    * a BPE budget).
+    *
+    * Scale shape: the vocabulary is a bounded TakeOrdered top-k that
+    * BROADCASTS to the per-token membership join (the corpus-sized token
+    * stream never shuffles for it — plan-guarded), and the per-doc rollup
+    * is one partial-aggregable groupBy. */
+  val textOovRate = sql(
+    "text_oov_rate",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |vc AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks
+      |                        GROUP BY tok ORDER BY n DESC, tok LIMIT 1000) t)
+      |SELECT toks.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_oov,
+      |       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+      |             / count(*), 4) AS oov_rate
+      |FROM toks LEFT JOIN vc v ON v.tok = toks.tok
+      |GROUP BY toks.doc_id ORDER BY toks.doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(1000)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    val oov = when(col("in_vocab").isNull, 1L).otherwise(0L)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(oov).as("n_oov"),
+        round(sum(oov) * lit(1.0) / count(lit(1)), 4).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Top adjacent-token-pair counts — the candidate-scoring step of one BPE
     * merge iteration (count all symbol pairs, merge the most frequent).
     * Corpus-frequency counting (NOT per-doc distinct), so the numbers are
@@ -2688,7 +2728,8 @@ object TextOps {
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
-    textRollingHash, textTfidf, textQuality, textVocabTopk, textLengthStats,
+    textRollingHash, textTfidf, textQuality, textVocabTopk, textOovRate,
+    textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
     dedupContainment, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,

@@ -706,6 +706,14 @@ class PlanSpec extends AnyFunSuite {
       "the per-doc reconstruction and counts must partial-aggregate")
   }
 
+  test("text_oov_rate: bounded vocab broadcasts onto the token stream, top-k is TakeOrdered") {
+    val plan = executedPlan("text_oov_rate")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-1000 vocab cut must merge per-partition top-k, not sort the vocabulary")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 1000-row vocab must broadcast — the corpus token stream never shuffles for membership")
+  }
+
   test("olap_scd2 / olap_gap_fill / events_attribution: every window user-partitioned") {
     allWindowsPartitioned("olap_scd2")
     allWindowsPartitioned("olap_gap_fill")
