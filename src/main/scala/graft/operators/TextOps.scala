@@ -392,8 +392,36 @@ object TextOps {
     * are MATERIALIZED once (the `dedup_labels_materialized` discipline)
     * and each incoming shard joins them — the per-query rebuild here is
     * the oracle-harness artifact. */
-  val dedupIncremental = sql(
-    "dedup_incremental",
+  /** The incremental gate's verdict logic over (band pair set, side
+    * labels) — ONE definition for the recompute query and its
+    * materialized twin, so the precedence rule cannot fork. */
+  private def incrementalVerdicts(mp: org.apache.spark.sql.DataFrame,
+      side: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e2 = mp.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(mp.select(col("db").as("a"), col("da").as("b")))
+    val edges = e2
+      .join(side.select(col("doc_id").as("a"), col("in_corpus").as("a_corpus")), "a")
+      .join(side.select(col("doc_id").as("b"), col("in_corpus").as("b_corpus")), "b")
+      .filter(!col("a_corpus"))
+    val chit = edges.filter(col("b_corpus")).select("a").distinct()
+    val bhit = edges.filter(!col("b_corpus") && col("b") < col("a"))
+      .select("a").distinct()
+    side.filter(!col("in_corpus")).select("doc_id")
+      .join(chit.select(col("a").as("doc_id"), lit(1).as("c")), Seq("doc_id"), "left")
+      .join(bhit.select(col("a").as("doc_id"), lit(1).as("bq")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("c").isNotNull, "dup_of_corpus")
+          .when(col("bq").isNotNull, "dup_in_batch")
+          .otherwise("unique").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  private def incrementalSide(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      (Keys.hexBucketCol(col("doc_id")) < Keys.TrainThr).as("in_corpus"))
+
+  private val incrementalOracleSql: String =
     s"""WITH $minhashPairsSqlCte,
        |e2 AS (SELECT da AS a, db AS b FROM mp UNION ALL SELECT db, da FROM mp),
        |side AS (SELECT doc_id, (${Keys.hexBucketSql("doc_id")}) < ${Keys.TrainThr} AS in_corpus
@@ -413,27 +441,38 @@ object TextOps {
        |FROM inc i
        |LEFT JOIN chit c ON c.doc_id = i.doc_id
        |LEFT JOIN bhit b ON b.doc_id = i.doc_id
-       |ORDER BY i.doc_id""".stripMargin) { (s, d) =>
-    val side = Tables.documents(s, d).select(col("doc_id"),
-      (Keys.hexBucketCol(col("doc_id")) < Keys.TrainThr).as("in_corpus"))
-    val mp = minhashBandPairs(s, d)
-    val e2 = mp.select(col("da").as("a"), col("db").as("b"))
-      .unionByName(mp.select(col("db").as("a"), col("da").as("b")))
-    val edges = e2
-      .join(side.select(col("doc_id").as("a"), col("in_corpus").as("a_corpus")), "a")
-      .join(side.select(col("doc_id").as("b"), col("in_corpus").as("b_corpus")), "b")
-      .filter(!col("a_corpus"))
-    val chit = edges.filter(col("b_corpus")).select("a").distinct()
-    val bhit = edges.filter(!col("b_corpus") && col("b") < col("a"))
-      .select("a").distinct()
-    side.filter(!col("in_corpus")).select("doc_id")
-      .join(chit.select(col("a").as("doc_id"), lit(1).as("c")), Seq("doc_id"), "left")
-      .join(bhit.select(col("a").as("doc_id"), lit(1).as("bq")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("c").isNotNull, "dup_of_corpus")
-          .when(col("bq").isNotNull, "dup_in_batch")
-          .otherwise("unique").as("verdict"))
-      .orderBy("doc_id")
+       |ORDER BY i.doc_id""".stripMargin
+
+  val dedupIncremental = sql("dedup_incremental", incrementalOracleSql) {
+    (s, d) =>
+      incrementalVerdicts(minhashBandPairs(s, d), incrementalSide(s, d))
+  }
+
+  /** One band-pair snapshot per (application, dataset) — see
+    * [[labelSnapCache]] for why the cache exists. */
+  private val bandPairSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The MATERIALIZED twin of `dedup_incremental` — the deployment shape
+    * its scaladoc promises: the shingle→MinHash→band→bucket pair graph is
+    * computed ONCE per corpus snapshot, written as parquet, and the
+    * ingestion gate joins the snapshot (as does every other consumer of
+    * the pair graph — the cluster family reads the same edges). Same
+    * oracle SQL as the recompute twin, so the driver's hash compare is
+    * the bit-identity proof. The per-query chain rebuild in
+    * `dedup_incremental` is the oracle-harness artifact; THIS is what a
+    * 100 TB shard-ingest actually runs. */
+  val dedupIncrementalMaterialized = sql(
+    "dedup_incremental_materialized", incrementalOracleSql) { (s, d) =>
+    val snap = bandPairSnapCache.computeIfAbsent(
+      (s.sparkContext.applicationId, d), { _ =>
+        val p = java.nio.file.Files
+          .createTempDirectory("band-pairs-snap").toString
+        minhashBandPairs(s, d).repartition(col("da"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    incrementalVerdicts(s.read.parquet(snap), incrementalSide(s, d))
   }
 
   /** QUALITY-DRIFT monitor — the distribution-shift check a pipeline runs
@@ -2736,5 +2775,6 @@ object TextOps {
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
     textBm25, textPplBuckets, dedupLabelsMaterialized, dedupIncremental,
+    dedupIncrementalMaterialized,
     corpusQualityDrift)
 }
