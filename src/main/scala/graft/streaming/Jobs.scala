@@ -614,16 +614,21 @@ object Jobs {
     }
     val seed = stateDir.map { dir =>
       Files.createDirectories(Paths.get(dir))
-      val it = Files.list(Paths.get(dir)).iterator()
-      var m = 0L
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.startsWith("batch-")) {
-          val (b, t) = readLedger(p)
-          m = math.max(m, b + t)
+      val listing = Files.list(Paths.get(dir))
+      try {
+        val it = listing.iterator()
+        var m = 0L
+        while (it.hasNext) {
+          val p = it.next()
+          // strict name match: an orphaned "tmp-*" from a crash between
+          // create and atomic move must never be parsed as a ledger entry
+          if (p.getFileName.toString.matches("batch-\\d{12}")) {
+            val (b, t) = readLedger(p)
+            m = math.max(m, b + t)
+          }
         }
-      }
-      m
+        m
+      } finally listing.close()
     }.getOrElse(0L)
     val spent = new java.util.concurrent.atomic.AtomicLong(seed)
     gated.writeStream.outputMode("append").foreachBatch {
@@ -638,7 +643,7 @@ object Jobs {
         stateDir.foreach { _ =>
           if (!replayed) {
             val tmp = Files.createTempFile(
-              Paths.get(stateDir.get), "batch-tmp", "")
+              Paths.get(stateDir.get), "tmp-", "")
             Files.writeString(tmp, s"$base $total")
             Files.move(tmp, ledger(id), StandardCopyOption.ATOMIC_MOVE)
           }
