@@ -419,6 +419,57 @@ object Similarity {
     knnRankedDf(s, d).filter(col("rn") <= 3).orderBy("src", "dst")
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training composition over the
+    * shared within-cell ranking (`rk`, the same CTE `sim_knn_graph` and
+    * `graph_pagerank` consume): per vector, the single most similar
+    * neighbor that is NOT an embedding near-duplicate (cosine below the
+    * `sim_neardup_pairs` threshold) — semantically close enough to be a
+    * hard negative, far enough to not be a positive — plus the count of
+    * too-close candidates the miner had to skip (those are the
+    * positives/duplicates a contrastive batch must NOT sample as
+    * negatives). A vector whose whole cell is near-duplicates (or that is
+    * alone in its cell) emits NULLs rather than vanishing — the honest
+    * "no negative available here" signal a batch builder needs.
+    *
+    * Scale shape: inherits `rk`'s within-cell block join (Σ cell², never
+    * corpus²); the re-rank window is per-src over the already-ranked
+    * bounded candidate list; selection/count are partial-aggregable.
+    * Ranking is on the 4-dp-rounded cosine with dst tie-break, so both
+    * engines pick bit-identical negatives. */
+  val simHardNegatives = sql(
+    "sim_hard_negatives",
+    s"""WITH $knnRankedSqlCte,
+       |hn AS (SELECT src, dst, cos,
+       |              row_number() OVER (PARTITION BY src ORDER BY rn) AS hrn
+       |       FROM rk WHERE cos < $CosineNearDupThreshold),
+       |pos AS (SELECT src, count(*) AS n_pos FROM rk
+       |        WHERE cos >= $CosineNearDupThreshold GROUP BY src)
+       |SELECT e.vec_id AS src,
+       |       CAST(coalesce(p.n_pos, 0) AS BIGINT) AS n_positives,
+       |       h.dst AS hard_neg, h.cos AS hard_neg_cos
+       |FROM embeddings e
+       |LEFT JOIN (SELECT src, dst, cos FROM hn WHERE hrn = 1) h
+       |  ON h.src = e.vec_id
+       |LEFT JOIN pos p ON p.src = e.vec_id
+       |ORDER BY src""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rk = knnRankedDf(s, d)
+    val w = Window.partitionBy("src").orderBy("rn")
+    val hn = rk.filter(col("cos") < CosineNearDupThreshold)
+      .withColumn("hrn", row_number().over(w))
+      .filter(col("hrn") === 1)
+      .select(col("src"), col("dst").as("hard_neg"),
+        col("cos").as("hard_neg_cos"))
+    val pos = rk.filter(col("cos") >= CosineNearDupThreshold)
+      .groupBy("src").agg(count(lit(1)).as("n_pos"))
+    Tables.embeddings(s, d).select(col("vec_id").as("src"))
+      .join(pos, Seq("src"), "left")
+      .join(hn, Seq("src"), "left")
+      .select(col("src"), coalesce(col("n_pos"), lit(0L)).as("n_positives"),
+        col("hard_neg"), col("hard_neg_cos"))
+      .orderBy("src")
+  }
+
   /** PAGERANK over the k-NN graph — 3 unrolled power iterations with
     * damping 0.85 over the top-3-cosine-neighbor edge list: the
     * graph-centrality signal behind canonical-document selection and
@@ -1713,7 +1764,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
-    simIvfRecallMp, simNearDup, simKnnGraph, simLshBuckets, simPqCodes,
+    simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
