@@ -172,6 +172,113 @@ object Sampling {
       .orderBy("shard")
   }
 
+  /** CORPUS MODEL CARD — the one-row report card a dataset ships with,
+    * composing SIX shared subsystems into a single oracle-checked
+    * artifact: corpus size (docs/tokens/langs/sources), near-dup rate
+    * (the `clusterLabels` chain), mean quality (the shared [[Quality]]
+    * score), benchmark contamination (the decontam shingle index over the
+    * train/test split), tokenizer coverage (corpus OOV rate vs the
+    * top-1000 vocabulary — `text_oov_rate`'s vocab rule), and packing
+    * utilization (`pack_sequences`' shard rollup). Every metric reuses
+    * the SAME definition as its standalone query, so the card cannot
+    * drift from the queries it summarizes — and the driver's hash compare
+    * proves the composition forks nothing.
+    *
+    * Scale shape: each sub-metric keeps its standalone plan (the chains
+    * are documented there); the final assembly is a cross join of 1-row
+    * aggregates — broadcast singletons, the one legal cross-join shape. */
+  val corpusModelCard = sql(
+    "corpus_model_card",
+    s"""WITH RECURSIVE ${TextOps.clusterLabelsSqlCte},
+       |${Quality.metricsSqlCte},
+       |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |         FROM documents),
+       |dup AS (SELECT round(sum(CASE WHEN root <> doc_id THEN 1 ELSE 0 END)
+       |                      * 1.0 / count(*), 4) AS dup_rate
+       |        FROM cc),
+       |qv AS (SELECT round(avg(${Quality.scoreSql}), 4) AS mean_quality FROM m),
+       |dt AS (SELECT doc_id, string_split(text, ' ') AS t2,
+       |              ${hexBucketSql("doc_id")} AS b
+       |       FROM documents),
+       |dsp AS (SELECT doc_id, t2,
+       |               CASE WHEN b < $TrainThr THEN 'train'
+       |                    WHEN b < $ValThr THEN 'val'
+       |                    ELSE 'test' END AS split
+       |        FROM dt),
+       |dsh AS (SELECT DISTINCT doc_id, split,
+       |               unnest([md5(array_to_string(t2[i:i+7], ' '))
+       |                       for i in range(1, len(t2) - 6)]) AS shk
+       |        FROM dsp WHERE len(t2) >= 8),
+       |ddf AS (SELECT shk, count(*) AS df FROM dsh GROUP BY shk),
+       |dshc AS (SELECT s.doc_id, s.split, s.shk FROM dsh s JOIN ddf USING (shk)
+       |         WHERE ddf.df <= 50),
+       |dev AS (SELECT DISTINCT shk FROM dshc WHERE split = 'test'),
+       |dhits AS (SELECT s.doc_id FROM dshc s JOIN dev USING (shk)
+       |          WHERE s.split = 'train' GROUP BY s.doc_id),
+       |cont AS (SELECT CAST(count(*) AS BIGINT) AS contaminated_train_docs
+       |         FROM dhits),
+       |vt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |       FROM documents),
+       |vv AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM vt
+       |                        GROUP BY tok ORDER BY n DESC, tok LIMIT 1000) x),
+       |oov AS (SELECT round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+       |                      * 1.0 / count(*), 4) AS oov_rate_1000
+       |        FROM vt LEFT JOIN vv v ON v.tok = vt.tok),
+       |pt AS (SELECT doc_id,
+       |              (${hexBucketSql("doc_id")}) % 16 AS shard,
+       |              len(string_split(text, ' ')) AS n_tok
+       |       FROM documents),
+       |pc AS (SELECT doc_id, shard, n_tok,
+       |              sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |                               ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM pt),
+       |psh AS (SELECT shard, max(CAST(floor((cum - n_tok) / 4096) AS BIGINT)) + 1
+       |                 AS n_seqs,
+       |               sum(n_tok) AS tok
+       |        FROM pc GROUP BY shard),
+       |util AS (SELECT round(sum(tok) * 1.0 / (sum(n_seqs) * 4096), 4)
+       |                 AS pack_utilization
+       |         FROM psh)
+       |SELECT base.n_docs, base.n_tokens, base.n_langs, base.n_sources,
+       |       dup.dup_rate, qv.mean_quality, cont.contaminated_train_docs,
+       |       oov.oov_rate_1000, util.pack_utilization
+       |FROM base, dup, qv, cont, oov, util""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"))
+    val dup = TextOps.clusterLabels(s, d)
+      .agg(round(sum(when(col("cluster") =!= col("doc_id"), 1).otherwise(0))
+        * lit(1.0) / count(lit(1)), 4).as("dup_rate"))
+    val qv = Quality.metrics(s, d)
+      .agg(round(avg("quality"), 4).as("mean_quality"))
+    val (_, shc) = decontamShingleIndex(s, d)
+    val ev = shc.filter(col("split") === "test").select("sh").distinct()
+    val cont = shc.filter(col("split") === "train")
+      .join(ev, "sh").select("doc_id").distinct()
+      .agg(count(lit(1)).as("contaminated_train_docs"))
+    val vt = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val vocab = vt.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(1000)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    val oov = vt.join(broadcast(vocab), Seq("tok"), "left")
+      .agg(round(sum(when(col("in_vocab").isNull, 1).otherwise(0))
+        * lit(1.0) / count(lit(1)), 4).as("oov_rate_1000"))
+    val util = packSequences.fn(s, d)
+      .groupBy("shard")
+      .agg((max("seq_id") + 1).as("n_seqs"),
+        sum("n_tokens").as("tok"))
+      .agg(round(sum("tok") * lit(1.0) / (sum("n_seqs") * 4096), 4)
+        .as("pack_utilization"))
+    base.crossJoin(dup).crossJoin(qv).crossJoin(cont).crossJoin(oov)
+      .crossJoin(util)
+  }
+
   /** Shared decontamination plumbing: split-tagged tokenized docs (`sp`)
     * and the df-capped split-tagged 8-token shingle index (`shc`, 16-byte
     * binary md5 keys). `shc`'s upstream is cached — it is read three ways
@@ -768,7 +875,7 @@ object Sampling {
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
     corpusReweight, domainCap, tokenBudget, curationE2e, decontamReport,
-    packPaddingWaste,
+    packPaddingWaste, corpusModelCard,
     corpusCurriculum)
 }
 
