@@ -223,6 +223,37 @@ class SamplingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("docOrderedCumsum: randomized sparse ids equal the driver prefix sum " +
+      "across both reduction levels") {
+    // the shared budget-cumsum helper now backs corpus_curation_e2e AND
+    // the streaming curation sink — prove the recursive reduction against
+    // a trivial driver fold on ids sparse/clustered enough to leave range
+    // buckets empty, span super-buckets (>256*256 ids), and collide
+    // within one bucket
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val ids = scala.collection.mutable.SortedSet.empty[Long]
+      var cur = 0L
+      while (ids.size < 400) {
+        // jumps up to ~2^18 cross BudgetRangeWidth^2 super-bucket borders
+        cur += 1 + rnd.nextInt(1 << (3 + rnd.nextInt(16)))
+        ids += cur
+      }
+      val data = ids.toSeq.map(id => (id, 1L + rnd.nextInt(5000)))
+      val got = operators.Sampling
+        .docOrderedCumsum(data.toDF("doc_id", "n_tokens"))
+        .select("doc_id", "cum_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var cum = 0L
+      data.zip(got).foreach { case ((id, n), (gid, gcum)) =>
+        cum += n
+        assert(gid == id && gcum == cum,
+          s"seed $seed doc $id: two-phase cum $gcum != reference $cum")
+      }
+    }
+  }
+
   test("decontam_report: rates recompute exactly from the per-doc decontam query") {
     val perDoc = SparkEntry.queries("decontam_ngram")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated")).toMap
