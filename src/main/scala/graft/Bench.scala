@@ -153,18 +153,25 @@ object Bench {
     // run cost real adjudication time because nothing in the artifact said
     // "don't trust per-query deltas"). Two indicators, derivable from the
     // artifact alone but now first-class fields:
-    //   contention   — wall_sec / (3 × sum-of-min): the wall covers three
-    //                  back-to-back passes per query, so an uncontended run
-    //                  scores ~1.0–1.2 (non-min passes + session overhead);
-    //                  ≥1.5 means other load stole the machine and
-    //                  per-query deltas vs earlier rounds are suspect.
+    //   contention   — wall_sec / Σ(recorded-passes × per-query min): the
+    //                  wall covers every recorded pass, so an uncontended
+    //                  run scores ~1.0–1.2 (non-min passes + session
+    //                  overhead); ≥1.5 means other load stole the machine
+    //                  and per-query deltas vs earlier rounds are suspect.
+    //                  Counting each query's ACTUAL pass count (a
+    //                  third-pass throw leaves 2) keeps the idle baseline
+    //                  honest; a run with failures is already red via
+    //                  n_failed and exits nonzero, so their unrecorded
+    //                  passes deliberately don't enter the denominator.
     //   n_spread     — queries whose max/min ratio over the NON-FIRST
     //                  passes exceeds 2× (no clean pass can be assumed for
     //                  these individually). The first pass is excluded
     //                  because it legitimately carries Janino codegen
     //                  compile — on an idle host short queries still show
     //                  pass1 ≈ 2× pass2, which is measurement, not load.
-    val contention = if (total > 0) wallSec / (3.0 * total) else 1.0
+    val passWeightedMin = raw.valuesIterator
+      .map(ts => if (ts.isEmpty) 0.0 else ts.length * ts.min).sum
+    val contention = if (passWeightedMin > 0) wallSec / passWeightedMin else 1.0
     val nSpread = raw.valuesIterator.map(_.drop(1))
       .count(ts => ts.nonEmpty && ts.max > 2.0 * ts.min)
 

@@ -95,6 +95,26 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Shared oracle CTE chain `${p}t → ${p}c → ${p}k(doc_id, shard,
+    * n_tokens, seq_id)` — the `pack_sequences` assignment (16-way hash
+    * shard, per-shard running-sum cumsum, 4096-token sequence id). ONE
+    * prefix-parameterized definition consumed by the `pack_sequences`,
+    * `pack_padding_waste` and `corpus_model_card` oracles, so the packing
+    * rule cannot fork between its consumers (prefixing avoids CTE-name
+    * collisions when composed with the Quality chain, which owns `t`). */
+  private def packAssignSqlCte(p: String): String =
+    s"""${p}t AS (SELECT doc_id,
+       |              (${hexBucketSql("doc_id")}) % 16 AS shard,
+       |              len(string_split(text, ' ')) AS n_tokens
+       |       FROM documents),
+       |${p}c AS (SELECT doc_id, shard, n_tokens,
+       |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM ${p}t),
+       |${p}k AS (SELECT doc_id, shard, n_tokens,
+       |              CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS seq_id
+       |       FROM ${p}c)""".stripMargin
+
   /** Sequence packing: assign documents to fixed-budget training sequences
     * (4096 whitespace tokens) by running token count. The cumulative sum
     * runs WITHIN a 16-way hash shard, not globally — a global cumsum is a
@@ -103,17 +123,9 @@ object Sampling {
     * with the cluster. Output: (doc, shard, seq_id-within-shard). */
   val packSequences = sql(
     "pack_sequences",
-    s"""WITH t AS (SELECT doc_id,
-       |                  (${hexBucketSql("doc_id")}) % 16 AS shard,
-       |                  len(string_split(text, ' ')) AS n_tokens
-       |           FROM documents),
-       |c AS (SELECT doc_id, shard, n_tokens,
-       |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |                                 ROWS UNBOUNDED PRECEDING) AS cum
-       |      FROM t)
-       |SELECT doc_id, shard, n_tokens,
-       |       CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS seq_id
-       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s"""WITH ${packAssignSqlCte("")}
+       |SELECT doc_id, shard, n_tokens, seq_id
+       |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(s, d).select(
       col("doc_id"),
@@ -126,6 +138,33 @@ object Sampling {
         floor((col("cum") - col("n_tokens")) / 4096).cast("long").as("seq_id"))
       .orderBy("doc_id")
   }
+
+  /** Shared oracle CTE chain `dt → dsp → … → dhits(doc_id)` — the split
+    * tagging plus df-capped 8-token-shingle contamination hits of the
+    * train split against the test split. ONE definition consumed by the
+    * `corpus_curation_e2e` and `corpus_model_card` oracles (the SQL twin
+    * of [[decontamShingleIndex]]), so the contamination rule cannot fork
+    * between its consumers. No trailing comma — splice as
+    * `$decontamChainSqlCte,` inside a WITH. */
+  private val decontamChainSqlCte: String =
+    s"""dt AS (SELECT doc_id, string_split(text, ' ') AS t2,
+       |              ${hexBucketSql("doc_id")} AS b
+       |       FROM documents),
+       |dsp AS (SELECT doc_id, t2,
+       |               CASE WHEN b < $TrainThr THEN 'train'
+       |                    WHEN b < $ValThr THEN 'val'
+       |                    ELSE 'test' END AS split
+       |        FROM dt),
+       |dsh AS (SELECT DISTINCT doc_id, split,
+       |               unnest([md5(array_to_string(t2[i:i+7], ' '))
+       |                       for i in range(1, len(t2) - 6)]) AS shk
+       |        FROM dsp WHERE len(t2) >= 8),
+       |ddf AS (SELECT shk, count(*) AS df FROM dsh GROUP BY shk),
+       |dshc AS (SELECT s.doc_id, s.split, s.shk FROM dsh s JOIN ddf USING (shk)
+       |         WHERE ddf.df <= 50),
+       |dev AS (SELECT DISTINCT shk FROM dshc WHERE split = 'test'),
+       |dhits AS (SELECT s.doc_id FROM dshc s JOIN dev USING (shk)
+       |          WHERE s.split = 'train' GROUP BY s.doc_id)""".stripMargin
 
   /** PACKING-EFFICIENCY report — what `pack_sequences`' assignment costs
     * in padding: per shard, documents, sequences opened, token volume,
@@ -142,17 +181,7 @@ object Sampling {
     * cumsums. */
   val packPaddingWaste = sql(
     "pack_padding_waste",
-    s"""WITH t AS (SELECT doc_id,
-       |                  (${hexBucketSql("doc_id")}) % 16 AS shard,
-       |                  len(string_split(text, ' ')) AS n_tokens
-       |           FROM documents),
-       |c AS (SELECT doc_id, shard, n_tokens,
-       |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |                                 ROWS UNBOUNDED PRECEDING) AS cum
-       |      FROM t),
-       |pk AS (SELECT doc_id, shard, n_tokens,
-       |              CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS seq_id
-       |       FROM c)
+    s"""WITH ${packAssignSqlCte("")}
        |SELECT shard,
        |       CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(max(seq_id) + 1 AS BIGINT) AS n_seqs,
@@ -160,7 +189,7 @@ object Sampling {
        |       CAST((max(seq_id) + 1) * 4096 AS BIGINT) AS capacity,
        |       round(sum(n_tokens) * 1.0 / ((max(seq_id) + 1) * 4096), 4)
        |         AS utilization
-       |FROM pk GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+       |FROM k GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
     packSequences.fn(s, d)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -200,24 +229,7 @@ object Sampling {
        |                      * 1.0 / count(*), 4) AS dup_rate
        |        FROM cc),
        |qv AS (SELECT round(avg(${Quality.scoreSql}), 4) AS mean_quality FROM m),
-       |dt AS (SELECT doc_id, string_split(text, ' ') AS t2,
-       |              ${hexBucketSql("doc_id")} AS b
-       |       FROM documents),
-       |dsp AS (SELECT doc_id, t2,
-       |               CASE WHEN b < $TrainThr THEN 'train'
-       |                    WHEN b < $ValThr THEN 'val'
-       |                    ELSE 'test' END AS split
-       |        FROM dt),
-       |dsh AS (SELECT DISTINCT doc_id, split,
-       |               unnest([md5(array_to_string(t2[i:i+7], ' '))
-       |                       for i in range(1, len(t2) - 6)]) AS shk
-       |        FROM dsp WHERE len(t2) >= 8),
-       |ddf AS (SELECT shk, count(*) AS df FROM dsh GROUP BY shk),
-       |dshc AS (SELECT s.doc_id, s.split, s.shk FROM dsh s JOIN ddf USING (shk)
-       |         WHERE ddf.df <= 50),
-       |dev AS (SELECT DISTINCT shk FROM dshc WHERE split = 'test'),
-       |dhits AS (SELECT s.doc_id FROM dshc s JOIN dev USING (shk)
-       |          WHERE s.split = 'train' GROUP BY s.doc_id),
+       |$decontamChainSqlCte,
        |cont AS (SELECT CAST(count(*) AS BIGINT) AS contaminated_train_docs
        |         FROM dhits),
        |vt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -227,18 +239,10 @@ object Sampling {
        |oov AS (SELECT round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
        |                      * 1.0 / count(*), 4) AS oov_rate_1000
        |        FROM vt LEFT JOIN vv v ON v.tok = vt.tok),
-       |pt AS (SELECT doc_id,
-       |              (${hexBucketSql("doc_id")}) % 16 AS shard,
-       |              len(string_split(text, ' ')) AS n_tok
-       |       FROM documents),
-       |pc AS (SELECT doc_id, shard, n_tok,
-       |              sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-       |                               ROWS UNBOUNDED PRECEDING) AS cum
-       |       FROM pt),
-       |psh AS (SELECT shard, max(CAST(floor((cum - n_tok) / 4096) AS BIGINT)) + 1
-       |                 AS n_seqs,
-       |               sum(n_tok) AS tok
-       |        FROM pc GROUP BY shard),
+       |${packAssignSqlCte("p")},
+       |psh AS (SELECT shard, max(seq_id) + 1 AS n_seqs,
+       |               sum(n_tokens) AS tok
+       |        FROM pk GROUP BY shard),
        |util AS (SELECT round(sum(tok) * 1.0 / (sum(n_seqs) * 4096), 4)
        |                 AS pack_utilization
        |         FROM psh)
@@ -758,24 +762,7 @@ object Sampling {
     s"""WITH RECURSIVE ${TextOps.clusterLabelsSqlCte},
        |${Quality.metricsSqlCte},
        |q AS (SELECT doc_id, n_tokens, ${Quality.scoreSql} AS quality FROM m),
-       |dt AS (SELECT doc_id, string_split(text, ' ') AS t2,
-       |              ${hexBucketSql("doc_id")} AS b
-       |       FROM documents),
-       |dsp AS (SELECT doc_id, t2,
-       |               CASE WHEN b < $TrainThr THEN 'train'
-       |                    WHEN b < $ValThr THEN 'val'
-       |                    ELSE 'test' END AS split
-       |        FROM dt),
-       |dsh AS (SELECT DISTINCT doc_id, split,
-       |               unnest([md5(array_to_string(t2[i:i+7], ' '))
-       |                       for i in range(1, len(t2) - 6)]) AS shk
-       |        FROM dsp WHERE len(t2) >= 8),
-       |ddf AS (SELECT shk, count(*) AS df FROM dsh GROUP BY shk),
-       |dshc AS (SELECT s.doc_id, s.split, s.shk FROM dsh s JOIN ddf USING (shk)
-       |         WHERE ddf.df <= 50),
-       |dev AS (SELECT DISTINCT shk FROM dshc WHERE split = 'test'),
-       |dhits AS (SELECT s.doc_id FROM dshc s JOIN dev USING (shk)
-       |          WHERE s.split = 'train' GROUP BY s.doc_id),
+       |$decontamChainSqlCte,
        |g AS (SELECT d.doc_id, q.n_tokens, c.root,
        |             (q.n_tokens >= 10 AND q.quality = 3) AS qual_ok
        |      FROM documents d

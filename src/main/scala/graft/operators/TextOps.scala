@@ -448,10 +448,31 @@ object TextOps {
       incrementalVerdicts(minhashBandPairs(s, d), incrementalSide(s, d))
   }
 
-  /** One band-pair snapshot per (application, dataset) — see
-    * [[labelSnapCache]] for why the cache exists. */
-  private val bandPairSnapCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  /** THE materialize-once discipline shared by every `_materialized`
+    * snapshot twin: `build` is evaluated and written as parquet exactly
+    * once per (application, dataset, name) — Verify/Bench and the
+    * determinism gates invoke query fns repeatedly, and a fresh temp dir
+    * per call would leak directories AND re-run the exact chain the twin
+    * exists to amortize — then every call reads the snapshot back.
+    * Callers `repartition` inside `build` to shape the FILES (one hash
+    * range per file, no small-file spray); plain parquet does not persist
+    * the partitioning for readers, so consumers joining on the key still
+    * shuffle — a deployment that needs co-located joins writes bucketBy
+    * into a catalog table instead (the BucketingSpec discipline). */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+  private def snapshotOnce(s: org.apache.spark.sql.SparkSession, d: String,
+      name: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = snapCache.computeIfAbsent(
+      (s.sparkContext.applicationId, d, name), { _ =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"$name-snap").toString
+        build.write.mode("overwrite").parquet(dir)
+        dir
+      })
+    s.read.parquet(p)
+  }
 
   /** The MATERIALIZED twin of `dedup_incremental` — the deployment shape
     * its scaladoc promises: the shingle→MinHash→band→bucket pair graph is
@@ -464,15 +485,10 @@ object TextOps {
     * 100 TB shard-ingest actually runs. */
   val dedupIncrementalMaterialized = sql(
     "dedup_incremental_materialized", incrementalOracleSql) { (s, d) =>
-    val snap = bandPairSnapCache.computeIfAbsent(
-      (s.sparkContext.applicationId, d), { _ =>
-        val p = java.nio.file.Files
-          .createTempDirectory("band-pairs-snap").toString
-        minhashBandPairs(s, d).repartition(col("da"))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-    incrementalVerdicts(s.read.parquet(snap), incrementalSide(s, d))
+    incrementalVerdicts(
+      snapshotOnce(s, d, "band-pairs")(
+        minhashBandPairs(s, d).repartition(col("da"))),
+      incrementalSide(s, d))
   }
 
   /** QUALITY-DRIFT monitor — the distribution-shift check a pipeline runs
@@ -1476,31 +1492,11 @@ object TextOps {
     * in the six-query cluster family joins this snapshot instead of
     * re-running the shingle→MinHash→LSH→CC chain; the chain runs once per
     * corpus snapshot, amortized across all of them. */
-  /** One snapshot per (application, dataset): Verify/Bench and the
-    * run-twice determinism gate invoke query fns repeatedly — a fresh
-    * temp dir per call would leak directories AND re-run the exact chain
-    * this query exists to amortize. */
-  private val labelSnapCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-
   val dedupLabelsMaterialized = sql(
     "dedup_labels_materialized", dupStatsOracleSql) { (s, d) =>
-    val snap = labelSnapCache.computeIfAbsent(
-      (s.sparkContext.applicationId, d), { _ =>
-        val p = java.nio.file.Files
-          .createTempDirectory("cluster-labels-snap").toString
-        // materialize ONCE: the chain's cost is amortized across every
-        // snapshot consumer. repartition(doc_id) here shapes the FILES
-        // (one hash range per file, no small-file spray); plain parquet
-        // does not persist the partitioning for readers, so consumers
-        // joining on doc_id still shuffle — a deployment that needs
-        // co-located joins writes this via bucketBy into a catalog table
-        // instead (the BucketingSpec discipline).
-        clusterLabels(s, d).repartition(col("doc_id"))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-    dupStatsRollup(s.read.parquet(snap), s, d)
+    dupStatsRollup(
+      snapshotOnce(s, d, "cluster-labels")(
+        clusterLabels(s, d).repartition(col("doc_id"))), s, d)
   }
 
   /** Per-language document-length distribution — the quality-filter
@@ -2221,13 +2217,6 @@ object TextOps {
         cappedPairsWithSizes(s, d))
   }
 
-  /** One snapshot pair per (application, dataset) — same discipline as
-    * [[labelSnapCache]]: Verify/Bench invoke query fns repeatedly and a
-    * fresh temp dir per call would leak AND re-run the chains this twin
-    * exists to amortize. */
-  private val precSnapCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
-
   /** The MATERIALIZED twin of `dedup_simhash_prec` — the
     * `dedup_labels_materialized` snapshot discipline generalized to the
     * OTHER two expensive fingerprint frames: the df-capped exact-pair
@@ -2241,22 +2230,11 @@ object TextOps {
     * and the simhash chain runs once per corpus, not once per grader. */
   val dedupSimhashPrecMaterialized = sql(
     "dedup_simhash_prec_materialized", simhashPrecOracleSql) { (s, d) =>
-    val (cappedSnap, flaggedSnap) = precSnapCache.computeIfAbsent(
-      (s.sparkContext.applicationId, d), { _ =>
-        val pc = java.nio.file.Files
-          .createTempDirectory("capped-pairs-snap").toString
-        // repartition shapes the FILES (hash-ranged, no small-file spray);
-        // a co-located-join deployment writes bucketBy into a catalog
-        // table instead (the BucketingSpec discipline)
-        cappedPairsWithSizes(s, d).repartition(col("da"))
-          .write.mode("overwrite").parquet(pc)
-        val pf = java.nio.file.Files
-          .createTempDirectory("simhash-flagged-snap").toString
-        dedupSimhashPairs.fn(s, d).select("da", "db")
-          .repartition(col("da")).write.mode("overwrite").parquet(pf)
-        (pc, pf)
-      })
-    simhashPrecReport(s.read.parquet(flaggedSnap), s.read.parquet(cappedSnap))
+    simhashPrecReport(
+      snapshotOnce(s, d, "simhash-flagged")(
+        dedupSimhashPairs.fn(s, d).select("da", "db").repartition(col("da"))),
+      snapshotOnce(s, d, "capped-pairs")(
+        cappedPairsWithSizes(s, d).repartition(col("da"))))
   }
 
   /** EXACT-SUBSTRING duplicate runs (the suffix-array dedup of Lee et

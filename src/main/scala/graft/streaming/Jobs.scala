@@ -632,7 +632,12 @@ object Jobs {
     }.getOrElse(0L)
     val spent = new java.util.concurrent.atomic.AtomicLong(seed)
     gated.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, id: Long) =>
+      (rawBatch: DataFrame, id: Long) =>
+        // the frame is consumed twice (total agg + selection emit); without
+        // persist each action re-runs the whole gated upstream chain —
+        // at production batch sizes that doubles the curation cost
+        val batch = rawBatch.persist()
+        try {
         val replayed = stateDir.nonEmpty && Files.exists(ledger(id))
         val base =
           if (replayed) readLedger(ledger(id))._1 else spent.get()
@@ -653,6 +658,7 @@ object Jobs {
           .filter(col("cum_tokens") <= budget)
         onBatch(sel, id)
         spent.set(base + total)
+        } finally batch.unpersist()
         ()
     }
   }
