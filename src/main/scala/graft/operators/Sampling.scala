@@ -858,11 +858,141 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** DSIR feature-bucket count. 1024 hashed-n-gram buckets is the scale
+    * LEVER of the family: the learned model is exactly 2·B counters, so at
+    * 100 TB the "classifier" stays a broadcastable kilobyte-scale table no
+    * matter how large the corpus or its vocabulary grows. */
+  val DsirBuckets = 1024
+
+  /** The target domain whose hashed-n-gram profile DSIR steers toward. */
+  val DsirTarget = "src0"
+
+  /** Shared oracle CTE chain ending in `w(doc_id, n_feats, logw)` — the
+    * DSIR importance weight per document, consumed by both
+    * `corpus_dsir_weights` (which emits it) and `corpus_dsir_select`
+    * (which resamples on it), so the weight model cannot fork between
+    * the report and the selection it justifies. */
+  private val dsirWeightSqlCte: String =
+    s"""dtk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+       |        FROM documents),
+       |dgr AS (SELECT doc_id, source,
+       |               unnest(list_concat(t,
+       |                 [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS g
+       |        FROM dtk),
+       |dfb AS (SELECT doc_id, source,
+       |               (${hexBucketSql("g")}) % $DsirBuckets AS b
+       |        FROM dgr),
+       |drc AS (SELECT b, count(*) AS rc FROM dfb GROUP BY b),
+       |dtc AS (SELECT b, count(*) AS tc FROM dfb
+       |        WHERE source = '$DsirTarget' GROUP BY b),
+       |drt AS (SELECT sum(rc) AS rtot FROM drc),
+       |dtt AS (SELECT sum(tc) AS ttot FROM dtc),
+       |dlam AS (SELECT drc.b,
+       |                ln((coalesce(dtc.tc, 0) + 1) * 1.0
+       |                   / (dtt.ttot + $DsirBuckets))
+       |              - ln((drc.rc + 1) * 1.0 / (drt.rtot + $DsirBuckets))
+       |                AS lam
+       |         FROM drc LEFT JOIN dtc USING (b)
+       |         CROSS JOIN drt CROSS JOIN dtt),
+       |w AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |             round(sum(l.lam), 4) AS logw
+       |      FROM dfb f JOIN dlam l ON l.b = f.b
+       |      GROUP BY f.doc_id)""".stripMargin
+
+  /** Spark side of `w`: (doc_id, n_feats, logw) per document. The λ table
+    * is ≤ [[DsirBuckets]] rows by construction, so the per-occurrence
+    * weight lookup is a broadcast equi-join (no shuffle on the corpus
+    * side) and the per-doc sum partial-aggregates map-side — exploded
+    * n-grams of one document stay in one input partition. */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      // sequence(0, size-2) is DESCENDING for 1-token docs (Spark infers
+      // step -1), so the bigram arm must be explicitly emptied there
+      .select(col("doc_id"), col("source"), explode(concat(col("t"), expr(
+        """if(size(t) >= 2,
+          |   transform(sequence(0, size(t) - 2),
+          |             i -> concat_ws(' ', t[i], t[i + 1])),
+          |   array())""".stripMargin))).as("g"))
+      .select(col("doc_id"), col("source"),
+        (hexBucketCol(col("g")) % DsirBuckets).as("b"))
+    val rc = feats.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tc = feats.filter(col("source") === DsirTarget)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val rt = rc.agg(sum("rc").as("rtot"))
+    val tt = tc.agg(sum("tc").as("ttot"))
+    val lam = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + 1) * lit(1.0)
+          / (col("ttot") + DsirBuckets))
+          - log((col("rc") + 1) * lit(1.0) / (col("rtot") + DsirBuckets)))
+          .as("lam"))
+    feats.join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        round(sum("lam"), 4).as("logw"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): featurize every document
+    * as hashed uni+bigram counts over [[DsirBuckets]] buckets, fit add-1-
+    * smoothed bag-of-buckets models on the TARGET domain (`src0`) and on
+    * the RAW corpus, and score each doc with the log importance ratio
+    * log w(x) = Σ_b c_b(x)·(ln p_b − ln q_b). High logw = "reads like the
+    * target domain" — the standard cheap steer toward a wanted
+    * distribution before training.
+    *
+    * Scale shape: tokenize once, one explode (≈2·n_tokens rows/doc), two
+    * partial-aggregable bucket counts collapsing to ≤ B rows, two scalar
+    * totals, then ONE broadcast join of the λ table back onto the feature
+    * stream with a map-side-combining per-doc sum. Nothing but the
+    * exploded narrow stream ever shuffles, and it shuffles pre-aggregated
+    * per doc. Float policy: both engines ln identical smoothed rationals
+    * (the `text_tfidf` agreement discipline); the per-doc sum is rounded
+    * 4 dp to absorb accumulation order. */
+  val corpusDsirWeights = sql(
+    "corpus_dsir_weights",
+    s"""WITH $dsirWeightSqlCte
+       |SELECT doc_id, n_feats, logw FROM w ORDER BY doc_id""".stripMargin) {
+    (s, d) => dsirWeights(s, d).orderBy("doc_id")
+  }
+
+  /** DSIR SELECTION — sampling-without-replacement via the Gumbel-top-k
+    * trick on the importance weights: key = logw + Gumbel(0,1), take the
+    * top 100 keys. The Gumbel noise is DERANDOMIZED the repo way — u is
+    * the md5 bucket of the doc id mapped to (0,1), g = −ln(−ln(u)) — so
+    * the draw is reproducible under retries, partitioning, and engine
+    * swaps (a `rand()` draw is neither reproducible nor oracle-checkable).
+    * Ranking runs on the 4-dp-ROUNDED key with a doc_id tie-break (the
+    * `text_nb_langid` discipline), so the selected SET is bit-stable
+    * across engines.
+    *
+    * Scale shape: the weight chain (see [[corpusDsirWeights]]) plus a
+    * narrow key projection and a top-k — TakeOrderedAndProject, the
+    * per-partition-heap + driver-merge top-k that never sorts the corpus
+    * (PlanSpec-guarded). */
+  val corpusDsirSelect = sql(
+    "corpus_dsir_select",
+    s"""WITH $dsirWeightSqlCte,
+       |ky AS (SELECT doc_id, n_feats, logw,
+       |              round(logw - ln(-ln((${hexBucketSql("doc_id")} + 0.5)
+       |                                  / 65536.0)), 4) AS gkey
+       |       FROM w)
+       |SELECT doc_id, n_feats, logw, gkey
+       |FROM ky ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    dsirWeights(s, d)
+      .withColumn("gkey", round(col("logw")
+        - log(-log((hexBucketCol(col("doc_id")) + 0.5) / 65536.0)), 4))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
     corpusReweight, domainCap, tokenBudget, curationE2e, decontamReport,
     packPaddingWaste, corpusModelCard,
-    corpusCurriculum)
+    corpusCurriculum, corpusDsirWeights, corpusDsirSelect)
 }
 

@@ -745,6 +745,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "curriculum assignment must not join")
   }
 
+  test("corpus_dsir_weights: λ table broadcasts onto the feature stream — no corpus-side shuffle join, no window") {
+    val plan = executedPlan("corpus_dsir_weights")
+    assert(plan.contains("BroadcastExchange"),
+      "the ≤1024-row bucket-weight table must broadcast")
+    assert(!plan.contains("Window"),
+      "the per-doc weight is a partial-aggregable sum, never a window")
+  }
+
+  test("corpus_dsir_select: Gumbel top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("corpus_dsir_select")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "k=100 selection must merge per-partition heaps, not sort the corpus")
+  }
+
   test("events_rfm: fixed-cut banding — aggregates only, broadcast scalar, no window") {
     val plan = executedPlan("events_rfm")
     assert(!plan.contains("Window"),

@@ -322,4 +322,42 @@ class SamplingSpec extends AnyFunSuite {
     }
     out.unpersist()
   }
+
+  test("corpus_dsir_weights: target-domain docs score higher than the corpus at large") {
+    val w = SparkEntry.queries("corpus_dsir_weights")(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .cache()
+    val tgtMean = w.filter(col("source") === operators.Sampling.DsirTarget)
+      .agg(avg("logw")).head.getDouble(0)
+    val restMean = w.filter(col("source") =!= operators.Sampling.DsirTarget)
+      .agg(avg("logw")).head.getDouble(0)
+    // the importance ratio is trained to discriminate target vs raw:
+    // if the target's own docs don't score above the rest, the model
+    // learned nothing and the selection is noise
+    assert(tgtMean > restMean,
+      s"target mean logw $tgtMean must exceed non-target $restMean")
+    // determinism: the weight is a pure function of the corpus snapshot
+    val a = w.select("doc_id", "logw").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = SparkEntry.queries("corpus_dsir_weights")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b, "re-run must reproduce identical weights")
+    w.unpersist()
+  }
+
+  test("corpus_dsir_select: Gumbel top-k enriches the selection toward the target domain") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count().toDouble
+    val nTgt = docs.filter(col("source") === operators.Sampling.DsirTarget)
+      .count().toDouble
+    val sel = SparkEntry.queries("corpus_dsir_select")(spark, sf)
+      .join(docs.select("doc_id", "source"), "doc_id").cache()
+    assert(sel.count() == 100, "selection must be exactly k = 100 docs")
+    val selTgt = sel.filter(col("source") === operators.Sampling.DsirTarget)
+      .count().toDouble
+    // resampling on importance weights must over-represent the target
+    // relative to its base rate (src0 is ~5% of the corpus)
+    assert(selTgt / 100.0 > nTgt / nDocs,
+      s"selection target share ${selTgt / 100.0} must beat base rate ${nTgt / nDocs}")
+    sel.unpersist()
+  }
 }
