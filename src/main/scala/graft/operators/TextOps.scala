@@ -2737,7 +2737,173 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** WordPiece vocabulary size (the cut binds: the fixture corpus carries
+    * ~228 distinct pieces) and the max piece length. */
+  val WpVocab = 120
+  val WpMaxPiece = 4
+
+  /** Words longer than this segment as a single [UNK] piece — BERT's
+    * `max_input_chars_per_word` rule. It also BOUNDS the reachability
+    * closure: ≤ 32 positions per word ⇒ ≤ 2⁵ greedy jumps ⇒ 5 doubling
+    * rounds close the jump graph for every admissible word. */
+  val WpMaxWord = 32
+
+  /** Shared oracle CTE chain for the WordPiece family, ending in
+    * `wnp(w, c, wlen, n_pieces)` (per DISTINCT word) and passing through
+    * `wvoc(p, cnt)` (the vocabulary). Greedy longest-match-first
+    * (MaxMatch) segmentation made RELATIONAL: per position the longest
+    * vocabulary match m(i) is an aggregate over ≤ 4 candidate spans, the
+    * greedy walk is the orbit of position 1 under i → i + m(i), and that
+    * orbit is computed by FIVE pointer-doubling rounds over the per-word
+    * jump graph (identity pairs seed the closure, so round k holds every
+    * path of ≤ 2^k jumps — 2⁵ = 32 ≥ the position cap) instead of a
+    * per-word sequential loop. Single characters are always in the
+    * vocabulary, so m(i) ≥ 1 and the walk always terminates. */
+  private val wordpieceVocabSqlCte: String =
+    s"""wpw AS (SELECT w, count(*) AS c
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |              FROM documents)
+       |        GROUP BY w),
+       |wpos AS (SELECT w, c, CAST(unnest(range(1, len(w) + 1)) AS INT) AS i
+       |         FROM wpw WHERE len(w) <= $WpMaxWord),
+       |wcand AS (SELECT w, c, i, CAST(unnest([1, 2, 3, 4]) AS INT) AS l
+       |          FROM wpos),
+       |wsp AS (SELECT w, c, i, l, substr(w, i, l) AS p FROM wcand
+       |        WHERE i + l <= len(w) + 1),
+       |wcnt AS (SELECT p, sum(c) AS cnt FROM wsp GROUP BY p),
+       |wvoc AS (SELECT p, cnt FROM
+       |           (SELECT p, cnt FROM wcnt ORDER BY cnt DESC, p LIMIT $WpVocab)
+       |         UNION
+       |         SELECT p, cnt FROM wcnt WHERE len(p) = 1)""".stripMargin
+
+  private val wordpieceSqlCte: String =
+    s"""$wordpieceVocabSqlCte,
+       |wm AS (SELECT s.w, s.i, max(s.l) AS m
+       |       FROM wsp s JOIN wvoc v ON v.p = s.p
+       |       GROUP BY s.w, s.i),
+       |wr0 AS (SELECT w, i, i AS j
+       |        FROM (SELECT w, CAST(unnest(range(1, len(w) + 2)) AS INT) AS i
+       |              FROM wpw WHERE len(w) <= $WpMaxWord)
+       |        UNION ALL
+       |        SELECT w, i, i + m AS j FROM wm),
+       |wr1 AS (SELECT DISTINCT a.w, a.i, b.j
+       |        FROM wr0 a JOIN wr0 b ON a.w = b.w AND a.j = b.i),
+       |wr2 AS (SELECT DISTINCT a.w, a.i, b.j
+       |        FROM wr1 a JOIN wr1 b ON a.w = b.w AND a.j = b.i),
+       |wr3 AS (SELECT DISTINCT a.w, a.i, b.j
+       |        FROM wr2 a JOIN wr2 b ON a.w = b.w AND a.j = b.i),
+       |wr4 AS (SELECT DISTINCT a.w, a.i, b.j
+       |        FROM wr3 a JOIN wr3 b ON a.w = b.w AND a.j = b.i),
+       |wr5 AS (SELECT DISTINCT a.w, a.i, b.j
+       |        FROM wr4 a JOIN wr4 b ON a.w = b.w AND a.j = b.i),
+       |wseg AS (SELECT r.w, count(*) AS n_pieces
+       |         FROM wr5 r WHERE r.i = 1 AND r.j <= len(r.w)
+       |         GROUP BY r.w),
+       |wnp AS (SELECT d.w, d.c, len(d.w) AS wlen,
+       |               CASE WHEN len(d.w) > $WpMaxWord THEN 1
+       |                    ELSE coalesce(s.n_pieces, 0) END AS n_pieces
+       |        FROM wpw d LEFT JOIN wseg s ON s.w = d.w)""".stripMargin
+
+  /** Spark side of `wnp`: (w, c, wlen, n_pieces) per distinct word, plus
+    * the vocabulary as `_2`. The whole computation runs on the DISTINCT
+    * WORD frame — corpus-frequency-weighted but never corpus-sized — and
+    * the closure's worst case is a documented constant factor: ≤
+    * [[WpMaxWord]]² reachability pairs per distinct word. Each doubling
+    * round localCheckpoints (the BPE lineage discipline: a 5-round
+    * self-join chain would otherwise compound the plan 2⁵-fold). */
+  private def wordpieceWordFrames(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val admissible = wc.filter(length(col("w")) <= WpMaxWord)
+    val cand = admissible
+      // sequence(1, 0) is DESCENDING for the empty-string word (Spark
+      // infers step -1) where DuckDB's range(1, 1) is empty — gate it out
+      .filter(length(col("w")) >= 1)
+      .select(col("w"), col("c"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("c"), col("i"),
+        explode(array((1 to WpMaxPiece).map(lit): _*)).as("l"))
+      .filter(col("i") + col("l") <= length(col("w")) + 1)
+      .withColumn("p", expr("substr(w, i, l)"))
+    val wcnt = cand.groupBy("p").agg(sum("c").as("cnt"))
+    val vocab = wcnt.orderBy(col("cnt").desc, col("p")).limit(WpVocab)
+      .union(wcnt.filter(length(col("p")) === 1))
+      .distinct()
+    val m = cand.join(broadcast(vocab.select("p")), "p")
+      .groupBy("w", "i").agg(max("l").as("m"))
+    val ids = admissible
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) + 1)).as("i"))
+      .select(col("w"), col("i"), col("i").as("j"))
+    var r = ids.union(m.select(col("w"), col("i"), (col("i") + col("m")).as("j")))
+      .localCheckpoint(true)
+    for (_ <- 1 to 5)
+      r = r.as("a")
+        .join(r.as("b"), col("a.w") === col("b.w") && col("a.j") === col("b.i"))
+        .select(col("a.w").as("w"), col("a.i").as("i"), col("b.j").as("j"))
+        .distinct()
+        .localCheckpoint(true)
+    val seg = r.filter(col("i") === 1 && col("j") <= length(col("w")))
+      .groupBy("w").agg(count(lit(1)).as("n_pieces"))
+    val wnp = wc.join(seg, Seq("w"), "left")
+      .select(col("w"), col("c"), length(col("w")).as("wlen"),
+        when(length(col("w")) > WpMaxWord, 1L)
+          .otherwise(coalesce(col("n_pieces"), lit(0L))).as("n_pieces"))
+    (wnp, vocab)
+  }
+
+  /** The WordPiece VOCABULARY — the top-[[WpVocab]] substrings (length ≤
+    * 4) by corpus-frequency-weighted occurrence count, union all single
+    * characters (the coverage guarantee every WordPiece vocab ships).
+    * Scale shape: substring candidates explode the DISTINCT-WORD frame
+    * (≤ 4·[[WpMaxWord]] per word, never the corpus), the count is
+    * partial-aggregable, the cut is TakeOrderedAndProject with a piece
+    * tie-break. */
+  val textWordpieceVocab = sql(
+    "text_wordpiece_vocab",
+    s"""WITH $wordpieceVocabSqlCte
+       |SELECT p AS piece, CAST(cnt AS BIGINT) AS cnt
+       |FROM wvoc ORDER BY piece""".stripMargin) { (s, d) =>
+    wordpieceWordFrames(s, d)._2
+      .select(col("p").as("piece"), col("cnt").cast("long").as("cnt"))
+      .orderBy("piece")
+  }
+
+  /** Greedy longest-match (WordPiece/MaxMatch) SEGMENTATION rollup — per
+    * document: word count, total piece count under the learned
+    * vocabulary, and pieces-per-word (the inference-side fertility metric
+    * that decides whether a tokenizer is worth its vocab size; compare
+    * `text_bpe_apply`, the merge-rule twin). The per-word piece counts
+    * come from the pointer-doubled greedy walk (see [[wordpieceSqlCte]]);
+    * the corpus only participates in the final token→word equi-join
+    * against the distinct-word frame (AQE broadcasts it while it fits). */
+  val textWordpieceSegment = sql(
+    "text_wordpiece_segment",
+    s"""WITH $wordpieceSqlCte,
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |         FROM documents)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n.n_pieces) AS BIGINT) AS n_pieces,
+       |       round(sum(n.n_pieces) * 1.0 / count(*), 4) AS ppw
+       |FROM toks t JOIN wnp n ON n.w = t.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val wnp = wordpieceWordFrames(s, d)._1
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      // the distinct-word frame is NOT forced broadcast: at 100 TB it is
+      // itself large (AQE broadcasts it while it fits, shuffles past that)
+      .join(wnp.select("w", "n_pieces"), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("n_pieces").cast("long").as("n_pieces"),
+        round(sum("n_pieces") * lit(1.0) / count(lit(1)), 4).as("ppw"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    textWordpieceVocab, textWordpieceSegment,
     textSubstringDup, dedupSpanRemove, corpusDedupYield, textBigramKn, dedupParetoTopk,
     textBpeTrain, textBpeTrainN5, textBpeApply,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,

@@ -596,4 +596,36 @@ class TextOpsSpec extends AnyFunSuite {
       (2L, 12L, 12L, 0L, md5hex("")),
       (3L, 10L, 0L, 10L, md5hex(d3))), s"got: $got")
   }
+
+  test("text_wordpiece_segment: the pointer-doubled walk equals a sequential greedy matcher") {
+    val sf = "/root/testdata/sf0.01"
+    // black-box sequential reference: greedy longest-match-first over the
+    // SAME vocabulary the registered query emits — if the 5-round
+    // reachability closure forks from true MaxMatch on any word, the
+    // per-doc piece totals diverge
+    val vocab = SparkEntry.queries("text_wordpiece_vocab")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    def pieces(w: String): Long =
+      if (w.isEmpty) 0L
+      else if (w.length > TextOps.WpMaxWord) 1L
+      else {
+        var i = 0; var n = 0L
+        while (i < w.length) {
+          var l = math.min(TextOps.WpMaxPiece, w.length - i)
+          while (l > 1 && !vocab.contains(w.substring(i, i + l))) l -= 1
+          i += l; n += 1
+        }
+        n
+      }
+    val expected = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        r.getLong(0) -> ((ws.length.toLong, ws.map(pieces).sum))
+      }.toMap
+    val got = SparkEntry.queries("text_wordpiece_segment")(spark, sf)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected,
+      s"diverging docs: ${(got.toSet diff expected.toSet).take(5)}")
+  }
 }
