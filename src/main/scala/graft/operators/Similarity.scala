@@ -1762,6 +1762,158 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Power-iteration rounds. Six rounds of the dominant-eigenvector
+    * recurrence; the SAME N generates the Spark driver loop and the
+    * oracle CTE chain (the `text_bpe_train` one-N-generates-both
+    * discipline). */
+  val PcaRounds = 6
+
+  /** Fixed-point scale for the PCA recurrence: ×2²⁰ (the `sim_kmeans_iter`
+    * discipline). Every per-round quantity is an EXACT integer — the
+    * matrix-vector products live in int128/DECIMAL(38,0) (score ≤ 2^50
+    * per vector; the dim-sum ≤ 2^75 per row and ≤ 2^111 even at 10¹¹
+    * rows, inside both engines' 38-digit headroom) — so eight orders of
+    * float accumulation divergence CANNOT compound across rounds: both
+    * engines hold bit-identical v after every round. */
+  private val PcaFp = 1048576L
+
+  /** One power-iteration round `pv${k-1} → pv$k` as oracle CTEs: score
+    * s_i = cx·v (BIGINT), back-projection u_pos = Σ s_i·cx (HUGEINT),
+    * then renormalize to max|v| = 2²⁰ via an exact max and one
+    * floor(double) both engines compute identically. */
+  private def pcaRoundSqlCte(k: Int): String =
+    s"""ps$k AS (SELECT c.vec_id, sum(c.cx * v.vv) AS s
+       |         FROM pcc c JOIN pv${k - 1} v ON v.pos = c.pos
+       |         GROUP BY c.vec_id),
+       |pu$k AS (SELECT c.pos, sum(CAST(s.s AS HUGEINT) * c.cx) AS u
+       |         FROM pcc c JOIN ps$k s ON s.vec_id = c.vec_id
+       |         GROUP BY c.pos),
+       |pm$k AS (SELECT max(abs(u)) AS m FROM pu$k),
+       |pv$k AS (SELECT u.pos,
+       |                CAST(floor(CAST(u.u AS DOUBLE) * $PcaFp
+       |                           / CAST(g.m AS DOUBLE)) AS BIGINT) AS vv
+       |         FROM pu$k u CROSS JOIN pm$k g)""".stripMargin
+
+  /** Base CTEs: ×2²⁰ fixed-point embeddings, exact integer centering,
+    * and the all-ones start vector. */
+  private val pcaBaseSqlCte: String =
+    s"""pcx AS (SELECT vec_id,
+       |               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+       |               CAST(round(CAST(unnest(embedding) AS DOUBLE) * $PcaFp)
+       |                    AS BIGINT) AS xv
+       |        FROM embeddings),
+       |pcmu AS (SELECT pos, CAST(floor(CAST(sum(xv) AS DOUBLE) / count(*))
+       |                          AS BIGINT) AS mu
+       |         FROM pcx GROUP BY pos),
+       |pcc AS (SELECT x.vec_id, x.pos, x.xv - m.mu AS cx
+       |        FROM pcx x JOIN pcmu m ON m.pos = x.pos),
+       |pv0 AS (SELECT DISTINCT pos, CAST($PcaFp AS BIGINT) AS vv FROM pcx)""".stripMargin
+
+  /** Spark side: the centered fixed-point frame `cc(vec_id, pos, cx)` and
+    * the converged direction `v(pos, vv)` after [[PcaRounds]] rounds. Each
+    * round is two partial-aggregable aggregates over the exploded frame
+    * (score per vector, back-projection per dimension) plus a 1-row max —
+    * the MATRIX-FREE power method: the d×d covariance is never
+    * materialized, so the shape survives d where an explicit covariance
+    * (d² entries) would not. v is 64 rows and localCheckpoints per round
+    * (lineage discipline). A zero-variance corpus would make the
+    * normalizer 0 and surface as nulls — loud, not silent. */
+  private def pcaFrames(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"),
+        round(col("xf").cast("double") * PcaFp, 0).cast("long").as("xv"))
+    val mu = x.groupBy("pos")
+      .agg(floor(sum("xv").cast("double") / count(lit(1))).cast("long").as("mu"))
+    val cc = x.join(broadcast(mu), "pos")
+      .select(col("vec_id"), col("pos"), (col("xv") - col("mu")).as("cx"))
+    var v = mu.select(col("pos"), lit(PcaFp).as("vv")).localCheckpoint(true)
+    for (_ <- 1 to PcaRounds) {
+      val sc = cc.join(broadcast(v), "pos")
+        .groupBy("vec_id").agg(sum(col("cx") * col("vv")).as("s"))
+      val u = cc.join(sc, "vec_id")
+        .groupBy("pos")
+        .agg(sum(col("s").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("cx")).as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("pos"),
+          floor(col("u").cast("double") * PcaFp / col("m").cast("double"))
+            .cast("long").as("vv"))
+        .localCheckpoint(true)
+    }
+    (cc, v)
+  }
+
+  /** TOP PRINCIPAL COMPONENT by matrix-free power iteration — the
+    * whitening/compression primitive of an embedding pipeline (what the
+    * PQ codebooks and `emb_dim_stats` monitor feed on). Six rounds of
+    * v ← C·v over the CENTERED fixed-point frame with exact-integer
+    * renormalization to max|v| = 2²⁰; emits the per-dimension loading
+    * both as the exact fixed-point certificate and as a readable double.
+    *
+    * Scale shape: per round two partial-aggregable aggregates over the
+    * exploded (n×d) frame + a broadcast 64-row direction — 2·[[PcaRounds]]
+    * linear passes, no pair joins, no windows, no d² covariance. Exact
+    * integers end-to-end, so the oracle match is bit-for-bit, not
+    * round-absorbed. */
+  val embPcaPower = sql(
+    "emb_pca_power",
+    s"""WITH $pcaBaseSqlCte,
+       |${(1 to PcaRounds).map(pcaRoundSqlCte).mkString(",\n")}
+       |SELECT pos, vv AS loading_fp,
+       |       round(vv / $PcaFp.0, 4) AS loading
+       |FROM pv$PcaRounds ORDER BY pos""".stripMargin) { (s, d) =>
+    pcaFrames(s, d)._2
+      .select(col("pos"), col("vv").as("loading_fp"),
+        round(col("vv") / lit(PcaFp.toDouble), 4).as("loading"))
+      .orderBy("pos")
+  }
+
+  /** EXPLAINED-VARIANCE certificate for [[embPcaPower]] — the one-row
+    * readout that says whether the component is worth using: the Rayleigh
+    * quotient vᵀCv/vᵀv in original units, the total variance (covariance
+    * trace), and the explained share. The iteration stays exact-integer;
+    * only these three FINAL scalars are double sums (rounded 4 dp, the
+    * `emb_dim_stats` float policy). */
+  val embPcaVar = sql(
+    "emb_pca_var",
+    s"""WITH $pcaBaseSqlCte,
+       |${(1 to PcaRounds).map(pcaRoundSqlCte).mkString(",\n")},
+       |pn AS (SELECT count(DISTINCT vec_id) AS n FROM pcx),
+       |psf AS (SELECT c.vec_id, sum(CAST(c.cx AS DOUBLE) * v.vv) AS s
+       |        FROM pcc c JOIN pv$PcaRounds v ON v.pos = c.pos
+       |        GROUP BY c.vec_id),
+       |pvn AS (SELECT sum(CAST(vv AS DOUBLE) * vv) AS v2 FROM pv$PcaRounds),
+       |ptr AS (SELECT sum(CAST(cx AS DOUBLE) * cx) AS t2 FROM pcc)
+       |SELECT n,
+       |       round(sum(s * s) / (n * v2) / $PcaFp / $PcaFp, 4)
+       |         AS explained_var,
+       |       round(t2 / n / $PcaFp / $PcaFp, 4) AS total_var,
+       |       round(sum(s * s) / (n * v2) / t2 * n, 4) AS explained_share
+       |FROM psf CROSS JOIN pn CROSS JOIN pvn CROSS JOIN ptr
+       |GROUP BY n, v2, t2""".stripMargin) { (s, d) =>
+    val (cc, v) = pcaFrames(s, d)
+    val sc = cc.join(broadcast(v), "pos")
+      .groupBy("vec_id")
+      .agg(sum(col("cx").cast("double") * col("vv")).as("s"))
+    val n = cc.agg(countDistinct("vec_id").as("n"))
+    val v2 = v.agg(sum(col("vv").cast("double") * col("vv")).as("v2"))
+    val tr = cc.agg(sum(col("cx").cast("double") * col("cx")).as("t2"))
+    sc.crossJoin(broadcast(n)).crossJoin(broadcast(v2))
+      .crossJoin(broadcast(tr))
+      .groupBy("n", "v2", "t2")
+      .agg(
+        round(sum(col("s") * col("s")) / (col("n") * col("v2"))
+          / PcaFp / PcaFp, 4).as("explained_var"),
+        round(col("t2") / col("n") / PcaFp / PcaFp, 4).as("total_var"),
+        round(sum(col("s") * col("s")) / (col("n") * col("v2"))
+          / col("t2") * col("n"), 4).as("explained_share"))
+      .select(col("n"), col("explained_var"), col("total_var"),
+        col("explained_share"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simLshBuckets, simPqCodes,
@@ -1769,5 +1921,5 @@ object Similarity {
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
     simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift, simKmeansIter,
-    simKcenterInit, embOutlier)
+    simKcenterInit, embOutlier, embPcaPower, embPcaVar)
 }

@@ -759,6 +759,33 @@ class PlanSpec extends AnyFunSuite {
       "k=100 selection must merge per-partition heaps, not sort the corpus")
   }
 
+  test("text_wordpiece_vocab: the vocabulary cut is TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("text_wordpiece_vocab")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-V piece cut must merge per-partition heaps")
+  }
+
+  test("text_wordpiece_segment: closure on the distinct-word frame — no window anywhere") {
+    val plan = executedPlan("text_wordpiece_segment")
+    assert(!plan.contains("Window"),
+      "the greedy walk is pointer-doubled joins, never a sequential window")
+  }
+
+  test("emb_pca: matrix-free rounds — broadcast direction, no window, no pair join") {
+    // emb_pca_power's final plan is checkpoint-truncated (each round
+    // localCheckpoints), so the round SHAPE is asserted through
+    // emb_pca_var, whose last pass joins the un-checkpointed centered
+    // frame against the converged direction
+    val plan = executedPlan("emb_pca_var")
+    assert(plan.contains("BroadcastExchange"),
+      "the 64-row direction vector must broadcast onto the exploded frame")
+    assert(!plan.contains("Window"),
+      "power iteration is aggregates per round, never a window")
+    assert(!plan.contains("CartesianProduct"),
+      "no pair join — the covariance is never materialized")
+    assert(!executedPlan("emb_pca_power").contains("Window"))
+  }
+
   test("events_rfm: fixed-cut banding — aggregates only, broadcast scalar, no window") {
     val plan = executedPlan("events_rfm")
     assert(!plan.contains("Window"),

@@ -250,4 +250,40 @@ class SimilaritySpec extends AnyFunSuite {
       "int8 top-10 must recover at least 8 of the float top-10 " +
         s"(got ${rec.getAs[Long]("n_int8_hits")})")
   }
+
+  test("emb_pca_power: relational rounds equal a sequential fixed-point reference") {
+    val sfv = "/root/testdata/sf0.01"
+    val rows = Tables.embeddings(spark, sfv)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val n = rows.length
+    val dim = rows.head.length
+    val fp = 1048576L
+    // identical recurrence, sequential: the relational rounds must not
+    // fork from the plain loop on any of the 64 fixed-point loadings
+    // Spark's ROUND(double) is BigDecimal HALF_UP (away from zero);
+    // math.round is half-toward-+inf and forks on negative .5 ties
+    val xv = rows.map(_.map(x => BigDecimal(x.toDouble * fp)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val mu = Array.tabulate(dim)(p =>
+      math.floor(xv.map(_(p)).sum.toDouble / n).toLong)
+    val cx = xv.map(r => Array.tabulate(dim)(p => r(p) - mu(p)))
+    var v = Array.fill(dim)(fp)
+    for (_ <- 1 to Similarity.PcaRounds) {
+      val s = cx.map(r => (0 until dim).map(p => r(p) * v(p)).sum)
+      val u = Array.tabulate(dim)(p =>
+        (0 until n).map(i => BigInt(s(i)) * cx(i)(p)).sum)
+      val m = u.map(_.abs).max
+      v = u.map(ui => math.floor(ui.toDouble * fp / m.toDouble).toLong)
+    }
+    val got = SparkEntry.queries("emb_pca_power")(spark, sfv)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((0 until dim).forall(p => got(p) == v(p)),
+      s"fixed-point loadings diverge: ${(0 until dim).filter(p => got(p) != v(p)).take(5).map(p => (p, got(p), v(p)))}")
+    // and the certificate says the component explains more than an
+    // average direction would (share > 1/dim)
+    val cert = SparkEntry.queries("emb_pca_var")(spark, sfv).head
+    assert(cert.getAs[Double]("explained_share") > 1.0 / dim,
+      s"top component must beat the average-direction share, got $cert")
+  }
 }
