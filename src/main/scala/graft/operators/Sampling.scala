@@ -904,8 +904,28 @@ object Sampling {
     * weight lookup is a broadcast equi-join (no shuffle on the corpus
     * side) and the per-doc sum partial-aggregates map-side — exploded
     * n-grams of one document stay in one input partition. */
-  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
-    val feats = Tables.documents(s, d)
+  /** The trained DSIR bucket-weight table `(b, lam)` — ≤ [[DsirBuckets]]
+    * rows by construction. Exposed (package-wide) because this IS the
+    * deployable model: the streaming ingest gate broadcasts a frozen copy
+    * of exactly this frame ([[graft.streaming.Jobs.dsirGate]]). */
+  private[graft] def dsirLambda(s: SparkSession, d: String): DataFrame = {
+    val feats = dsirFeatures(s, d)
+    val rc = feats.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tc = feats.filter(col("source") === DsirTarget)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val rt = rc.agg(sum("rc").as("rtot"))
+    val tt = tc.agg(sum("tc").as("ttot"))
+    rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + 1) * lit(1.0)
+          / (col("ttot") + DsirBuckets))
+          - log((col("rc") + 1) * lit(1.0) / (col("rtot") + DsirBuckets)))
+          .as("lam"))
+  }
+
+  private def dsirFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       // sequence(0, size-2) is DESCENDING for 1-token docs (Spark infers
       // step -1), so the bigram arm must be explicitly emptied there
@@ -916,19 +936,9 @@ object Sampling {
           |   array())""".stripMargin))).as("g"))
       .select(col("doc_id"), col("source"),
         (hexBucketCol(col("g")) % DsirBuckets).as("b"))
-    val rc = feats.groupBy("b").agg(count(lit(1)).as("rc"))
-    val tc = feats.filter(col("source") === DsirTarget)
-      .groupBy("b").agg(count(lit(1)).as("tc"))
-    val rt = rc.agg(sum("rc").as("rtot"))
-    val tt = tc.agg(sum("tc").as("ttot"))
-    val lam = rc.join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
-      .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)) + 1) * lit(1.0)
-          / (col("ttot") + DsirBuckets))
-          - log((col("rc") + 1) * lit(1.0) / (col("rtot") + DsirBuckets)))
-          .as("lam"))
-    feats.join(broadcast(lam), "b")
+
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    dsirFeatures(s, d).join(broadcast(dsirLambda(s, d)), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_feats"),
         round(sum("lam"), 4).as("logw"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.ml.PipelineModel
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -575,6 +575,61 @@ object Jobs {
   def curationStream(docs: DataFrame, evalTexts: DataFrame,
       minTokens: Int = 5, delay: String = "10 minutes"): DataFrame =
     contaminationGate(documentIngest(docs, minTokens, delay), evalTexts)
+
+  /** Freeze a trained DSIR λ table ([[graft.operators.Sampling.dsirLambda]],
+    * `(b, lam)` with b ∈ [0, [[graft.operators.Sampling.DsirBuckets]])) into
+    * the dense array the streaming gate embeds. Buckets the training corpus
+    * never produced score `default` (0.0 = neutral; pass the add-1-smoothed
+    * unseen-bucket estimate `ln(rtot+B) − ln(ttot+B)` for strict Xie-et-al
+    * semantics on out-of-vocabulary text). ≤ B rows by construction — this
+    * collect is the MODEL, not the corpus. */
+  def freezeDsir(lambda: DataFrame, default: Double = 0.0): Array[Double] = {
+    val lam = Array.fill(graft.operators.Sampling.DsirBuckets)(default)
+    lambda.select(col("b").cast("int"), col("lam").cast("double"))
+      .collect().foreach(r => lam(r.getInt(0)) = r.getDouble(1))
+    lam
+  }
+
+  /** STREAMING DSIR DOMAIN GATE — the arrival-time twin of the batch
+    * `corpus_dsir_weights` scorer: score each incoming document's log
+    * importance ratio toward the target domain using a FROZEN λ table
+    * trained offline, and keep only docs with `logw ≥ minLogw` (pass
+    * `-∞`/`Double.MinValue` to score without gating). This is how DSIR
+    * deploys at 100 TB: train the 2·B-counter model once on a sample,
+    * freeze it, and steer the firehose statelessly at ingest.
+    *
+    * Scale shape: the λ array rides into the plan as a B-element LITERAL
+    * (kilobytes — the plan itself is the broadcast), and scoring is pure
+    * codegen — tokenize once, build uni+bigrams with `transform`, sum
+    * `element_at(λ, bucket+1)` with the `aggregate` higher-order function.
+    * No UDF, no state store, no shuffle, no stream-static join: each doc
+    * is scored and gated in the map stage it arrived in. The feature
+    * definition (split, bigram windows, md5 hex bucketing mod B) is
+    * textually the batch chain's, and StreamingSpec proves the streamed
+    * (doc_id, n_feats, logw) matches `corpus_dsir_weights` row-for-row on
+    * a λ trained from the same corpus. Input needs a `text` column. */
+  def dsirGate(docs: DataFrame, lam: Array[Double],
+      minLogw: Double = Double.MinValue): DataFrame = {
+    require(lam.length == graft.operators.Sampling.DsirBuckets,
+      s"λ table must have exactly ${graft.operators.Sampling.DsirBuckets} buckets, got ${lam.length}")
+    val lamLit = typedLit(lam.toSeq)
+    val bucketOf: Column => Column = g =>
+      conv(substring(md5(g.cast("string")), 1, 4), 16, 10).cast("int")
+        .%(graft.operators.Sampling.DsirBuckets)
+    docs.withColumn("__t", split(col("text"), " "))
+      // 1-token docs: sequence(0, -1) infers step -1 (descending), so the
+      // bigram arm must be explicitly emptied — same guard as the batch side
+      .withColumn("__g", concat(col("__t"), expr(
+        """if(size(__t) >= 2,
+          |   transform(sequence(0, size(__t) - 2),
+          |             i -> concat_ws(' ', __t[i], __t[i + 1])),
+          |   array())""".stripMargin)))
+      .withColumn("n_feats", size(col("__g")).cast("long"))
+      .withColumn("logw", round(aggregate(col("__g"), lit(0.0d),
+        (acc, g) => acc + element_at(lamLit, bucketOf(g) + 1)), 4))
+      .drop("__t", "__g")
+      .filter(col("logw") >= minLogw)
+  }
 
   /** The budget + emit stage of the streaming curation job: a foreachBatch
     * sink that keeps the greedy running token total across micro-batches

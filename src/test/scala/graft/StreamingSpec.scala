@@ -832,4 +832,49 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
     assert(got == Map(1L -> Some(0), 2L -> None, 3L -> None), s"got $got")
   }
+
+  test("dsirGate: streamed frozen-λ scores match batch corpus_dsir_weights " +
+      "row-for-row; threshold gates strictly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // train once offline (the deploy shape), freeze the 1024-bucket model
+    val lam = Jobs.freezeDsir(graft.operators.Sampling.dsirLambda(spark, sf))
+    assert(lam.exists(_ != 0.0), "trained λ must be non-trivial")
+
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect()
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Jobs.dsirGate(mem.toDF().toDF("doc_id", "text"), lam)
+      .writeStream.format("memory").queryName("dsir_gate_all")
+      .outputMode("append").start()
+    rows.grouped(200).foreach(g => mem.addData(g.toSeq))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("dsir_gate_all")
+      .select("doc_id", "n_feats", "logw")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = SparkEntry.queries("corpus_dsir_weights")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    assert(streamed.size == batch.size,
+      s"row counts diverge: streamed ${streamed.size} vs batch ${batch.size}")
+    val diff = batch.collect { case (k, v) if streamed(k) != v => k }
+    assert(diff.isEmpty, s"diverging doc_ids: ${diff.take(5)}")
+
+    // gating: a threshold keeps exactly the docs the batch scores admit
+    val thr = batch.values.map(_._2).toSeq.sorted.apply(batch.size / 2)
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Jobs.dsirGate(mem2.toDF().toDF("doc_id", "text"), lam, minLogw = thr)
+      .writeStream.format("memory").queryName("dsir_gate_thr")
+      .outputMode("append").start()
+    mem2.addData(rows.toSeq)
+    q2.processAllAvailable(); q2.stop()
+    val kept = spark.table("dsir_gate_thr").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = batch.collect { case (k, (_, w)) if w >= thr => k }.toSet
+    assert(kept == want,
+      s"threshold gate forked from batch scores: ${(kept diff want).take(3)} / ${(want diff kept).take(3)}")
+  }
 }
