@@ -1758,7 +1758,59 @@ object Olap {
       .orderBy("t")
   }
 
+  /** KEY-SKEW PROFILE — the capacity-planning diagnostic that SIZES the
+    * `j6_salted_join` salt factor instead of guessing it: per-key row
+    * counts over `events.user_id` collapsed to one row of heavy-hitter
+    * facts — total rows, distinct keys, the hottest key and its count,
+    * mean rows/key, the skew ratio (hottest ÷ mean), and the SALT FACTOR
+    * `ceil(32 · max_key_rows / n_rows)` — how many ways the hottest key
+    * must split so its share of one shuffle task's input drops to the
+    * uniform task size at 32 partitions (exact integer ceiling-division,
+    * identical on both engines; the same formula reads off any shuffle
+    * width). A ratio near 1 says shuffle plain; a large ratio says salt
+    * or let AQE skew-split.
+    *
+    * Scale shape: ONE partial-aggregable groupBy on the key (map-side
+    * combine collapses each partition to its distinct keys), then 1-row
+    * aggregates + a broadcast argmax re-scan of the tiny key-count frame
+    * — no window, no sort, no corpus pair join. */
+  val skewProfile = sql(
+    "olap_skew_profile",
+    """WITH kc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+      |               CAST(count(*) AS BIGINT) AS n_keys,
+      |               CAST(max(c) AS BIGINT) AS max_key_rows
+      |        FROM kc),
+      |hot AS (SELECT min(user_id) AS hottest_key
+      |        FROM kc CROSS JOIN tot WHERE kc.c = tot.max_key_rows)
+      |SELECT n_rows, n_keys, max_key_rows, hottest_key,
+      |       round(n_rows * 1.0 / n_keys, 4) AS mean_rows_per_key,
+      |       round(max_key_rows * 1.0 * n_keys / n_rows, 4) AS skew_ratio,
+      |       CAST(greatest(1, (32 * max_key_rows + n_rows - 1) // n_rows)
+      |            AS BIGINT) AS salt_factor
+      |FROM tot CROSS JOIN hot""".stripMargin) { (s, d) =>
+    val kc = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("c"))
+    val tot = kc.agg(sum("c").cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      max("c").cast("long").as("max_key_rows"))
+    val hot = kc.crossJoin(broadcast(tot))
+      .filter(col("c") === col("max_key_rows"))
+      .agg(min("user_id").as("hottest_key"))
+    tot.crossJoin(broadcast(hot))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        col("hottest_key"),
+        round(col("n_rows") * lit(1.0) / col("n_keys"), 4)
+          .as("mean_rows_per_key"),
+        round(col("max_key_rows") * lit(1.0) * col("n_keys") / col("n_rows"), 4)
+          .as("skew_ratio"),
+        greatest(lit(1L),
+          expr("(32 * max_key_rows + n_rows - 1) div n_rows"))
+          .cast("long").as("salt_factor"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    skewProfile,
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
     eventsSeasonalBacktest, eventsAbTest, eventsSurvivalKm,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,
