@@ -31,6 +31,10 @@ object ExplainDump {
     "dedup_minhash_pairs" -> ("LSH banding: signatures -> band explode -> " +
       "per-bucket stats; oversized buckets emit star edges so no join key " +
       "goes quadratic."),
+    "dedup_allpairs" -> ("AllPairs prefix filtering: the exact-Jaccard " +
+      "self-join runs over only each doc's rarest n-ceil(0.8n)+1 shingles " +
+      "(doc-partitioned ranking window), then the small candidate list is " +
+      "verified against the full index — lossless, no df-cap."),
     "decontam_bloom" -> ("Bloom-prefiltered decontamination: the eval-shingle " +
       "bloom filter is broadcast and applied executor-side BEFORE the " +
       "confirm join — shuffle volume is true overlaps + fpp only."),

@@ -223,6 +223,89 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  /** ALL-PAIRS EXACT τ-Jaccard similarity join via PREFIX FILTERING
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+    * Xiao et al. PPJoin) — the LOSSLESS counterpart of
+    * [[dedupNgramJaccard]]: that query trades exactness for scale by
+    * df-capping the shingle universe (a pair whose every shared shingle is
+    * boilerplate silently vanishes); this one returns EVERY pair with true
+    * full-universe Jaccard ≥ 0.8, and gets its scale bound from the prefix
+    * filter instead of a lossy cap.
+    *
+    * The filter: order all shingles by ascending document frequency
+    * (rarest first; ties on the shingle key — any total order is correct,
+    * so Spark breaking ties on the md5 digest while the oracle uses the
+    * raw trigram string cannot fork the RESULT, only the intermediate
+    * candidate set). A doc with n shingles indexes only its first
+    * p = n − ⌈τ·n⌉ + 1 (computed as exact integer `(4n+4) div 5` — float
+    * τ·n is a cross-engine ceil hazard: 0.8·5 rounds above 4.0 in
+    * binary64). Prefix-filtering principle: two sets with J ≥ τ that also
+    * pass the length filter τ·max ≤ min MUST share a prefix element, so
+    * the prefix-to-prefix equi-join loses nothing. Candidates are then
+    * VERIFIED against the full index and kept by the EXACT integer
+    * predicate 5·common ≥ 4·(na+nb−common) — no float threshold anywhere.
+    *
+    * Scale shape: the self-join runs over ~n/5 of the index, and its keys
+    * are the RAREST shingles of each doc — the boilerplate trigram that
+    * forces [[dedupNgramJaccard]]'s df-cap sorts LAST and lands in almost
+    * no prefix, so hot join keys are structurally suppressed rather than
+    * dropped. Ranking is one doc-partitioned window (bounded by document
+    * length); verification joins the small candidate list back to the full
+    * index — linear in candidates × doc size. TextOpsSpec proves the
+    * output identical to the brute-force full-universe pair join. */
+  val dedupAllpairs = sql(
+    "dedup_allpairs",
+    s"""WITH $shinglesSql,
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pref AS (SELECT doc_id, sh, n FROM (
+       |           SELECT s.doc_id, s.sh, z.n,
+       |                  row_number() OVER (PARTITION BY s.doc_id
+       |                                     ORDER BY df.df, s.sh) AS rk
+       |           FROM sh s JOIN df USING (sh) JOIN sizes z USING (doc_id))
+       |         WHERE rk <= n - ((4 * n + 4) // 5) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |                a.n AS na, b.n AS nb
+       |         FROM pref a JOIN pref b
+       |           ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)),
+       |verified AS (SELECT c.da, c.db, c.na, c.nb, count(*) AS common
+       |             FROM cand c
+       |             JOIN sh x ON x.doc_id = c.da
+       |             JOIN sh y ON y.doc_id = c.db AND y.sh = x.sh
+       |             GROUP BY 1, 2, 3, 4)
+       |SELECT da, db, common,
+       |       round(common * 1.0 / (na + nb - common), 4) AS jaccard
+       |FROM verified
+       |WHERE 5 * common >= 4 * (na + nb - common)
+       |ORDER BY da, db""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val shb = shingles(s, d).cache() // df count, sizes, ranking, 2 verify sides
+    val dff = shb.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sizes = shb.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pref = shb.join(dff, "sh").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    val a = pref.select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
+    val b = pref.select(col("doc_id").as("db"), col("sh").as("shb"), col("n").as("nb"))
+    val cand = a.join(b, col("sh") === col("shb") && col("da") < col("db")
+        && lit(5) * least(col("na"), col("nb"))
+           >= lit(4) * greatest(col("na"), col("nb")))
+      .select("da", "db", "na", "nb").distinct()
+    val common = cand
+      .join(shb.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(shb.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("common"))
+    common
+      .filter(lit(5) * col("common") >= lit(4) * (col("na") + col("nb") - col("common")))
+      .select(col("da"), col("db"), col("common"),
+        round(col("common") * lit(1.0) / (col("na") + col("nb") - col("common")), 4)
+          .as("jaccard"))
+      .orderBy("da", "db")
+  }
+
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → catches jaccard ≳ 0.8
 
@@ -2914,7 +2997,7 @@ object TextOps {
     textRollingHash, textTfidf, textQuality, textVocabTopk, textOovRate,
     textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
-    dedupContainment, textBigramTopk, corpusDupStats,
+    dedupContainment, dedupAllpairs, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,

@@ -628,4 +628,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == expected,
       s"diverging docs: ${(got.toSet diff expected.toSet).take(5)}")
   }
+
+  /** Brute-force exact τ-Jaccard pairs over the FULL (uncapped) shingle
+    * universe — the O(index²) ground truth dedup_allpairs' prefix filter
+    * must reproduce losslessly. */
+  private def bruteForcePairs(dir: String): Set[(Long, Long, Long, Double)] = {
+    import org.apache.spark.sql.functions._
+    val sh = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(graft.functions.ShingleMd5s.shingle_md5s(
+        split(col("text"), " "), 3)).as("sh")).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("da", "sh"); val b = sh.toDF("db", "shb")
+    a.join(b, col("sh") === col("shb") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("da", "na"), "da").join(sizes.toDF("db", "nb"), "db")
+      .filter(lit(5) * col("common") >= lit(4) * (col("na") + col("nb") - col("common")))
+      .select(col("da"), col("db"), col("common"),
+        round(col("common") * lit(1.0) / (col("na") + col("nb") - col("common")), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+  }
+
+  test("dedup_allpairs: prefix-filtered join equals the brute-force " +
+      "full-universe pair join on the real corpus (losslessness)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TextOps.dedupAllpairs.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = bruteForcePairs(sf)
+    assert(got == want, s"prefix filter forked from ground truth: " +
+      s"missing ${(want diff got).take(3)}, extra ${(got diff want).take(3)}")
+  }
+
+  test("dedup_allpairs: recovers the all-boilerplate clique the df-capped " +
+      "dedup_ngram_jaccard structurally drops") {
+    // 12 identical docs: every shared shingle is above-cap boilerplate for
+    // the capped chain IF df exceeded the cap; here df=12 < cap, so use 60
+    val boiler = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val dir = writeDocs((0L until 60L).map(i => i -> boiler))
+    // the capped chain excludes the shared shingles (df 60 > 50): no pairs
+    assert(TextOps.dedupNgramJaccard.fn(spark, dir).count() == 0L)
+    // the exact chain reports the full clique at Jaccard 1.0
+    val got = TextOps.dedupAllpairs.fn(spark, dir).collect()
+    assert(got.length == 60 * 59 / 2, s"expected C(60,2) pairs, got ${got.length}")
+    assert(got.forall(_.getDouble(3) == 1.0))
+  }
 }
