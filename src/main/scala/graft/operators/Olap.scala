@@ -1809,8 +1809,62 @@ object Olap {
           .cast("long").as("salt_factor"))
   }
 
+  /** JOIN-EXPLOSION PROFILE — the pre-flight cardinality check before any
+    * self-join on a grouping key (sessionization pairs, co-visit matrices,
+    * within-user crosses): for `events ⋈ events ON user_id`, the EXACT
+    * output size Σ c(k)² computed from per-key counts WITHOUT running the
+    * join, the amplification factor vs the input, and the hottest key's
+    * share of the output. An amplification near 1 says the join is safe;
+    * a big top-key share says the explosion is a skew problem (salt that
+    * key); a big amplification with a flat share says the join shape
+    * itself is wrong at scale (use a window or pre-aggregate instead).
+    *
+    * Scale shape: ONE partial-aggregable per-key count, then 1-row
+    * aggregates — the n²-sized join output is never materialized, which
+    * is the entire point. Σc² rides DECIMAL(38)/HUGEINT (a 1e10-row key
+    * squares past int64); the exposed row count casts back to BIGINT at
+    * the wire (the profile's job is the ratio, and any corpus whose Σc²
+    * genuinely tops int64 reads it from `amplification`). The top-key
+    * re-scan joins the tiny key-count frame against a broadcast 1-row
+    * max — no sort, no window. */
+  val joinExplosion = sql(
+    "olap_join_explosion",
+    """WITH kc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+      |               CAST(count(*) AS BIGINT) AS n_keys,
+      |               CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS out_rows,
+      |               CAST(max(CAST(c AS HUGEINT) * c) AS BIGINT) AS max_key_out
+      |        FROM kc),
+      |hot AS (SELECT min(user_id) AS hottest_key
+      |        FROM kc CROSS JOIN tot
+      |        WHERE CAST(kc.c AS HUGEINT) * kc.c = tot.max_key_out)
+      |SELECT n_rows, n_keys, out_rows, hottest_key,
+      |       round(out_rows * 1.0 / n_rows, 4) AS amplification,
+      |       round(max_key_out * 1.0 / out_rows, 4) AS top_key_share
+      |FROM tot CROSS JOIN hot""".stripMargin) { (s, d) =>
+    val dec = "decimal(38,0)"
+    val kc = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("c"))
+    // squares stay DECIMAL(38) until the final wire cast — long c·c
+    // overflows at a 3e9-row key
+    val tot = kc.agg(sum("c").cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      sum(col("c").cast(dec) * col("c")).as("out_d"),
+      max(col("c").cast(dec) * col("c")).as("max_d"))
+    val hot = kc.crossJoin(broadcast(tot))
+      .filter(col("c").cast(dec) * col("c") === col("max_d"))
+      .agg(min("user_id").as("hottest_key"))
+    tot.crossJoin(broadcast(hot))
+      .select(col("n_rows"), col("n_keys"),
+        col("out_d").cast("long").as("out_rows"), col("hottest_key"),
+        round(col("out_d").cast("long") * lit(1.0) / col("n_rows"), 4)
+          .as("amplification"),
+        round(col("max_d").cast("long") * lit(1.0) / col("out_d").cast("long"), 4)
+          .as("top_key_share"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    skewProfile,
+    skewProfile, joinExplosion,
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
     eventsSeasonalBacktest, eventsAbTest, eventsSurvivalKm,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,

@@ -357,4 +357,18 @@ class OlapSpec extends AnyFunSuite {
     val r2 = SparkEntry.queries("events_ab_test")(spark, dir2).collect().head
     assert(!r2.getBoolean(6), s"zero-variance case must not fire: $r2")
   }
+
+  test("olap_join_explosion: predicted output size equals the join actually run") {
+    val sf = "/root/testdata/sf0.001"
+    val prof = SparkEntry.queries("olap_join_explosion")(spark, sf).collect().head
+    val ev = Tables.events(spark, sf).select("user_id")
+    val actual = ev.toDF("ua").join(ev.toDF("ub"), col("ua") === col("ub")).count()
+    assert(prof.getAs[Long]("out_rows") == actual,
+      s"profile predicted ${prof.getAs[Long]("out_rows")}, join produced $actual")
+    // the hottest key's own square must equal the reported max contribution
+    val hotCount = ev.filter(col("user_id") === prof.getAs[Long]("hottest_key")).count()
+    val share = prof.getAs[java.lang.Double]("top_key_share")
+    assert(math.abs(share - hotCount.toDouble * hotCount / actual) < 1e-3,
+      s"top_key_share $share vs recomputed ${hotCount.toDouble * hotCount / actual}")
+  }
 }
