@@ -470,6 +470,100 @@ object Similarity {
       .orderBy("src")
   }
 
+  /** MARGIN-BASED PAIR MINING — Artetxe & Schwenk's ratio-margin criterion
+    * (ACL'19), the CCMatrix/NLLB recipe for mining aligned pairs (bitext,
+    * near-duplicate captions, query-doc alignments) from two corpus sides:
+    * raw cosine over-selects HUB vectors that are everyone's nearest
+    * neighbor, so each candidate is scored by
+    * `margin(x,y) = cos(x,y) / ((avgK_fwd(x) + avgK_bwd(y)) / 2)` — how
+    * much MORE similar the pair is than each side's typical best match —
+    * and only each source's best-by-margin partner with margin ≥ 1.05 is
+    * emitted, flagged `mutual` when the two sides choose each other.
+    *
+    * Sides here are the even/odd `vec_id` shards (the demo stand-in for
+    * corpus A/B); candidates are CROSS-SIDE pairs within an IVF cell with
+    * POSITIVE cosine (negative-cosine candidates are not alignment
+    * candidates and would break the ratio's sign).
+    *
+    * EXACT ARITHMETIC: the 4-dp cosine is lifted to integer
+    * ten-thousandths, so top-4 fwd/bwd sums are exact BIGINTs, the margin
+    * is ONE float division of two exact integers
+    * (`2·cos·cf·cb / (fsum·cb + bsum·cf)` — identical IEEE op both
+    * engines), and the 1.05 threshold is the cross-multiplied integer
+    * predicate `200·cos·cf·cb ≥ 105·(fsum·cb + bsum·cf)` — no float
+    * compare anywhere.
+    *
+    * Scale shape: inherits the within-cell block join (Σ |cellA|·|cellB|,
+    * never corpus²) — at 100 TB this is exactly the FAISS-sharded mining
+    * loop, one shard pair per cell; fwd/bwd averages are per-vector
+    * windows over the bounded candidate list; selection is one more
+    * per-src window. No broadcast beyond the codebook, no global sort. */
+  val simMarginMine = sql(
+    "sim_margin_mine",
+    s"""WITH $ivfAssignSqlCte,
+       |emb2 AS (SELECT e.vec_id, e.embedding, a.cell,
+       |                sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+       |         FROM embeddings e JOIN assign a USING (vec_id)),
+       |xp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |              CAST(round(round(${dotSql("a.embedding", "b.embedding")}
+       |                               / (a.nrm * b.nrm), 4) * 10000, 0) AS BIGINT) AS ci
+       |       FROM emb2 a JOIN emb2 b ON a.cell = b.cell
+       |        AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |xpp AS (SELECT * FROM xp WHERE ci > 0),
+       |fwd AS (SELECT src, sum(ci) AS fsum, count(*) AS fcnt FROM (
+       |          SELECT src, ci, row_number() OVER (PARTITION BY src
+       |                            ORDER BY ci DESC, dst) AS rn FROM xpp)
+       |        WHERE rn <= 4 GROUP BY src),
+       |bwd AS (SELECT dst, sum(ci) AS bsum, count(*) AS bcnt FROM (
+       |          SELECT dst, ci, row_number() OVER (PARTITION BY dst
+       |                            ORDER BY ci DESC, src) AS rn FROM xpp)
+       |        WHERE rn <= 4 GROUP BY dst),
+       |sc AS (SELECT x.src, x.dst, x.ci, f.fsum, f.fcnt, w.bsum, w.bcnt,
+       |              CAST(2 * x.ci * f.fcnt * w.bcnt AS DOUBLE)
+       |                / CAST(f.fsum * w.bcnt + w.bsum * f.fcnt AS DOUBLE) AS md
+       |       FROM xpp x JOIN fwd f USING (src) JOIN bwd w USING (dst)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY md DESC, dst) AS rs,
+       |               row_number() OVER (PARTITION BY dst ORDER BY md DESC, src) AS rd
+       |       FROM sc)
+       |SELECT src, dst, round(ci / 10000.0, 4) AS cos, round(md, 4) AS margin,
+       |       (rd = 1) AS mutual
+       |FROM rk
+       |WHERE rs = 1 AND 200 * ci * fcnt * bcnt >= 105 * (fsum * bcnt + bsum * fcnt)
+       |ORDER BY src""".stripMargin) { (s, d) =>
+    val withCell = Tables.embeddings(s, d).join(ivfAssignDf(s, d), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        sqrt(dotCol("embedding", "embedding")).as("nrm"))
+    val a = withCell.filter(col("vec_id") % 2 === 0).select(col("cell"),
+      col("vec_id").as("src"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withCell.filter(col("vec_id") % 2 === 1).select(col("cell"),
+      col("vec_id").as("dst"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val xpp = a.join(b, Seq("cell"))
+      .select(col("src"), col("dst"),
+        round(round(dotCol("ea", "eb") / (col("na") * col("nb")), 4) * 10000, 0)
+          .cast("long").as("ci"))
+      .filter(col("ci") > 0)
+    val wf = Window.partitionBy("src").orderBy(col("ci").desc, col("dst"))
+    val wb = Window.partitionBy("dst").orderBy(col("ci").desc, col("src"))
+    val fwd = xpp.withColumn("rn", row_number().over(wf)).filter(col("rn") <= 4)
+      .groupBy("src").agg(sum("ci").as("fsum"), count(lit(1)).as("fcnt"))
+    val bwd = xpp.withColumn("rn", row_number().over(wb)).filter(col("rn") <= 4)
+      .groupBy("dst").agg(sum("ci").as("bsum"), count(lit(1)).as("bcnt"))
+    val sc = xpp.join(fwd, "src").join(bwd, "dst")
+      .withColumn("md", (lit(2) * col("ci") * col("fcnt") * col("bcnt")).cast("double")
+        / (col("fsum") * col("bcnt") + col("bsum") * col("fcnt")).cast("double"))
+    val ws = Window.partitionBy("src").orderBy(col("md").desc, col("dst"))
+    val wd = Window.partitionBy("dst").orderBy(col("md").desc, col("src"))
+    sc.withColumn("rs", row_number().over(ws))
+      .withColumn("rd", row_number().over(wd))
+      .filter(col("rs") === 1 &&
+        lit(200) * col("ci") * col("fcnt") * col("bcnt")
+          >= lit(105) * (col("fsum") * col("bcnt") + col("bsum") * col("fcnt")))
+      .select(col("src"), col("dst"),
+        round(col("ci") / lit(10000.0), 4).as("cos"),
+        round(col("md"), 4).as("margin"), (col("rd") === 1).as("mutual"))
+      .orderBy("src")
+  }
+
   /** PAGERANK over the k-NN graph — 3 unrolled power iterations with
     * damping 0.85 over the top-3-cosine-neighbor edge list: the
     * graph-centrality signal behind canonical-document selection and
@@ -1916,7 +2010,8 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
-    simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simLshBuckets, simPqCodes,
+    simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simMarginMine,
+    simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,

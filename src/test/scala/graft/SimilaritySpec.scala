@@ -286,4 +286,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cert.getAs[Double]("explained_share") > 1.0 / dim,
       s"top component must beat the average-direction share, got $cert")
   }
+
+  private def unit(parts: (Int, Float)*): Array[Float] = {
+    val v = Array.fill(64)(0.0f); parts.foreach { case (i, x) => v(i) = x }; v
+  }
+
+  test("sim_margin_mine: aligned pairs mined as mutual across both clusters") {
+    // two clusters; within each, a perfectly aligned even/odd pair plus a
+    // weak shared-direction distractor that drags the fwd average down so
+    // the aligned margin clears 1.05 (a lone candidate margins exactly 1.0)
+    val dir = writeEmbeddings(Seq(
+      (0L, unit(0 -> 1f), 0), (1L, unit(0 -> 1f), 0),
+      (2L, unit(1 -> 1f), 0), (3L, unit(1 -> 1f), 0),
+      (5L, unit(0 -> 0.3f, 1 -> 0.3f, 2 -> 0.9055f), 0),
+      (6L, unit(10 -> 1f), 1), (7L, unit(10 -> 1f), 1),
+      (11L, unit(10 -> 0.3f, 11 -> 0.954f), 1)))
+    val got = SparkEntry.queries("sim_margin_mine")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((0L, 1L), (2L, 3L), (6L, 7L)),
+      s"mined pairs: ${got.toSeq}")
+    assert(got.forall(_._5), s"aligned pairs must be mutual: ${got.toSeq}")
+    assert(got.forall(_._3 == 1.0), s"aligned cosines must be 1.0: ${got.toSeq}")
+    // x0: fwd top-k {1.0, 0.3} avg 0.65, y1 bwd {1.0} → 1/0.825 = 1.2121
+    assert(got.forall(t => math.abs(t._4 - 1.2121) < 1e-9),
+      s"margins: ${got.toSeq}")
+  }
+
+  test("sim_margin_mine: the ratio margin demotes a hub the raw cosine " +
+      "would have picked") {
+    // hub y1 is x0's highest-cosine partner (0.6) but is ALSO the best
+    // partner of x2 and x4 (0.8 each), inflating its backward average;
+    // exclusive y3 (cosine only 0.58 to x0) wins on margin.
+    val dir = writeEmbeddings(Seq(
+      (0L, unit(0 -> 1f), 0),
+      (2L, unit(1 -> 1f), 0), (4L, unit(1 -> 1f), 0),
+      (1L, unit(0 -> 0.6f, 1 -> 0.8f), 0), // hub
+      (3L, unit(0 -> 0.58f, 3 -> 0.8146f), 0), // exclusive partner
+      (5L, unit(0 -> 0.1f, 4 -> 0.995f), 0), // weak distractors: drag
+      (7L, unit(0 -> 0.1f, 5 -> 0.995f), 0))) //   x0's fwd avg to 0.345
+    val got = SparkEntry.queries("sim_margin_mine")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    // x2/x4 margin vs the hub is 0.8/((0.8+0.7333)/2) = 1.0435 < 1.05: out
+    assert(got.toSeq == Seq((0L, 3L, true)),
+      s"margin must pick exclusive y3 over hub y1 (cos 0.58 < 0.6): ${got.toSeq}")
+  }
 }
