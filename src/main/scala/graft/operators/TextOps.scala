@@ -2894,9 +2894,14 @@ object TextOps {
     * [[WpMaxWord]]² reachability pairs per distinct word. Each doubling
     * round localCheckpoints (the BPE lineage discipline: a 5-round
     * self-join chain would otherwise compound the plan 2⁵-fold). */
-  private def wordpieceWordFrames(
+  /** The shared (word counts, candidate spans, vocabulary) triple behind
+    * BOTH segmenters — WordPiece MaxMatch and the unigram Viterbi use the
+    * same substring universe and the same frequency-cut vocabulary, so
+    * their per-word numbers are directly comparable. */
+  private def wordpieceCandVocab(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val wc = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -2915,6 +2920,14 @@ object TextOps {
     val vocab = wcnt.orderBy(col("cnt").desc, col("p")).limit(WpVocab)
       .union(wcnt.filter(length(col("p")) === 1))
       .distinct()
+    (wc, cand, vocab)
+  }
+
+  private def wordpieceWordFrames(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (wc, cand, vocab) = wordpieceCandVocab(s, d)
+    val admissible = wc.filter(length(col("w")) <= WpMaxWord)
     val m = cand.join(broadcast(vocab.select("p")), "p")
       .groupBy("w", "i").agg(max("l").as("m"))
     val ids = admissible
@@ -2985,7 +2998,137 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Shared oracle CTE chain for the UNIGRAM-LM (SentencePiece-style)
+    * Viterbi segmenter, ending in `unp(w, n_pieces, cost)` per distinct
+    * word. Same substring universe and vocabulary as WordPiece
+    * ([[wordpieceVocabSqlCte]]), but the segmentation principle is
+    * GLOBAL-OPTIMAL instead of greedy: each piece costs its integer
+    * deci-milli-nat surprisal `li = round(−ln(cnt/tot)·10⁴)` and a word's
+    * segmentation is the MINIMUM-COST path 1 → len+1 over the piece-edge
+    * DAG. The sequential Viterbi DP is made relational as MIN-PLUS
+    * PATH DOUBLING: seed identity edges (i,i,0) plus piece edges
+    * (i, i+l, li·64+1), then square the cost matrix five times — round k
+    * holds the cheapest path of ≤ 2^k edges, and 2⁵ = 32 ≥ the position
+    * cap, so round 5 is the full closure (the [[wordpieceSqlCte]]
+    * pointer-doubling argument, upgraded from reachability to tropical
+    * matrix product). Costs ride the COMBINED integer `cost·64 + pieces`
+    * — min over it is lexicographic (cost, then pieces) since a path
+    * never exceeds 32 < 64 pieces — so both the optimum and its piece
+    * count come out of ONE min, with no argmin backtrack and no float
+    * compare anywhere in the DP. */
+  private val unigramSqlCte: String =
+    s"""$wordpieceVocabSqlCte,
+       |uv AS (SELECT p, CAST(round(-ln(cnt * 1.0 / t.tot) * 10000, 0) AS BIGINT) AS li
+       |       FROM wvoc CROSS JOIN (SELECT sum(cnt) AS tot FROM wvoc) t),
+       |u0 AS (SELECT w, i, i AS j, CAST(0 AS BIGINT) AS cc
+       |       FROM (SELECT w, CAST(unnest(range(1, len(w) + 2)) AS INT) AS i
+       |             FROM wpw WHERE len(w) <= $WpMaxWord)
+       |       UNION ALL
+       |       SELECT s.w, s.i, s.i + s.l AS j, v.li * 64 + 1 AS cc
+       |       FROM wsp s JOIN uv v ON v.p = s.p),
+       |u1 AS (SELECT w, i, j, min(a_cc + b_cc) AS cc FROM (
+       |         SELECT a.w, a.i, b.j, a.cc AS a_cc, b.cc AS b_cc
+       |         FROM u0 a JOIN u0 b ON a.w = b.w AND a.j = b.i) GROUP BY w, i, j),
+       |u2 AS (SELECT w, i, j, min(a_cc + b_cc) AS cc FROM (
+       |         SELECT a.w, a.i, b.j, a.cc AS a_cc, b.cc AS b_cc
+       |         FROM u1 a JOIN u1 b ON a.w = b.w AND a.j = b.i) GROUP BY w, i, j),
+       |u3 AS (SELECT w, i, j, min(a_cc + b_cc) AS cc FROM (
+       |         SELECT a.w, a.i, b.j, a.cc AS a_cc, b.cc AS b_cc
+       |         FROM u2 a JOIN u2 b ON a.w = b.w AND a.j = b.i) GROUP BY w, i, j),
+       |u4 AS (SELECT w, i, j, min(a_cc + b_cc) AS cc FROM (
+       |         SELECT a.w, a.i, b.j, a.cc AS a_cc, b.cc AS b_cc
+       |         FROM u3 a JOIN u3 b ON a.w = b.w AND a.j = b.i) GROUP BY w, i, j),
+       |u5 AS (SELECT w, i, j, min(a_cc + b_cc) AS cc FROM (
+       |         SELECT a.w, a.i, b.j, a.cc AS a_cc, b.cc AS b_cc
+       |         FROM u4 a JOIN u4 b ON a.w = b.w AND a.j = b.i) GROUP BY w, i, j),
+       |ubest AS (SELECT b.w, b.cc FROM u5 b JOIN wpw d ON d.w = b.w
+       |          WHERE b.i = 1 AND b.j = len(b.w) + 1),
+       |unp AS (SELECT d.w,
+       |               CASE WHEN len(d.w) > $WpMaxWord THEN 1
+       |                    ELSE CAST(coalesce(b.cc % 64, 0) AS BIGINT) END AS n_pieces,
+       |               CASE WHEN len(d.w) > $WpMaxWord THEN 0
+       |                    ELSE CAST(coalesce(b.cc // 64, 0) AS BIGINT) END AS cost
+       |        FROM wpw d LEFT JOIN ubest b ON b.w = d.w)""".stripMargin
+
+  /** Spark side of `unp`: (w, n_pieces, cost) per distinct word. Runs on
+    * the DISTINCT-WORD frame like its WordPiece sibling; each doubling
+    * round is one (w, position)-keyed self-join + partial-aggregable min,
+    * closure ≤ (len+1)² rows per word, localCheckpoint per round (the BPE
+    * lineage discipline). Words over [[WpMaxWord]] take the WordPiece
+    * [UNK] rule: 1 piece, zero modeled surprisal. */
+  private def unigramWordCosts(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (wc, cand, vocab) = wordpieceCandVocab(s, d)
+    val tot = vocab.agg(sum("cnt").as("tot"))
+    val uv = vocab.crossJoin(broadcast(tot))
+      .select(col("p"),
+        round(-log(col("cnt") * lit(1.0) / col("tot")) * 10000, 0)
+          .cast("long").as("li"))
+    val ids = wc.filter(length(col("w")) <= WpMaxWord)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) + 1)).as("i"))
+      .select(col("w"), col("i"), col("i").as("j"), lit(0L).as("cc"))
+    val edges = cand.join(broadcast(uv), "p")
+      .select(col("w"), col("i"), (col("i") + col("l")).as("j"),
+        (col("li") * 64 + 1).as("cc"))
+    var r = ids.union(edges).localCheckpoint(true)
+    for (_ <- 1 to 5)
+      r = r.as("a")
+        .join(r.as("b"), col("a.w") === col("b.w") && col("a.j") === col("b.i"))
+        .groupBy(col("a.w").as("w"), col("a.i").as("i"), col("b.j").as("j"))
+        .agg(min(col("a.cc") + col("b.cc")).as("cc"))
+        .localCheckpoint(true)
+    val best = r.filter(col("i") === 1 && col("j") === length(col("w")) + 1)
+      .select(col("w"), col("cc"))
+    wc.join(best, Seq("w"), "left")
+      .select(col("w"),
+        when(length(col("w")) > WpMaxWord, 1L)
+          .otherwise(coalesce(col("cc") % 64, lit(0L))).as("n_pieces"),
+        when(length(col("w")) > WpMaxWord, 0L)
+          .otherwise(coalesce(expr("cc div 64"), lit(0L))).as("cost"))
+  }
+
+  /** UNIGRAM-LM VITERBI SEGMENTATION rollup — the SentencePiece
+    * inference principle (Kudo, ACL'18) completing the tokenizer trio:
+    * BPE applies learned merges, WordPiece matches greedily
+    * longest-first, and the unigram model picks the GLOBALLY CHEAPEST
+    * segmentation under piece surprisals — per document: word count,
+    * optimal piece count, pieces-per-word, and the exact negative
+    * log-likelihood of the optimal segmentation in nats (the corpus-level
+    * tokenizer-quality number greedy segmenters cannot report, because
+    * greedy does not optimize it). Same vocabulary as
+    * `text_wordpiece_vocab`, so `ppw` here vs MaxMatch's `ppw` is a
+    * controlled comparison of segmentation principles; by construction
+    * this nll is a per-word lower bound on any segmentation's cost under
+    * the same model (TextOpsSpec proves both claims against sequential
+    * references). Scale shape: the whole DP runs on the distinct-word
+    * frame; the corpus participates only in the final token→word
+    * equi-join, exactly like `text_wordpiece_segment`. */
+  val textUnigramViterbi = sql(
+    "text_unigram_viterbi",
+    s"""WITH $unigramSqlCte,
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |         FROM documents)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n.n_pieces) AS BIGINT) AS n_pieces,
+       |       round(sum(n.n_pieces) * 1.0 / count(*), 4) AS ppw,
+       |       round(sum(n.cost) / 10000.0, 4) AS nll
+       |FROM toks t JOIN unp n ON n.w = t.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val unp = unigramWordCosts(s, d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(unp, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("n_pieces").cast("long").as("n_pieces"),
+        round(sum("n_pieces") * lit(1.0) / count(lit(1)), 4).as("ppw"),
+        round(sum("cost") / lit(10000.0), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    textUnigramViterbi,
     textWordpieceVocab, textWordpieceSegment,
     textSubstringDup, dedupSpanRemove, corpusDedupYield, textBigramKn, dedupParetoTopk,
     textBpeTrain, textBpeTrainN5, textBpeApply,

@@ -629,6 +629,83 @@ class TextOpsSpec extends AnyFunSuite {
       s"diverging docs: ${(got.toSet diff expected.toSet).take(5)}")
   }
 
+  /** Sequential references for the unigram segmenter: exact Viterbi DP
+    * over the combined integer (cost·64 + pieces) and the cost of the
+    * greedy MaxMatch path under the same piece surprisals. */
+  private def liTable(dir: String): Map[String, Long] = {
+    val vocab = SparkEntry.queries("text_wordpiece_vocab")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = vocab.values.sum
+    vocab.map { case (p, c) =>
+      p -> Math.round(-math.log(c.toDouble / tot) * 10000)
+    }
+  }
+
+  private def viterbiRef(w: String, li: Map[String, Long]): (Long, Long) = {
+    val inf = Long.MaxValue / 4
+    val dp = Array.fill(w.length + 1)(inf); dp(0) = 0L
+    for (j <- 1 to w.length; l <- 1 to math.min(4, j)) {
+      li.get(w.substring(j - l, j)).foreach { c =>
+        if (dp(j - l) != inf && dp(j - l) + c * 64 + 1 < dp(j))
+          dp(j) = dp(j - l) + c * 64 + 1
+      }
+    }
+    (dp(w.length) / 64, dp(w.length) % 64)
+  }
+
+  private def greedyRef(w: String, li: Map[String, Long]): Long = {
+    var i = 0; var cost = 0L
+    while (i < w.length) {
+      var l = math.min(4, w.length - i)
+      while (l > 1 && !li.contains(w.substring(i, i + l))) l -= 1
+      cost += li(w.substring(i, i + l)); i += l
+    }
+    cost
+  }
+
+  test("text_unigram_viterbi: per-doc sums equal the sequential Viterbi DP " +
+      "and lower-bound the greedy MaxMatch cost on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val li = liTable(sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val expected = docs.map { case (id, ws) =>
+      val per = ws.map(w => viterbiRef(w, li))
+      // greedy can never beat the global optimum under the same model
+      ws.foreach(w => assert(viterbiRef(w, li)._1 <= greedyRef(w, li),
+        s"Viterbi cost must lower-bound greedy for '$w'"))
+      id -> ((ws.size.toLong, per.map(_._2).sum,
+        BigDecimal(per.map(_._1).sum / 10000.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = SparkEntry.queries("text_unigram_viterbi")(spark, sf)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got == expected,
+      s"diverging docs: ${(got.toSet diff expected.toSet).take(3)} vs " +
+        s"${(expected.toSet diff got.toSet).take(3)}")
+  }
+
+  test("text_unigram_viterbi: finds the cheap split the greedy " +
+      "longest-match segmenter walks past") {
+    // 'ab' and 'cde' are frequent standalone words; 'abcd' exists only
+    // inside the one 'abcde'. MaxMatch grabs the longest prefix 'abcd'
+    // and pays the rare-piece surprisal; Viterbi takes ab+cde.
+    val dir = writeDocs(
+      (0L until 200L).map(i => i -> "ab cde") :+ (999L -> "abcde"))
+    val li = liTable(dir)
+    val greedy = greedyRef("abcde", li)
+    val (vCost, vPieces) = viterbiRef("abcde", li)
+    assert(vCost < greedy,
+      s"fixture must make greedy strictly suboptimal: viterbi $vCost vs greedy $greedy")
+    assert(vPieces == 2L)
+    val row = SparkEntry.queries("text_unigram_viterbi")(spark, dir)
+      .filter(col("doc_id") === 999L).collect().head
+    assert(row.getLong(2) == 2L, s"query must pick ab+cde (2 pieces): $row")
+    assert(math.abs(row.getDouble(4) - vCost / 10000.0) < 1e-3,
+      s"query nll ${row.getDouble(4)} vs reference ${vCost / 10000.0}")
+  }
+
   /** Brute-force exact τ-Jaccard pairs over the FULL (uncapped) shingle
     * universe — the O(index²) ground truth dedup_allpairs' prefix filter
     * must reproduce losslessly. */
