@@ -284,7 +284,27 @@ object Similarity {
 
   /** Near-dup cosine cutoff — single source for the pair query, its CTE,
     * and (via `simNearDup.fn`) the multi-signal cluster edges. */
-  private[operators] val CosineNearDupThreshold = 0.35
+  private[graft] val CosineNearDupThreshold = 0.35
+
+  /** The deployable ANN corpus index: every corpus vector with its IVF
+    * cell and norm — what a 100 TB deployment materializes once (parquet,
+    * cell-partitioned) and every shard-ingest gate joins
+    * ([[graft.streaming.Jobs.annGate]]). */
+  private[graft] def ivfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d).join(ivfAssignDf(s, d), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        sqrt(dotCol("embedding", "embedding")).as("nrm"))
+
+  /** Freeze the IVF codebook for plan-literal embedding: (labels, centroid
+    * vectors), label-ascending so first-minimum argmin reproduces the
+    * batch `min(struct(dist, clabel))` tie-break. k rows — this collect is
+    * the MODEL, not the corpus. */
+  private[graft] def frozenCodebook(s: org.apache.spark.sql.SparkSession,
+      d: String): (Array[Int], Array[Array[Double]]) = {
+    val rows = ivfCodebook(s, d).orderBy("clabel").collect()
+    (rows.map(_.getInt(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
 
   /** CTE `cos_pairs(da, db, cosv)` — the embedding-cosine near-dup edge
     * set, the ONE definition of the label-block join + threshold (used by

@@ -631,6 +631,46 @@ object Jobs {
       .filter(col("logw") >= minLogw)
   }
 
+  /** STREAMING EMBEDDING NEAR-DUP GATE — the arrival-time twin of
+    * SemDeDup's eviction rule: an incoming vector is dropped when the
+    * FROZEN corpus index already holds a vector in its IVF cell at cosine
+    * ≥ the near-dup threshold; survivors flow through with their assigned
+    * cell. This is how semantic dedup deploys at 100 TB: the corpus index
+    * ([[graft.operators.Similarity.ivfIndex]]) is materialized once,
+    * cell-partitioned; the codebook rides into the streaming plan as a
+    * k×64 LITERAL (kilobytes); each micro-batch is one stream-static
+    * LEFT ANTI equi-join on the cell key.
+    *
+    * Determinism parity: cell assignment embeds the SAME native
+    * `squared_distance` accumulation as the batch `sim_ivf_assign`, over
+    * the SAME 4-dp-rounded centroids, with the first-minimum
+    * `array_position` reproducing the batch `min(struct(dist, label))`
+    * label tie-break — StreamingSpec proves streamed survivors equal the
+    * batch-computed verdict set on a disjoint even/odd corpus split.
+    * Input needs (vec_id, embedding); `index` needs (cell, embedding,
+    * nrm). */
+  def annGate(incoming: DataFrame, index: DataFrame,
+      labels: Array[Int], cents: Array[Array[Double]],
+      thr: Double = graft.operators.Similarity.CosineNearDupThreshold)
+      : DataFrame = {
+    require(labels.length == cents.length && labels.nonEmpty,
+      "codebook labels and centroids must align")
+    val dists = transform(typedLit(cents.map(_.toSeq).toSeq),
+      c => graft.functions.SquaredDistance.squared_distance(col("embedding"), c))
+    val inc = incoming
+      .withColumn("cell", element_at(typedLit(labels.toSeq),
+        array_position(dists, array_min(dists)).cast("int")))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct
+        .dot_product(col("embedding"), col("embedding"))))
+    val idx = index.select(col("cell").as("__icell"),
+      col("embedding").as("__ie"), col("nrm").as("__inrm"))
+    inc.join(idx,
+      col("cell") === col("__icell") &&
+        graft.functions.DotProduct.dot_product(col("embedding"), col("__ie"))
+          / (col("nrm") * col("__inrm")) >= thr,
+      "left_anti")
+  }
+
   /** The budget + emit stage of the streaming curation job: a foreachBatch
     * sink that keeps the greedy running token total across micro-batches
     * and emits each batch's selected docs (cum_tokens ≤ budget, the batch

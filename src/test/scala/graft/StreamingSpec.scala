@@ -877,4 +877,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == want,
       s"threshold gate forked from batch scores: ${(kept diff want).take(3)} / ${(want diff kept).take(3)}")
   }
+
+  test("annGate: streamed survivors of the frozen-index near-dup gate " +
+      "equal the batch verdict on a disjoint corpus split") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Similarity
+
+    // deploy shape: corpus = even vec_ids (frozen index + codebook trained
+    // on the full dir), incoming = odd vec_ids streamed one batch at a time
+    val full = Similarity.ivfIndex(spark, sf).cache()
+    val corpus = full.filter(col("vec_id") % 2 === 0).cache()
+    val (labels, cents) = Similarity.frozenCodebook(spark, sf)
+
+    val incRows = Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Jobs.annGate(mem.toDF().toDF("vec_id", "embedding"), corpus,
+        labels, cents)
+      .select("vec_id", "cell")
+      .writeStream.format("memory").queryName("ann_gate")
+      .outputMode("append").start()
+    incRows.grouped(40).foreach(g => mem.addData(g.toSeq))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ann_gate").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // batch expectation from the same index frames: an odd vector survives
+    // iff no even vector in its cell reaches the near-dup cosine
+    val oddIdx = full.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("ov"), col("cell"),
+        col("embedding").as("oe"), col("nrm").as("on"))
+    val dupped = oddIdx.join(corpus.select(col("cell"),
+        col("embedding").as("ce"), col("nrm").as("cn")), "cell")
+      .filter(graft.functions.DotProduct.dot_product(col("oe"), col("ce"))
+        / (col("on") * col("cn")) >= Similarity.CosineNearDupThreshold)
+      .select("ov").distinct().collect().map(_.getLong(0)).toSet
+    val expected = oddIdx.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .filterNot { case (id, _) => dupped(id) }
+
+    assert(streamed == expected,
+      s"gate forked: extra ${(streamed.keySet diff expected.keySet).take(3)}, " +
+        s"missing ${(expected.keySet diff streamed.keySet).take(3)}")
+    assert(streamed.nonEmpty && dupped.nonEmpty,
+      s"fixture must exercise both verdicts: kept ${streamed.size}, dropped ${dupped.size}")
+  }
 }
