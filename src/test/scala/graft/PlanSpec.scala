@@ -36,6 +36,21 @@ class PlanSpec extends AnyFunSuite {
     if (cut >= 0) plan.substring(0, cut) else plan
   }
 
+  test("olap_bucket_join: the bucketed SortMergeJoin consumes the scans " +
+      "with zero Exchange below it") {
+    val plan = finalPlanSection("olap_bucket_join")
+    val smj = plan.indexOf("SortMergeJoin")
+    assert(smj >= 0, s"bucketed join must stay SMJ:\n${plan.take(800)}")
+    // tree rendering prints a node's subtree AFTER it — everything past
+    // the SMJ line is its input side, which must be shuffle-free
+    val below = plan.substring(smj)
+    assert(!below.contains("Exchange"),
+      s"bucketed join still shuffles an input:\n${below.take(800)}")
+    // the plan's only shuffles are the post-join agg + final sort, above SMJ
+    assert(plan.substring(0, smj).contains("Exchange"),
+      "sanity: the aggregate above the join still shuffles")
+  }
+
   test("p8_filter: predicates reach the parquet scan (PushedFilters)") {
     val plan = executedPlan("p8_filter")
     assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(20).mkString("\n"))
