@@ -1917,8 +1917,63 @@ object Olap {
       .orderBy("o_orderpriority")
   }
 
+  /** SESSION CO-OCCURRENCE PMI — the co-visit/market-basket signal behind
+    * "users who did A also did B" recommenders: event types co-occurring
+    * in the same (user, day) session, scored by pointwise mutual
+    * information `ln(N·c_ab / (c_a·c_b))` with the raw lift alongside —
+    * positive PMI = the pair co-occurs more than independence predicts.
+    *
+    * Exactness: all counts are exact integers off the DISTINCT
+    * (user, day, type) frame; lift is one float expression over exact
+    * ints (identical op order both engines), PMI its ln, both 4 dp.
+    * Scale shape: the distinct pre-shrink bounds every (user, day) block
+    * at |type domain| rows, so the session self-join is Σ session·k², and
+    * the pair frame aggregates to ≤ k² rows at any corpus size — the
+    * safe self-join shape `olap_join_explosion` exists to certify. */
+  val eventsCopmi = sql(
+    "events_copmi",
+    """WITH st AS (SELECT DISTINCT user_id,
+      |                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                   event_type
+      |            FROM events),
+      |tc AS (SELECT event_type, count(*) AS c FROM st GROUP BY 1),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n
+      |       FROM (SELECT DISTINCT user_id, day FROM st)),
+      |pc AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS c_ab
+      |       FROM st a JOIN st b ON a.user_id = b.user_id AND a.day = b.day
+      |         AND a.event_type < b.event_type
+      |       GROUP BY 1, 2)
+      |SELECT ta, tb, CAST(c_ab AS BIGINT) AS c_ab,
+      |       CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+      |       round(c_ab * 1.0 * ns.n / (ca.c * cb.c), 4) AS lift,
+      |       round(ln(c_ab * 1.0 * ns.n / (ca.c * cb.c)), 4) AS pmi
+      |FROM pc JOIN tc ca ON ca.event_type = pc.ta
+      |JOIN tc cb ON cb.event_type = pc.tb
+      |CROSS JOIN ns
+      |ORDER BY ta, tb""".stripMargin) { (s, d) =>
+    val st = Tables.events(s, d)
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"),
+        col("event_type"))
+      .distinct()
+    val tc = st.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val ns = st.select("user_id", "day").distinct()
+      .agg(count(lit(1)).cast("long").as("n"))
+    val a = st.toDF("user_id", "day", "ta")
+    val b = st.toDF("user_id", "day", "tb")
+    val pc = a.join(b, Seq("user_id", "day")).filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+    val lift = col("c_ab") * lit(1.0) * col("n") / (col("c_a") * col("c_b"))
+    pc.join(tc.toDF("ta", "c_a"), "ta")
+      .join(tc.toDF("tb", "c_b"), "tb")
+      .crossJoin(broadcast(ns))
+      .select(col("ta"), col("tb"), col("c_ab").cast("long").as("c_ab"),
+        col("c_a").cast("long").as("c_a"), col("c_b").cast("long").as("c_b"),
+        round(lift, 4).as("lift"), round(log(lift), 4).as("pmi"))
+      .orderBy("ta", "tb")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    skewProfile, joinExplosion, bucketJoin,
+    skewProfile, joinExplosion, bucketJoin, eventsCopmi,
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
     eventsSeasonalBacktest, eventsAbTest, eventsSurvivalKm,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,

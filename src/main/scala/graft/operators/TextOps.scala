@@ -2998,6 +2998,85 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** SKIP-GRAM TRAINING-PAIR GENERATION — the word2vec data-prep stage
+    * (Mikolov et al. 2013): (center, context) pairs within a ±2 window
+    * over each document, AFTER frequency subsampling with keep
+    * probability `p = (√(f/0.001)+1)·0.001/f` — the step that stops "the"
+    * from dominating every context window. The random keep decision is
+    * DERANDOMIZED through the md5 bucket of (doc_id:position) against the
+    * integer threshold `⌊p·65536⌋` (the repo's hash-gate discipline), so
+    * the sample is reproducible across retries and engines. Subsampled
+    * tokens are removed from the SEQUENCE before windowing (positions
+    * re-rank over survivors), faithful to word2vec's compaction — distant
+    * survivors become neighbors, which is the intended effect.
+    *
+    * Scale shape: the frequency table is vocabulary-sized (AQE broadcasts
+    * it onto the token stream), the gate is a narrow filter, re-ranking
+    * and the two lead windows are doc-partitioned (bounded by document
+    * length — never a self-join), and the pair counts partial-aggregate
+    * to ≤ |vocab|² rows. TextOpsSpec replays the whole chain sequentially
+    * (freq → threshold → gate → compaction → windows) and proves pair
+    * equality on the real corpus. */
+  val textSkipgramPairs = sql(
+    "text_skipgram_pairs",
+    s"""WITH tk AS (SELECT doc_id,
+       |                  unnest(string_split(text, ' ')) AS w,
+       |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+       |           FROM documents),
+       |fr AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+       |tt AS (SELECT sum(c) AS t FROM fr),
+       |th AS (SELECT fr.w,
+       |              least(65536, CAST(floor((sqrt((fr.c * 1.0 / tt.t) / 0.001) + 1)
+       |                * 0.001 / (fr.c * 1.0 / tt.t) * 65536) AS BIGINT)) AS thr
+       |       FROM fr CROSS JOIN tt),
+       |kept AS (SELECT tk.doc_id, tk.pos, tk.w
+       |         FROM tk JOIN th ON th.w = tk.w
+       |         WHERE (${Keys.hexBucketSql("CAST(tk.doc_id AS VARCHAR) || ':' || CAST(tk.pos AS VARCHAR)")}) < th.thr),
+       |rk AS (SELECT doc_id, w,
+       |              row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS r
+       |       FROM kept),
+       |ld AS (SELECT doc_id, w,
+       |              lead(w, 1) OVER (PARTITION BY doc_id ORDER BY r) AS l1,
+       |              lead(w, 2) OVER (PARTITION BY doc_id ORDER BY r) AS l2
+       |       FROM rk),
+       |pr AS (SELECT w AS center, l1 AS context FROM ld WHERE l1 IS NOT NULL
+       |       UNION ALL SELECT l1, w FROM ld WHERE l1 IS NOT NULL
+       |       UNION ALL SELECT w, l2 FROM ld WHERE l2 IS NOT NULL
+       |       UNION ALL SELECT l2, w FROM ld WHERE l2 IS NOT NULL)
+       |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+       |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    val fr = tk.groupBy("w").agg(count(lit(1)).as("c"))
+    val tt = fr.agg(sum("c").as("t"))
+    val f = col("c") * lit(1.0) / col("t")
+    val th = fr.crossJoin(broadcast(tt))
+      .select(col("w"), least(lit(65536L),
+        floor((sqrt(f / lit(0.001)) + 1) * lit(0.001) / f * 65536)
+          .cast("long")).as("thr"))
+    val kept = tk.join(th, "w")
+      .filter(Keys.hexBucketCol(
+        concat_ws(":", col("doc_id"), col("pos"))) < col("thr"))
+    val wr = Window.partitionBy("doc_id").orderBy("pos")
+    val wl = Window.partitionBy("doc_id").orderBy("r")
+    val ld = kept
+      .withColumn("r", row_number().over(wr))
+      .select(col("doc_id"), col("w"),
+        lead(col("w"), 1).over(wl).as("l1"), lead(col("w"), 2).over(wl).as("l2"))
+    val pr = ld.filter(col("l1").isNotNull)
+      .select(col("w").as("center"), col("l1").as("context"))
+      .unionAll(ld.filter(col("l1").isNotNull)
+        .select(col("l1").as("center"), col("w").as("context")))
+      .unionAll(ld.filter(col("l2").isNotNull)
+        .select(col("w").as("center"), col("l2").as("context")))
+      .unionAll(ld.filter(col("l2").isNotNull)
+        .select(col("l2").as("center"), col("w").as("context")))
+    pr.groupBy("center", "context").agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy("center", "context")
+  }
+
   /** Shared oracle CTE chain for the UNIGRAM-LM (SentencePiece-style)
     * Viterbi segmenter, ending in `unp(w, n_pieces, cost)` per distinct
     * word. Same substring universe and vocabulary as WordPiece
@@ -3128,7 +3207,7 @@ object TextOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    textUnigramViterbi,
+    textUnigramViterbi, textSkipgramPairs,
     textWordpieceVocab, textWordpieceSegment,
     textSubstringDup, dedupSpanRemove, corpusDedupYield, textBigramKn, dedupParetoTopk,
     textBpeTrain, textBpeTrainN5, textBpeApply,

@@ -358,6 +358,26 @@ class OlapSpec extends AnyFunSuite {
     assert(!r2.getBoolean(6), s"zero-variance case must not fire: $r2")
   }
 
+  test("events_copmi: hand-computed PMI on a planted co-occurrence fixture") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // u1 and u2 always do A with B; u3 does C alone → N=3 sessions,
+    // c_A=c_B=2, c_C=1, c_AB=2: lift = 2·3/(2·2) = 1.5, pmi = ln 1.5
+    val rows = Seq(
+      (1L, 1L * dayNs, 10L, "A", 1.0, "{}"), (2L, 1L * dayNs, 10L, "B", 1.0, "{}"),
+      (3L, 1L * dayNs, 20L, "A", 1.0, "{}"), (4L, 1L * dayNs, 20L, "B", 1.0, "{}"),
+      (5L, 1L * dayNs, 30L, "C", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("copmi").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("events_copmi")(spark, dir).collect()
+    assert(got.length == 1, s"only the A,B pair co-occurs: ${got.toSeq}")
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("A", "B", 2L)))
+    assert(r.getDouble(5) == 1.5, s"lift: $r")
+    assert(math.abs(r.getDouble(6) - math.log(1.5)) < 1e-4, s"pmi: $r")
+  }
+
   test("olap_join_explosion: predicted output size equals the join actually run") {
     val sf = "/root/testdata/sf0.001"
     val prof = SparkEntry.queries("olap_join_explosion")(spark, sf).collect().head

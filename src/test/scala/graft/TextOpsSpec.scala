@@ -706,6 +706,48 @@ class TextOpsSpec extends AnyFunSuite {
       s"query nll ${row.getDouble(4)} vs reference ${vCost / 10000.0}")
   }
 
+  private def md5Bucket(key: String): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+  }
+
+  test("text_skipgram_pairs: sequential replay of freq -> threshold -> " +
+      "gate -> compaction -> windows matches the query exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val t = freq.values.sum.toDouble
+    def thr(w: String): Long = {
+      val f = freq(w) * 1.0 / t
+      math.min(65536L,
+        math.floor((math.sqrt(f / 0.001) + 1) * 0.001 / f * 65536).toLong)
+    }
+    val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+    var hotTotal = 0L; var hotKept = 0L
+    val hot = freq.maxBy(_._2)._1
+    docs.foreach { case (id, ws) =>
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if {
+          val k = md5Bucket(s"$id:${i + 1}") < thr(w)
+          if (w == hot) { hotTotal += 1; if (k) hotKept += 1 }
+          k
+        } => w
+      }
+      for (i <- kept.indices; dTo <- 1 to 2; if i + dTo < kept.size) {
+        pairs((kept(i), kept(i + dTo))) = pairs.getOrElse((kept(i), kept(i + dTo)), 0L) + 1
+        pairs((kept(i + dTo), kept(i))) = pairs.getOrElse((kept(i + dTo), kept(i)), 0L) + 1
+      }
+    }
+    val got = SparkEntry.queries("text_skipgram_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == pairs.toMap,
+      s"diverging pairs: ${(got.toSet diff pairs.toSet).take(3)} vs ${(pairs.toSet diff got.toSet).take(3)}")
+    assert(hotKept < hotTotal,
+      s"subsampling must engage on the hottest token ($hot): $hotKept/$hotTotal kept")
+  }
+
   /** Brute-force exact τ-Jaccard pairs over the FULL (uncapped) shingle
     * universe — the O(index²) ground truth dedup_allpairs' prefix filter
     * must reproduce losslessly. */
