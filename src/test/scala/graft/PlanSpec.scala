@@ -51,6 +51,36 @@ class PlanSpec extends AnyFunSuite {
       "sanity: the aggregate above the join still shuffles")
   }
 
+  test("runtime bloom filter: a selective dim predicate injects a " +
+      "bloom_filter_agg semi-filter onto the fact side of a shuffle join") {
+    // the Spark-native runtime row-level filtering the decontam_bloom
+    // operator hand-builds: when the creation side is selective, the
+    // optimizer plants bloom_filter_agg over the dim keys and
+    // BloomFilterMightContain on the fact scan side, cutting shuffle
+    // volume to probable matches — the 100 TB selective-join shape for
+    // free. Thresholds are sized for production scans, so the test
+    // lowers the application-side floor to let sf0.001 qualify.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${plan.take(1200)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("p8_filter: predicates reach the parquet scan (PushedFilters)") {
     val plan = executedPlan("p8_filter")
     assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(20).mkString("\n"))
