@@ -658,6 +658,67 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** TRIANGLE COUNT + GLOBAL CLUSTERING COEFFICIENT over the kNN graph —
+    * the graph-cohesion certificate for a semantic neighborhood structure
+    * (a near-random kNN graph has gcc ≈ 0; clustered corpora close their
+    * wedges), computed with the DEGREE-ORDERED ORIENTATION trick that
+    * makes distributed triangle counting scale-safe: symmetrized edges
+    * are oriented from the (degree, id)-smaller endpoint to the larger,
+    * which bounds every oriented out-degree by O(√E) on ANY graph — a
+    * celebrity hub with 10⁸ followers contributes wedges only through its
+    * few higher-degree peers, so the wedge self-join cannot explode on
+    * skew (the graph counterpart of `j6_salted_join`'s fix, chosen
+    * structurally instead of salted). One wedge equi-join + one edge
+    * equi-join confirms each triangle EXACTLY once; wedge totals come
+    * from the degree frame in closed form, never enumerated.
+    *
+    * Exactness: counts are exact integers; gcc = 3·T / Σ deg·(deg−1)/2
+    * is one float division of exact integers, 4 dp. */
+  val graphTriangles = sql(
+    "graph_triangles",
+    s"""WITH $knnRankedSqlCte,
+       |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM rk WHERE rn <= 3),
+       |deg AS (SELECT v, count(*) AS dg FROM (
+       |          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+       |        GROUP BY v),
+       |f AS (SELECT CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS u,
+       |             CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS w
+       |      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |          SELECT f1.u, f1.w, f2.w AS x
+       |          FROM f f1 JOIN f f2 ON f2.u = f1.w) wedge
+       |        JOIN f f3 ON f3.u = wedge.u AND f3.w = wedge.x),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       |               CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+       |        FROM deg),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       |       round(3.0 * n_triangles / n_wedges, 4) AS gcc
+       |FROM tot CROSS JOIN ne CROSS JOIN tri""".stripMargin) { (s, d) =>
+    val rk = knnRankedDf(s, d).filter(col("rn") <= 3)
+    val e = rk.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct().cache()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val flip = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val f = e.join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+      .select(when(flip, col("a")).otherwise(col("b")).as("u"),
+        when(flip, col("b")).otherwise(col("a")).as("w"))
+      .cache()
+    val wedge = f.toDF("u", "w")
+      .join(f.toDF("w", "x"), "w")
+    val tri = wedge.join(f.toDF("u", "x"), Seq("u", "x"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    val tot = deg.agg(count(lit(1)).cast("long").as("n_vertices"),
+      sum(expr("dg * (dg - 1) div 2")).cast("long").as("n_wedges"))
+    val ne = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    tot.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("gcc"))
+  }
+
   /** PER-DIMENSION EMBEDDING STATS — the drift/whitening monitor a vector
     * pipeline runs before trusting an index: n, mean, population std,
     * min, max for each of the 64 dimensions. A collapsed dimension
@@ -2031,7 +2092,7 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simMarginMine,
-    simLshBuckets, simPqCodes,
+    graphTriangles, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,

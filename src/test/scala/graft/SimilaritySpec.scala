@@ -313,6 +313,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"margins: ${got.toSeq}")
   }
 
+  test("graph_triangles: count equals a brute-force enumeration over the " +
+      "same kNN edges; gcc consistent") {
+    val sfv = "/root/testdata/sf0.001"
+    val edges = SparkEntry.queries("sim_knn_graph")(spark, sfv)
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Set.empty[Long])
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    val bruteTri = edges.toSeq.map { case (a, b) =>
+      verts.count(c => c != a && c != b &&
+        edges(math.min(a, c) -> math.max(a, c)) &&
+        edges(math.min(b, c) -> math.max(b, c)))
+    }.sum / 3L
+    val deg = verts.toSeq.map(v =>
+      edges.count(e => e._1 == v || e._2 == v).toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    val r = SparkEntry.queries("graph_triangles")(spark, sfv).collect().head
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(r.getAs[Long]("n_triangles") == bruteTri,
+      s"triangles: got ${r.getAs[Long]("n_triangles")}, brute $bruteTri")
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(bruteTri > 0, "fixture corpus must close at least one wedge")
+  }
+
   test("sim_margin_mine: the ratio margin demotes a hub the raw cosine " +
       "would have picked") {
     // hub y1 is x0's highest-cosine partner (0.6) but is ALSO the best
