@@ -1972,8 +1972,53 @@ object Olap {
       .orderBy("ta", "tb")
   }
 
+  /** SKETCH-INTERSECTION certificate — AUDIENCE OVERLAP from HLL sketches
+    * by inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), the
+    * standard way two teams' pre-built distinct sketches answer an
+    * overlap question with NO rescan of either fact table (HLL cannot
+    * intersect natively — union is register-max, intersection only
+    * exists through inclusion–exclusion, and its absolute error scales
+    * with the UNION size, not the intersection). The certificate states
+    * exactly that contract: the estimate must land within 5% OF THE
+    * UNION — and the report carries the exact counts so a reader can see
+    * when a small true overlap makes the relative error useless (the
+    * honest limitation of the trick; theta sketches fix it, HLL does
+    * not). A = click users, B = purchase users.
+    *
+    * Oracle emits the exact counts + TRUE for the certificate (the
+    * `olap_hll_merge` discipline): Spark must EARN the TRUE from its own
+    * sketches or the row hash fails. */
+  val hllIntersect = sql(
+    "olap_hll_intersect",
+    """SELECT CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS exact_a,
+      |       CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS exact_b,
+      |       CAST(count(DISTINCT CASE WHEN event_type IN ('click', 'purchase') THEN user_id END) AS BIGINT) AS exact_union,
+      |       CAST((SELECT count(*) FROM
+      |              (SELECT user_id FROM events WHERE event_type = 'click'
+      |               INTERSECT
+      |               SELECT user_id FROM events WHERE event_type = 'purchase')) AS BIGINT) AS exact_both,
+      |       TRUE AS within_5pct_of_union
+      |FROM events""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val a = ev.filter(col("event_type") === "click").select("user_id")
+    val b = ev.filter(col("event_type") === "purchase").select("user_id")
+    val sk = ev.filter(col("event_type").isin("click", "purchase"))
+      .agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END))").as("est_a"),
+        expr("hll_sketch_estimate(hll_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END))").as("est_b"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_u"),
+        countDistinct(when(col("event_type") === "click", col("user_id"))).as("exact_a"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("exact_b"),
+        countDistinct("user_id").as("exact_union"))
+    val both = a.intersect(b).agg(count(lit(1)).cast("long").as("exact_both"))
+    sk.crossJoin(broadcast(both))
+      .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_both"),
+        (abs(col("est_a") + col("est_b") - col("est_u") - col("exact_both"))
+          <= col("exact_union") * 0.05).as("within_5pct_of_union"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    skewProfile, joinExplosion, bucketJoin, eventsCopmi,
+    skewProfile, joinExplosion, bucketJoin, eventsCopmi, hllIntersect,
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
     eventsSeasonalBacktest, eventsAbTest, eventsSurvivalKm,
     rollupAgg, cubeAgg, pivotAgg, intersectOp, exceptOp, distinctCounts, asofJoin,

@@ -358,6 +358,22 @@ class OlapSpec extends AnyFunSuite {
     assert(!r2.getBoolean(6), s"zero-variance case must not fire: $r2")
   }
 
+  test("olap_hll_intersect: planted overlap recovered exactly and certified") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // users 1..100 click, 51..150 purchase → |A|=100, |B|=100, |A∪B|=150,
+    // |A∩B|=50
+    val rows = (1L to 100L).map(u => (u, dayNs, u, "click", 1.0, "{}")) ++
+      (51L to 150L).map(u => (u + 1000, dayNs, u, "purchase", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("hllint").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("olap_hll_intersect")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 100L, 150L, 50L)), s"exact counts: $r")
+    assert(r.getBoolean(4), s"sketch estimate must certify at this scale: $r")
+  }
+
   test("events_copmi: hand-computed PMI on a planted co-occurrence fixture") {
     import spark.implicits._
     val dayNs = 86400L * 1000000000L
