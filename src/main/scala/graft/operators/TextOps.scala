@@ -3077,6 +3077,150 @@ object TextOps {
       .orderBy("center", "context")
   }
 
+  /** NEGATIVE-SAMPLING TABLE — word2vec's companion artifact to
+    * [[textSkipgramPairs]]: each vocabulary word's slot count in a
+    * 65536-slot sampling table proportional to count^0.75 (the Mikolov
+    * smoothing that keeps rare words sampleable), apportioned by
+    * LARGEST-REMAINDER (Hamilton) so the slots sum EXACTLY to the table
+    * size — the fair integer apportionment a float `floor(share·N)` table
+    * silently undercounts.
+    *
+    * Cross-engine exactness: `pow(c, 0.75)` is a libm function with NO
+    * cross-engine bit guarantee, so the weight is computed as
+    * `sqrt(sqrt(c·c·c))` — cube exact in int64 at any test scale (stated
+    * double-precision bound past 2^53 at corpus scale), and sqrt is
+    * IEEE-exact on both engines, so every weight, share, floor and
+    * remainder is bit-identical. The remainder top-up ranks the
+    * vocabulary-sized frame only (window over ≤|vocab| rows, plan-safe);
+    * ties break by word. Spec proves Σ slots = 65536 and monotonicity in
+    * count. */
+  val textNegativeTable = sql(
+    "text_negative_table",
+    """WITH fr AS (SELECT w, count(*) AS c
+      |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |            GROUP BY w),
+      |wt AS (SELECT w, c, sqrt(sqrt(CAST(c * c * c AS DOUBLE))) AS pw FROM fr),
+      |tot AS (SELECT sum(pw) AS tw FROM wt),
+      |sh AS (SELECT w, c, pw / tot.tw * 65536 AS slots_f FROM wt CROSS JOIN tot),
+      |fl AS (SELECT w, c, CAST(floor(slots_f) AS BIGINT) AS base,
+      |              slots_f - floor(slots_f) AS rem
+      |       FROM sh),
+      |need AS (SELECT 65536 - sum(base) AS k FROM fl),
+      |rk AS (SELECT w, c, base, rem,
+      |              row_number() OVER (ORDER BY rem DESC, w) AS rr
+      |       FROM fl)
+      |SELECT rk.w, CAST(rk.c AS BIGINT) AS cnt,
+      |       CAST(rk.base + CASE WHEN rk.rr <= need.k THEN 1 ELSE 0 END AS BIGINT) AS slots
+      |FROM rk CROSS JOIN need
+      |ORDER BY rk.w""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val fr = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val wt = fr.select(col("w"), col("c"),
+      sqrt(sqrt((col("c") * col("c") * col("c")).cast("double"))).as("pw"))
+    val tot = wt.agg(sum("pw").as("tw"))
+    val fl = wt.crossJoin(broadcast(tot))
+      .withColumn("slots_f", col("pw") / col("tw") * 65536)
+      .select(col("w"), col("c"),
+        floor(col("slots_f")).cast("long").as("base"),
+        (col("slots_f") - floor(col("slots_f"))).as("rem"))
+    val need = fl.agg((lit(65536L) - sum("base")).as("k"))
+    // the remainder rank runs over the VOCABULARY frame (≤|vocab| rows) —
+    // the one place a global window is legitimate because the frame is
+    // model-sized, not corpus-sized
+    val rk = fl.withColumn("rr",
+      row_number().over(Window.orderBy(col("rem").desc, col("w"))))
+    rk.crossJoin(broadcast(need))
+      .select(col("w"), col("c").cast("long").as("cnt"),
+        (col("base") + when(col("rr") <= col("k"), 1L).otherwise(0L))
+          .cast("long").as("slots"))
+      .orderBy("w")
+  }
+
+  /** T5-style SPAN CORRUPTION — the denoising-objective data generator
+    * (Raffel et al. 2020): mask ~15% of tokens in spans of mean length 3,
+    * report per document the masked-token count, merged span count, and
+    * the derived encoder/decoder sequence lengths (inputs = survivors +
+    * one sentinel per span; targets = masked tokens + one sentinel per
+    * span + the terminal sentinel) — the numbers that size a denoising
+    * training batch. Randomness is DERANDOMIZED the `text_skipgram_pairs`
+    * way: a span STARTS at a position iff the md5 bucket of
+    * (doc:pos) < ⌊0.05·65536⌋, and its length is 1 + (bucket(doc:pos:L)
+    * mod 5) ∈ 1..5 — start rate 5% × mean length 3 ≈ the 15% corruption
+    * budget; overlapping spans merge via gaps-and-islands, so reported
+    * spans are the SENTINEL count, not the draw count.
+    *
+    * Scale shape: one token explode, a narrow start gate, a ≤5-wide range
+    * explode, and doc-partitioned island windows — no join wider than the
+    * per-doc clip, no unpartitioned window. Spec replays the chain
+    * sequentially on the real corpus. */
+  val SpanStartThr = 3277 // ≈ 5% of the 65536-bucket space, pinned as an int
+  val SpanMaxLen = 5
+  val textSpanCorruption = sql(
+    "text_span_corruption",
+    s"""WITH tk AS (SELECT doc_id,
+       |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+       |           FROM documents),
+       |nt AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY doc_id),
+       |st AS (SELECT doc_id, pos,
+       |              1 + ((${Keys.hexBucketSql("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':L'")}) % $SpanMaxLen) AS sl
+       |       FROM tk
+       |       WHERE (${Keys.hexBucketSql("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")}) < $SpanStartThr),
+       |cov AS (SELECT DISTINCT c.doc_id, c.mpos FROM (
+       |          SELECT s.doc_id, s.pos + unnest(range(0, s.sl)) AS mpos FROM st s) c
+       |        JOIN nt ON nt.doc_id = c.doc_id
+       |        WHERE c.mpos <= nt.n_tok),
+       |isl AS (SELECT doc_id, mpos,
+       |               mpos - row_number() OVER (PARTITION BY doc_id ORDER BY mpos) AS g
+       |        FROM cov),
+       |ag AS (SELECT doc_id, count(*) AS n_masked, count(DISTINCT g) AS n_spans
+       |       FROM isl GROUP BY doc_id)
+       |SELECT nt.doc_id, CAST(nt.n_tok AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(ag.n_masked, 0) AS BIGINT) AS n_masked,
+       |       CAST(coalesce(ag.n_spans, 0) AS BIGINT) AS n_spans,
+       |       CAST(nt.n_tok - coalesce(ag.n_masked, 0) + coalesce(ag.n_spans, 0) AS BIGINT) AS inputs_len,
+       |       CAST(coalesce(ag.n_masked, 0) + coalesce(ag.n_spans, 0)
+       |            + CASE WHEN coalesce(ag.n_spans, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS targets_len,
+       |       round(coalesce(ag.n_masked, 0) * 1.0 / nt.n_tok, 4) AS rate
+       |FROM nt LEFT JOIN ag ON ag.doc_id = nt.doc_id
+       |ORDER BY nt.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"))
+    val nt = tk.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val st = tk
+      .filter(Keys.hexBucketCol(concat_ws(":", col("doc_id"), col("pos")))
+        < SpanStartThr)
+      .select(col("doc_id"), col("pos"),
+        (lit(1) + Keys.hexBucketCol(
+          concat_ws(":", col("doc_id"), col("pos"), lit("L"))) % SpanMaxLen)
+          .as("sl"))
+    val cov = st
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("sl") - 1)).as("mpos"))
+      .join(nt, "doc_id").filter(col("mpos") <= col("n_tok"))
+      .select("doc_id", "mpos").distinct()
+    val isl = cov.withColumn("g",
+      col("mpos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("mpos")))
+    val ag = isl.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"), countDistinct("g").as("n_spans"))
+    nt.join(ag, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).cast("long").as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        (col("n_tok") - coalesce(col("n_masked"), lit(0L))
+          + coalesce(col("n_spans"), lit(0L))).cast("long").as("inputs_len"),
+        (coalesce(col("n_masked"), lit(0L)) + coalesce(col("n_spans"), lit(0L))
+          + when(coalesce(col("n_spans"), lit(0L)) > 0, 1L).otherwise(0L))
+          .cast("long").as("targets_len"),
+        round(coalesce(col("n_masked"), lit(0L)) * lit(1.0) / col("n_tok"), 4)
+          .as("rate"))
+      .orderBy("doc_id")
+  }
+
   /** Shared oracle CTE chain for the UNIGRAM-LM (SentencePiece-style)
     * Viterbi segmenter, ending in `unp(w, n_pieces, cost)` per distinct
     * word. Same substring universe and vocabulary as WordPiece
@@ -3207,7 +3351,7 @@ object TextOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    textUnigramViterbi, textSkipgramPairs,
+    textUnigramViterbi, textSkipgramPairs, textNegativeTable, textSpanCorruption,
     textWordpieceVocab, textWordpieceSegment,
     textSubstringDup, dedupSpanRemove, corpusDedupYield, textBigramKn, dedupParetoTopk,
     textBpeTrain, textBpeTrainN5, textBpeApply,

@@ -1044,5 +1044,9 @@ object PlanSpec {
     * strength of this pin; grow it only deliberately. */
   val LegalUnpartitionedWindowQueries: Seq[String] = Seq(
     "dedup_pareto_topk", "events_ewma", "events_seasonal_backtest",
-    "events_survival_km", "text_zipf_fit")
+    "events_survival_km",
+    // largest-remainder top-up rank over the VOCABULARY-sized count
+    // aggregate (≤|vocab| rows — model-sized, never corpus-sized)
+    "text_negative_table",
+    "text_zipf_fit")
 }

@@ -748,6 +748,46 @@ class TextOpsSpec extends AnyFunSuite {
       s"subsampling must engage on the hottest token ($hot): $hotKept/$hotTotal kept")
   }
 
+  test("text_negative_table: slots sum exactly to the table size and are " +
+      "monotone in count") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("text_negative_table")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 65536L,
+      s"largest-remainder apportionment must hit the table size exactly: ${rows.map(_._3).sum}")
+    // smoothing keeps order: a strictly more frequent word never gets
+    // fewer slots (remainder top-up can add at most 1)
+    for (Seq(x, y) <- rows.toSeq.sortBy(_._2).sliding(2) if x._2 < y._2)
+      assert(x._3 <= y._3 + 1, s"slot monotonicity broken: $x vs $y")
+    assert(rows.forall(_._3 > 0), "every observed word stays sampleable")
+  }
+
+  test("text_span_corruption: sequential replay matches; corruption rate " +
+      "lands near the 15% budget") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length)
+    val expected = docs.map { case (id, n) =>
+      val masked = scala.collection.mutable.SortedSet.empty[Int]
+      for (pos <- 1 to n if md5Bucket(s"$id:$pos") < TextOps.SpanStartThr) {
+        val sl = 1 + md5Bucket(s"$id:$pos:L") % TextOps.SpanMaxLen
+        (pos until math.min(pos + sl, n + 1)).foreach(masked += _)
+      }
+      val spans = masked.toSeq.foldLeft(List.empty[Int]) { (acc, p) =>
+        if (acc.nonEmpty && masked.contains(p - 1)) acc else p :: acc
+      }.size
+      id -> ((n.toLong, masked.size.toLong, spans.toLong))
+    }.toMap
+    val got = SparkEntry.queries("text_span_corruption")(spark, sf)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      s"diverging docs: ${(got.toSet diff expected.toSet).take(3)}")
+    val rate = got.values.map(_._2).sum.toDouble / got.values.map(_._1).sum
+    assert(rate > 0.08 && rate < 0.22,
+      s"corpus corruption rate must track the 15% budget, got $rate")
+  }
+
   /** Brute-force exact τ-Jaccard pairs over the FULL (uncapped) shingle
     * universe — the O(index²) ground truth dedup_allpairs' prefix filter
     * must reproduce losslessly. */
