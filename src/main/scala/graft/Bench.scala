@@ -61,7 +61,7 @@ object Bench {
       .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The 6 pinned aggregate-bounded unpartitioned windows (PlanSpec's
+    // The 7 pinned aggregate-bounded unpartitioned windows (PlanSpec's
     // GLOBAL guard + PlanSpec.LegalUnpartitionedWindowQueries) would spam
     // `WindowExec: No Partition Defined` across the tail and mask a NEW
     // genuine offender. The guard — not this logger — is the protection:

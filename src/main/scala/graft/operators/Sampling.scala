@@ -998,7 +998,79 @@ object Sampling {
       .limit(100)
   }
 
+  /** Human-eval batch size — the annotation budget `corpus_eval_sample`
+    * apportions. */
+  val EvalSampleN = 200
+
+  /** STRATIFIED EVAL-SAMPLE construction — the annotation batch a data
+    * team sends to human raters: [[EvalSampleN]] docs apportioned across
+    * (source, quality) cells PROPORTIONALLY by largest remainder (quotas
+    * sum exactly to the budget — the `text_negative_table` apportionment
+    * applied to strata), then drawn within each cell by the deterministic
+    * md5 rank (reproducible across engines and retries; a re-run
+    * annotates the SAME docs). Proportional strata keep the batch an
+    * unbiased corpus mirror while guaranteeing every populated
+    * (source, quality) cell is inspected — the report that catches "our
+    * lowest-quality crawl never gets human eyes".
+    *
+    * Scale shape: the cell frame is ≤ |sources|·4 rows (model-sized — its
+    * remainder rank is a pinned legal global window); the corpus-side
+    * work is one partial-aggregable cell count plus a cell-partitioned
+    * rank window, and the quota join broadcasts the tiny quota frame. */
+  val evalSample = sql(
+    "corpus_eval_sample",
+    s"""WITH ${Quality.metricsSqlCte},
+       |q AS (SELECT doc_id, ${Quality.scoreSql} AS quality FROM m),
+       |g AS (SELECT d.doc_id, d.source, q.quality
+       |      FROM documents d JOIN q USING (doc_id)),
+       |cells AS (SELECT source, quality, count(*) AS cn FROM g GROUP BY 1, 2),
+       |tot AS (SELECT sum(cn) AS t FROM cells),
+       |fl AS (SELECT source, quality, cn,
+       |              CAST(floor(cn * $EvalSampleN.0 / tot.t) AS BIGINT) AS base,
+       |              cn * $EvalSampleN.0 / tot.t
+       |                - floor(cn * $EvalSampleN.0 / tot.t) AS rem
+       |       FROM cells CROSS JOIN tot),
+       |need AS (SELECT $EvalSampleN - sum(base) AS k FROM fl),
+       |qt AS (SELECT source, quality,
+       |              base + CASE WHEN row_number()
+       |                       OVER (ORDER BY rem DESC, source, quality) <= need.k
+       |                     THEN 1 ELSE 0 END AS quota
+       |       FROM fl CROSS JOIN need),
+       |rkd AS (SELECT g.doc_id, g.source, g.quality,
+       |               row_number() OVER (PARTITION BY g.source, g.quality
+       |                 ORDER BY (${Keys.hexBucketSql("g.doc_id")}), g.doc_id) AS rk
+       |        FROM g)
+       |SELECT r.doc_id, r.source, r.quality, CAST(r.rk AS BIGINT) AS cell_rank
+       |FROM rkd r JOIN qt ON qt.source = r.source AND qt.quality = r.quality
+       |WHERE r.rk <= qt.quota
+       |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, d).select("doc_id", "source")
+      .join(Quality.metrics(s, d).select("doc_id", "quality"), "doc_id")
+    val cells = g.groupBy("source", "quality").agg(count(lit(1)).as("cn"))
+    val tot = cells.agg(sum("cn").as("t"))
+    val sf = col("cn") * lit(EvalSampleN.toDouble) / col("t")
+    val fl = cells.crossJoin(broadcast(tot))
+      .select(col("source"), col("quality"), col("cn"),
+        floor(sf).cast("long").as("base"), (sf - floor(sf)).as("rem"))
+    val need = fl.agg((lit(EvalSampleN.toLong) - sum("base")).as("k"))
+    val qt = fl.crossJoin(broadcast(need))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"), col("quality"))))
+      .select(col("source"), col("quality"),
+        (col("base") + when(col("rr") <= col("k"), 1L).otherwise(0L)).as("quota"))
+    val rkd = g.withColumn("rk",
+      row_number().over(Window.partitionBy("source", "quality")
+        .orderBy(hexBucketCol(col("doc_id")), col("doc_id"))))
+    rkd.join(broadcast(qt), Seq("source", "quality"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("rk").cast("long").as("cell_rank"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    evalSample,
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
     corpusReweight, domainCap, tokenBudget, curationE2e, decontamReport,

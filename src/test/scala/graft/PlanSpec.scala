@@ -1043,6 +1043,9 @@ object PlanSpec {
     * reductions). Bench silences the WindowExec no-partition warning on the
     * strength of this pin; grow it only deliberately. */
   val LegalUnpartitionedWindowQueries: Seq[String] = Seq(
+    // largest-remainder quota rank over the (source × quality) CELL
+    // aggregate (≤ |sources|·4 rows)
+    "corpus_eval_sample",
     "dedup_pareto_topk", "events_ewma", "events_seasonal_backtest",
     "events_survival_km",
     // largest-remainder top-up rank over the VOCABULARY-sized count

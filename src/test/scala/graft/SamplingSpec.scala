@@ -360,4 +360,34 @@ class SamplingSpec extends AnyFunSuite {
       s"selection target share ${selTgt / 100.0} must beat base rate ${nTgt / nDocs}")
     sel.unpersist()
   }
+
+  test("corpus_eval_sample: quotas replicate the sequential largest-remainder " +
+      "apportionment and the batch hits the budget exactly") {
+    import graft.operators.Sampling
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("corpus_eval_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.length == Sampling.EvalSampleN,
+      s"500-doc corpus must fill the ${Sampling.EvalSampleN}-doc budget, got ${got.length}")
+    assert(got.map(_._1).distinct.length == got.length, "no doc drawn twice")
+    // sequential apportionment over the same cells
+    val cells = graft.operators.Quality.metrics(spark, sf)
+      .select("doc_id", "quality")
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .groupBy("source", "quality").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val t = cells.values.sum.toDouble
+    val base = cells.map { case (c, cn) =>
+      c -> math.floor(cn * Sampling.EvalSampleN.toDouble / t).toLong }
+    val rem = cells.map { case (c, cn) =>
+      val s0 = cn * Sampling.EvalSampleN.toDouble / t; c -> (s0 - math.floor(s0)) }
+    val k = Sampling.EvalSampleN - base.values.sum
+    val topUp = rem.toSeq.sortBy { case ((src, q), r) => (-r, src, q) }
+      .take(k.toInt).map(_._1).toSet
+    val quota = base.map { case (c, b) => c -> (b + (if (topUp(c)) 1L else 0L)) }
+    val drawn = got.groupBy(r => (r._2, r._3))
+      .map { case (c, rs) => c -> rs.length.toLong }
+    assert(drawn == quota.filter(_._2 > 0),
+      s"per-cell draws diverge: $drawn vs $quota")
+  }
 }
