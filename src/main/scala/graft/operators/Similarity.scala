@@ -2089,6 +2089,141 @@ object Similarity {
         col("explained_share"))
   }
 
+  /** DuckDB CTE chain ending in `bcode(vec_id, lo, hi)` — the 1-bit
+    * (binary) quantization codes: bit j is set iff dimension j sits ABOVE
+    * the corpus mean of that dimension, packed into two 32-bit halves
+    * carried as BIGINTs (one 64-dim vector = 8 bytes). The mean threshold
+    * is computed in EXACT integer space: values quantize once to 4-dp ×10⁴
+    * BIGINTs (each round() is of a single float32-exact double — no
+    * accumulation anywhere), and "above mean" is the cross-multiplied
+    * integer predicate vq·n > Σvq — order-independent, engine-proof, no
+    * float boundary at all. Two halves rather than one 64-bit word keep
+    * every packed code non-negative on both engines (bit 63 of a signed
+    * BIGINT is a cross-engine overflow/sign hazard). */
+  private val binaryCodesSqlCte: String =
+    """bq AS (SELECT vec_id,
+      |              [CAST(round(round(CAST(x AS DOUBLE), 4) * 10000, 0) AS BIGINT)
+      |               for x in embedding] AS vq
+      |       FROM embeddings),
+      |bmu AS (SELECT dim, sum(CAST(vq[dim + 1] AS HUGEINT)) AS sq, count(*) AS n
+      |        FROM bq, range(64) t(dim) GROUP BY dim),
+      |bcode AS (SELECT b.vec_id,
+      |                 CAST(sum(CASE WHEN m.dim < 32
+      |                                AND CAST(b.vq[m.dim + 1] AS HUGEINT) * m.n > m.sq
+      |                           THEN (1::BIGINT << m.dim) ELSE 0 END) AS BIGINT) AS lo,
+      |                 CAST(sum(CASE WHEN m.dim >= 32
+      |                                AND CAST(b.vq[m.dim + 1] AS HUGEINT) * m.n > m.sq
+      |                           THEN (1::BIGINT << (m.dim - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |          FROM bq b, bmu m GROUP BY b.vec_id)""".stripMargin
+
+  /** Spark side of `bcode`: same integer mean-threshold bits, but packed
+    * WITHOUT shuffling the corpus — the 64-row (Σvq, n) threshold frame
+    * reduces to one broadcast row carrying the per-dim sums as an array,
+    * and each vector's two code words fold locally over sequence(0..31)/
+    * (32..63) against that broadcast. The oracle's explode-and-regroup is
+    * the same arithmetic in DuckDB's idiom; at corpus scale the Spark plan
+    * is one partial-aggregable 64-key groupBy plus one narrow map. */
+  private def binaryCodes(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val vqExpr =
+      "transform(embedding, x -> CAST(round(round(CAST(x AS DOUBLE), 4) * 10000, 0) AS BIGINT))"
+    val ex = Tables.embeddings(s, d).select(col("vec_id"), expr(vqExpr).as("vq"))
+    val mu = ex.select(posexplode(col("vq")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(sum(col("v").cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"))
+      .agg(expr("array_sort(collect_list(struct(dim, sq)))").as("ss"),
+        max("n").as("n"))
+      .select(expr("transform(ss, x -> x.sq)").as("sqs"), col("n"))
+    def pack(lowIncl: Int, highIncl: Int, shiftBase: Int) =
+      expr(s"""aggregate(sequence($lowIncl, $highIncl), CAST(0 AS BIGINT),
+              |  (acc, j) -> acc + IF(CAST(vq[j] AS DECIMAL(38,0)) * n > sqs[j],
+              |                       shiftleft(CAST(1 AS BIGINT), j - $shiftBase),
+              |                       CAST(0 AS BIGINT)))""".stripMargin)
+    ex.crossJoin(broadcast(mu))
+      .select(col("vec_id"), pack(0, 31, 0).as("lo"), pack(32, 63, 32).as("hi"))
+  }
+
+  /** BINARY (1-bit) top-k — the extreme point of the quantization frontier
+    * next to `sim_int8_topk` (8 bits/dim) and `sim_pq_adc` (codebooks): a
+    * 64-dim float vector collapses to 8 BYTES, so a 100 TB float corpus
+    * scans as ~3 TB of codes — the shape behind every modern
+    * binary-embedding serving stack (rerank-after-Hamming). The scan ranks
+    * by Hamming distance (two codegen'd bit_count(xor) words, no float
+    * math), keeps the top-50 candidates via TakeOrderedAndProject
+    * (map-side partial top-k, never a global sort), and REranks only those
+    * 50 with the exact float cosine — the candidate set is 0.03% of a
+    * billion-vector corpus while `sim_binary_recall` prices what the 1-bit
+    * scan loses. Both rankings break ties on exact integers + vec_id, so
+    * candidate sets are bit-identical across engines. */
+  val simBinaryTopk = sql(
+    "sim_binary_topk",
+    s"""WITH $binaryCodesSqlCte,
+       |bqr AS (SELECT lo AS qlo, hi AS qhi FROM bcode WHERE vec_id = 0),
+       |bcand AS (SELECT vec_id,
+       |                 CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS BIGINT) AS ham
+       |          FROM bcode, bqr WHERE vec_id <> 0
+       |          ORDER BY ham, vec_id LIMIT 50),
+       |fqr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT c.vec_id, c.ham,
+       |       round(${dotSql("e.embedding", "qv")}
+       |             / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |FROM bcand c JOIN embeddings e USING (vec_id), fqr
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val codes = binaryCodes(s, d)
+    val q = codes.filter(col("vec_id") === 0)
+      .select(col("lo").as("qlo"), col("hi").as("qhi"))
+    val cand = codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        expr("CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS BIGINT)").as("ham"))
+      .orderBy(col("ham"), col("vec_id"))
+      .limit(50)
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    cand.join(emb, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("ham"),
+        round(dotCol("embedding", "qv")
+          / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("qv", "qv"))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** BINARY RECALL certificate — recall@10 of the Hamming-candidates-then-
+    * exact-rerank path vs the float brute-force ground truth: the measured
+    * price of the 32× bandwidth cut, completing the quantization frontier
+    * (`sim_trunc_recall` fewer dims / `sim_int8_recall` fewer bits /
+    * `sim_pq_recall` codebooks / THIS one bit). An operator sizes the
+    * candidate budget from this number, never from the 50 asserted here. */
+  val simBinaryRecall = sql(
+    "sim_binary_recall",
+    s"""WITH $binaryCodesSqlCte,
+       |bqr AS (SELECT lo AS qlo, hi AS qhi FROM bcode WHERE vec_id = 0),
+       |bcand AS (SELECT vec_id,
+       |                 CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS BIGINT) AS ham
+       |          FROM bcode, bqr WHERE vec_id <> 0
+       |          ORDER BY ham, vec_id LIMIT 50),
+       |fqr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |bn AS (SELECT c.vec_id,
+       |              round(${dotSql("e.embedding", "qv")}
+       |                    / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |       FROM bcand c JOIN embeddings e USING (vec_id), fqr
+       |       ORDER BY cos DESC, vec_id LIMIT 10),
+       |bf AS (SELECT vec_id,
+       |              round(${dotSql("embedding", "qv")}
+       |                    / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |       FROM embeddings, fqr
+       |       WHERE vec_id <> 0
+       |       ORDER BY cos DESC, vec_id LIMIT 10)
+       |SELECT 10 AS k, count(*) AS n_binary_hits,
+       |       round(count(*) / 10.0, 4) AS recall
+       |FROM bf JOIN bn USING (vec_id)""".stripMargin) { (s, d) =>
+    simTopK.fn(s, d).select(col("vec_id"))
+      .join(simBinaryTopk.fn(s, d).select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_binary_hits"))
+      .select(lit(10).as("k"), col("n_binary_hits"),
+        round(col("n_binary_hits") / 10.0, 4).as("recall"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simMarginMine,
@@ -2097,5 +2232,6 @@ object Similarity {
     simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
     simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift, simKmeansIter,
-    simKcenterInit, embOutlier, embPcaPower, embPcaVar)
+    simKcenterInit, embOutlier, embPcaPower, embPcaVar,
+    simBinaryTopk, simBinaryRecall)
 }

@@ -251,6 +251,30 @@ class SimilaritySpec extends AnyFunSuite {
         s"(got ${rec.getAs[Long]("n_int8_hits")})")
   }
 
+  test("sim_binary_topk: 1-bit Hamming candidates rerank deterministically; recall beats random") {
+    val bin = SparkEntry.queries("sim_binary_topk")(spark, sf).collect()
+    assert(bin.length == 10 && !bin.exists(_.getLong(0) == 0L))
+    // hamming over two packed 32-bit halves is bounded by the dimension
+    bin.foreach { r =>
+      val h = r.getAs[Long]("ham")
+      assert(h >= 0 && h <= 64, s"hamming out of range: $r")
+    }
+    // the rerank column is the EXACT float cosine: every returned row must
+    // agree with the brute-force scan's cosine for the same vec_id
+    val bf = SparkEntry.queries("sim_topk_cosine")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos")).toMap
+    bin.foreach { r =>
+      bf.get(r.getLong(0)).foreach(c =>
+        assert(c == r.getAs[Double]("cos"), s"rerank cosine forked: $r"))
+    }
+    // 50 candidates of ~199 vectors: a random candidate set expects ~2.5
+    // of the float top-10; the 1-bit scan must do structurally better
+    val rec = SparkEntry.queries("sim_binary_recall")(spark, sf).collect().head
+    assert(rec.getAs[Long]("n_binary_hits") >= 4,
+      "binary candidates-then-rerank must beat the random-candidate " +
+        s"baseline (got ${rec.getAs[Long]("n_binary_hits")}/10)")
+  }
+
   test("emb_pca_power: relational rounds equal a sequential fixed-point reference") {
     val sfv = "/root/testdata/sf0.01"
     val rows = Tables.embeddings(spark, sfv)
