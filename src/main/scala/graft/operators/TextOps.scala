@@ -458,6 +458,104 @@ object TextOps {
       .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
+  /** FUZZY (MinHash) DECONTAMINATION — the near-duplicate complement of
+    * `decontam_ngram`'s exact 8-gram overlap test: flag every TRAIN
+    * document that is a NEAR-DUPLICATE of an eval (test-split) document,
+    * the leak exact n-gram overlap misses when the benchmark copy was
+    * lightly paraphrased, re-tokenized, or truncated. Candidates come
+    * from a BIPARTITE band join — train band rows against eval band rows
+    * on (band_idx, band_value), never a self-join — using the SAME
+    * signature/band definition as the dedup family (one definition, the
+    * chains cannot fork). Each candidate is then scored by signature
+    * agreement (matching windows / 8, the `dedup_minhash_est` estimator)
+    * and the best eval match per train doc is kept (ties on the smaller
+    * eval id). `flagged` marks agreement ≥ 6/8 ≈ Jaccard 0.75.
+    *
+    * Scale shape: eval benchmark suites are tiny relative to a web-scale
+    * train corpus, so the eval band index and eval signatures are
+    * BROADCAST — the train side is scanned once per stage with no shuffle
+    * (the exact dual of `decontam_bloom`'s broadcast bloom). Per-train-doc
+    * candidates are bounded by 4 bands × the eval docs sharing each
+    * bucket ≤ 4·|eval|, and the best-match window partitions on doc_id —
+    * bounded frames everywhere. */
+  val decontamMinhash = sql(
+    "decontam_minhash", {
+      val bandRows = (0 until NumHashes / BandSize)
+        .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS v FROM sig")
+        .mkString("\n  UNION ALL ")
+      val agree = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.mh$j = e.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shinglesSql,
+         |sig AS (SELECT doc_id, $minhashSigSqlCols FROM sh GROUP BY doc_id),
+         |spl AS (SELECT doc_id,
+         |               CASE WHEN ${Keys.hexBucketSql("doc_id")} < ${Keys.TrainThr} THEN 'train'
+         |                    WHEN ${Keys.hexBucketSql("doc_id")} < ${Keys.ValThr} THEN 'val'
+         |                    ELSE 'test' END AS split
+         |        FROM documents),
+         |bands AS (
+         |  $bandRows
+         |),
+         |tb AS (SELECT b.doc_id, b.band_idx, b.v
+         |       FROM bands b JOIN spl USING (doc_id) WHERE spl.split = 'train'),
+         |eb AS (SELECT b.doc_id AS eval_doc_id, b.band_idx, b.v
+         |       FROM bands b JOIN spl USING (doc_id) WHERE spl.split = 'test'),
+         |cand AS (SELECT DISTINCT t.doc_id, e.eval_doc_id
+         |         FROM tb t JOIN eb e ON t.band_idx = e.band_idx AND t.v = e.v),
+         |scored AS (SELECT c.doc_id, c.eval_doc_id,
+         |                  CAST($agree AS BIGINT) AS n_windows
+         |           FROM cand c
+         |           JOIN sig a ON a.doc_id = c.doc_id
+         |           JOIN sig e ON e.doc_id = c.eval_doc_id),
+         |best AS (SELECT doc_id, eval_doc_id, n_windows,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY n_windows DESC, eval_doc_id) AS rk
+         |         FROM scored)
+         |SELECT doc_id, eval_doc_id, n_windows,
+         |       round(n_windows / 8.0, 4) AS est_jaccard,
+         |       n_windows >= 6 AS flagged
+         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bucket = Keys.hexBucketCol(col("doc_id"))
+    val spl = Tables.documents(s, d).select(col("doc_id"),
+      when(bucket < Keys.TrainThr, "train")
+        .when(bucket < Keys.ValThr, "val").otherwise("test").as("split"))
+    // signatures computed ONCE, read four ways (train/eval bands,
+    // train/eval verify sides)
+    val sig = minhashSig(s, d).join(spl, "doc_id").cache()
+    val bands = sig.select(col("doc_id"), col("split"),
+      posexplode(array((0 until NumHashes / BandSize).map(b =>
+        unhex(md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))): _*))
+        .as(Seq("band_idx", "v")))
+    val tb = bands.filter(col("split") === "train")
+      .select("doc_id", "band_idx", "v")
+    val eb = bands.filter(col("split") === "test")
+      .select(col("doc_id").as("eval_doc_id"), col("band_idx"), col("v"))
+    // the benchmark index is the broadcast side: no train-side shuffle
+    val cand = tb.join(broadcast(eb), Seq("band_idx", "v"))
+      .select("doc_id", "eval_doc_id").distinct()
+    val evalSig = sig.filter(col("split") === "test").select(
+      col("doc_id").as("eval_doc_id") +:
+        (0 until NumHashes).map(j => col(s"mh$j").as(s"emh$j")): _*)
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"mh$j") === col(s"emh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = cand
+      .join(sig, "doc_id")
+      .join(broadcast(evalSig), "eval_doc_id")
+      .select(col("doc_id"), col("eval_doc_id"),
+        agree.cast("long").as("n_windows"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("n_windows").desc, col("eval_doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("eval_doc_id"), col("n_windows"),
+        round(col("n_windows") / 8.0, 4).as("est_jaccard"),
+        (col("n_windows") >= 6).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL dedup — the shape a production ingestion actually runs:
     * an INCOMING shard (hash-split here: the split_assign eval buckets)
     * gated against the EXISTING corpus (the train buckets) without
@@ -3368,6 +3466,6 @@ object TextOps {
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
     textBm25, textPplBuckets, dedupLabelsMaterialized, dedupIncremental,
-    dedupIncrementalMaterialized,
+    dedupIncrementalMaterialized, decontamMinhash,
     corpusQualityDrift)
 }

@@ -832,4 +832,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.length == 60 * 59 / 2, s"expected C(60,2) pairs, got ${got.length}")
     assert(got.forall(_.getDouble(3) == 1.0))
   }
+
+  /** doc_id → md5 hex bucket, the test-side mirror of Keys.hexBucketCol. */
+  private def bucketOf(id: Long): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(h.take(4), 16)
+  }
+
+  test("decontam_minhash: cross-split near-dup flagged; best-match ties on smaller eval id") {
+    import graft.operators.Keys
+    val ids = (0L to 2000L)
+    val trainIds = ids.filter(bucketOf(_) < Keys.TrainThr)
+    val testIds = ids.filter(bucketOf(_) >= Keys.ValThr)
+    val leakTrain = trainIds.head // planted benchmark copy in the corpus
+    val eval1 = testIds.head // two identical eval docs: tie on agreement
+    val eval2 = testIds(1)
+    val cleanTrain = trainIds(1) // unrelated text: must not band-match
+    val bench = (1 to 16).map(i => s"bench$i").mkString(" ")
+    val clean = (1 to 16).map(i => s"clean$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      leakTrain -> bench, eval1 -> bench, eval2 -> bench, cleanTrain -> clean))
+    val rows = TextOps.decontamMinhash.fn(spark, dir).collect()
+    // only the leaked train doc shares a band with the eval side
+    assert(rows.map(_.getLong(0)).toSeq == Seq(leakTrain), rows.mkString(";"))
+    val r = rows.head
+    // identical text → all 8 windows agree → flagged; tie between the two
+    // identical eval docs resolves to the smaller eval id
+    assert(r.getLong(1) == math.min(eval1, eval2), r.toString)
+    assert(r.getLong(2) == 8L && r.getDouble(3) == 1.0 && r.getBoolean(4))
+  }
+
+  test("decontam_minhash: real-corpus rows are internally consistent") {
+    val rows = TextOps.decontamMinhash.fn(spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      val nw = r.getLong(2)
+      // a candidate shares ≥1 band (2 consecutive agreeing windows)
+      assert(nw >= 2 && nw <= 8, r.toString)
+      assert(r.getDouble(3) == math.rint(nw / 8.0 * 1e4) / 1e4, r.toString)
+      assert(r.getBoolean(4) == (nw >= 6), r.toString)
+    }
+    // train docs only, each at most once (best match kept)
+    val docs = rows.map(_.getLong(0))
+    assert(docs.distinct.length == docs.length)
+    docs.foreach(id => assert(bucketOf(id) < graft.operators.Keys.TrainThr))
+  }
 }
