@@ -719,6 +719,76 @@ object Similarity {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("gcc"))
   }
 
+  /** LABEL PROPAGATION community detection over the kNN graph — the
+    * semantic-neighborhood partitioner between connected components (too
+    * coarse: one boilerplate bridge merges two topics) and k-means (needs
+    * k): every vector starts labeled with its own id, and each synchronous
+    * round adopts the MAJORITY label among its neighbors, ties broken by
+    * the SMALLER label (the determinism LPA famously lacks — random
+    * tie-breaks make the algorithm unreproducible across runs, which a
+    * data pipeline cannot ship). Three unrolled rounds, the same fixed-
+    * iteration discipline as `graph_pagerank`; isolated vertices keep
+    * their own label. Output: per-vector community (always a member's
+    * vec_id) plus the community size.
+    *
+    * Scale shape: one round = edge⋈label equi-join + a partial-aggregable
+    * (vertex, label) vote count + a per-vertex window over the bounded
+    * neighbor-label frame (≤ degree rows) — linear in |E| per round, no
+    * global structure. Community sizes come from a groupBy+join, not an
+    * unpartitioned window. All-integer state: votes are exact counts,
+    * labels are ids — nothing to round, bit-identical across engines. */
+  val graphLabelProp = sql(
+    "graph_label_prop", {
+      val rounds = (1 to 3).map { k =>
+        s"""v$k AS (SELECT ee.v, l.l, count(*) AS c
+           |        FROM ee JOIN l${k - 1} l ON l.vec_id = ee.u GROUP BY ee.v, l.l),
+           |p$k AS (SELECT v, l FROM (
+           |          SELECT v, l, row_number() OVER (PARTITION BY v
+           |                         ORDER BY c DESC, l) AS rn FROM v$k)
+           |        WHERE rn = 1),
+           |l$k AS (SELECT a.vec_id, coalesce(p.l, a.l) AS l
+           |        FROM l${k - 1} a LEFT JOIN p$k p ON p.v = a.vec_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnRankedSqlCte,
+         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |      FROM rk WHERE rn <= 3),
+         |ee AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+         |l0 AS (SELECT vec_id, vec_id AS l FROM embeddings),
+         |$rounds,
+         |cs AS (SELECT l AS community, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l3 GROUP BY l)
+         |SELECT f.vec_id, f.l AS community, cs.community_size
+         |FROM l3 f JOIN cs ON cs.community = f.l
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = knnRankedDf(s, d).filter(col("rn") <= 3)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val ee = e.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+      .cache() // one edge list, read every round
+    val w = Window.partitionBy("v").orderBy(col("c").desc, col("l"))
+    def step(lab: org.apache.spark.sql.DataFrame) = {
+      val pick = ee.join(lab.withColumnRenamed("vec_id", "u"), "u")
+        .groupBy("v", "l").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("v").as("vec_id"), col("l").as("nl"))
+      lab.join(pick, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("nl"), col("l")).as("l"))
+    }
+    val l0 = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("vec_id").as("l"))
+    val l3 = step(step(step(l0)))
+    val cs = l3.groupBy(col("l").as("community"))
+      .agg(count(lit(1)).as("community_size"))
+    l3.select(col("vec_id"), col("l").as("community"))
+      .join(cs, "community")
+      .select(col("vec_id"), col("community"), col("community_size"))
+      .orderBy("vec_id")
+  }
+
   /** PER-DIMENSION EMBEDDING STATS — the drift/whitening monitor a vector
     * pipeline runs before trusting an index: n, mean, population std,
     * min, max for each of the 64 dimensions. A collapsed dimension
@@ -2233,5 +2303,5 @@ object Similarity {
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
     simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift, simKmeansIter,
     simKcenterInit, embOutlier, embPcaPower, embPcaVar,
-    simBinaryTopk, simBinaryRecall)
+    simBinaryTopk, simBinaryRecall, graphLabelProp)
 }

@@ -107,6 +107,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("graph_label_prop: communities never cross orthogonal label clusters") {
+    // 4 labels × 50 identical one-hot vectors: within-label cosine is 1,
+    // cross-label 0, so kNN edges never cross labels and no community may
+    // span two labels
+    val rows = for (l <- 0 until 4; i <- 0 until 50)
+      yield ((l * 50 + i).toLong, oneHot(l), l)
+    val dir = writeEmbeddings(rows)
+    val got = Similarity.graphLabelProp.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 200)
+    got.groupBy(_._2).foreach { case (comm, members) =>
+      // community label is itself a member id, size column is consistent
+      assert(members.exists(_._1 == comm), s"community $comm has no member $comm")
+      assert(members.forall(_._3 == members.length))
+      // label-pure: all members from one one-hot cluster
+      assert(members.map(_._1 / 50).distinct.length == 1,
+        s"community $comm spans labels: ${members.map(_._1).take(5).toSeq}")
+    }
+  }
+
+  test("graph_label_prop: real-corpus labels are self-consistent and deterministic") {
+    val a = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "label propagation must be deterministic")
+    assert(a.length == 500)
+    // the size column equals the actual community cardinality
+    val sizes = a.groupBy(_._2).map { case (c, m) => c -> m.length.toLong }
+    a.foreach(r => assert(r._3 == sizes(r._2), r.toString))
+    // propagation actually coarsened: fewer communities than vertices
+    assert(sizes.size < 500, "no vertex ever adopted a neighbor label")
+  }
+
   test("graph_pagerank: teleport floor, mass conservation on the real corpus") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
