@@ -560,6 +560,53 @@ object Jobs {
       .drop("__toks")
   }
 
+  /** Per-document MinHash band keys as a COLUMN — the ONE streaming-side
+    * definition of the dedup family's signature/band chain (word-trigram
+    * shingle md5s → 8 disjoint 4-hex signature windows → 4 band digests),
+    * shared by [[freezeBandIndex]] and [[minhashGate]] so the two sides of
+    * the gate cannot fork. Emits `"b:md5hex"` keys; docs with fewer than 3
+    * tokens have no shingles and yield an empty array (they cannot match
+    * anything). StreamingSpec proves the chain produces the exact batch
+    * candidate set (`decontam_minhash`'s flag population). */
+  private def bandKeys(text: Column): Column = {
+    val h = transform(
+      graft.functions.ShingleMd5s.shingle_md5s(split(text, " "), 3),
+      x => lower(hex(x)))
+    val mh = (0 until 8).map(j =>
+      array_min(transform(h, s => substring(s, 4 * j + 1, 4))))
+    val bands = (0 until 4).map(b =>
+      concat(lit(s"$b:"), md5(concat(mh(2 * b), mh(2 * b + 1)))))
+    when(size(h) > 0, array(bands: _*))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Freeze the eval benchmark set's MinHash band index into the Set the
+    * streaming gate broadcasts. Benchmark suites are tiny relative to a
+    * web-scale train corpus — this collect is the MODEL (4 keys per eval
+    * doc), not the corpus, the same justification as [[freezeDsir]]. */
+  def freezeBandIndex(evalTexts: DataFrame): Set[String] =
+    evalTexts.select(explode(bandKeys(col("text"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSet
+
+  /** STREAMING FUZZY DECONTAMINATION GATE — the arrival-time twin of the
+    * batch `decontam_minhash` check: drop incoming train documents that
+    * share a MinHash LSH band with ANY frozen eval document — the
+    * near-duplicate leak the exact-shingle [[contaminationGate]] misses
+    * when the benchmark copy was paraphrased, re-tokenized or truncated.
+    * The frozen band index is broadcast (kilobytes per thousand eval docs)
+    * and each micro-batch runs a stateless executor-side filter over the
+    * doc's 4 band keys — no stream-static join, no state store, no
+    * shuffle. A band hit only MIGHT be true contamination (LSH candidate
+    * probability), so like the bloom gate it is conservative in the safe
+    * direction: it can drop an extra clean doc, never keep a near-dup of
+    * the benchmark. Input needs a `text` column. */
+  def minhashGate(docs: DataFrame, bandIndex: Set[String]): DataFrame = {
+    val idxB = docs.sparkSession.sparkContext.broadcast(bandIndex)
+    val anyHit = udf((ks: Seq[String]) =>
+      ks != null && ks.exists(idxB.value.contains))
+    docs.filter(!anyHit(bandKeys(col("text"))))
+  }
+
   /** STREAMING CURATION COMPOSITION (pre-budget stages) — the arrival-time
     * twin of the batch `corpus_curation_e2e` chain, composed from the SAME
     * streaming pieces the batch stages twin individually:

@@ -878,6 +878,46 @@ class StreamingSpec extends AnyFunSuite {
       s"threshold gate forked from batch scores: ${(kept diff want).take(3)} / ${(want diff kept).take(3)}")
   }
 
+  test("minhashGate: streamed drops equal the batch decontam_minhash flag " +
+      "population on the real corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Keys
+
+    // deploy shape: the benchmark (test split) is frozen once; the train
+    // split arrives as a stream. sf0.01 is used because its batch query
+    // output is known non-empty (both verdicts exercised).
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir)
+    val bucket = Keys.hexBucketCol(col("doc_id"))
+    val idx = Jobs.freezeBandIndex(
+      docs.filter(bucket >= Keys.ValThr).select("text")) // test split
+    val trains = docs.filter(bucket < Keys.TrainThr)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Jobs.minhashGate(mem.toDF().toDF("doc_id", "text"), idx)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("minhash_gate")
+      .outputMode("append").start()
+    trains.grouped(100).foreach(g => mem.addData(g.toSeq))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("minhash_gate").collect().map(_.getLong(0)).toSet
+
+    // the batch query's output rows are EXACTLY the train docs holding ≥1
+    // band candidate against the eval split — the gate must drop those and
+    // only those
+    val flagged = SparkEntry.queries("decontam_minhash")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = trains.map(_._1).toSet diff flagged
+    assert(kept == want,
+      s"gate forked from batch candidates: extra drops ${(want diff kept).take(3)}, " +
+        s"leaked ${(kept diff want).take(3)}")
+    assert(flagged.nonEmpty && kept.nonEmpty,
+      s"fixture must exercise both verdicts: dropped ${flagged.size}, kept ${kept.size}")
+  }
+
   test("annGate: streamed survivors of the frozen-index near-dup gate " +
       "equal the batch verdict on a disjoint corpus split") {
     import spark.implicits._
