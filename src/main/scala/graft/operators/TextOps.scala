@@ -21,6 +21,63 @@ import graft.core.QueryDef.sql
   */
 object TextOps {
 
+  /** RAG/embedding chunk size and stride (tokens). 128/96 ⇒ 32-token
+    * overlap — enough context carry-over for retrieval, 25% redundancy. */
+  val ChunkTokens = 128
+  val ChunkStride = 96
+
+  /** DETERMINISTIC OVERLAPPING CHUNKING — the doc→passage explosion every
+    * RAG/embedding pipeline runs before encoding: fixed [[ChunkTokens]]-token
+    * windows at [[ChunkStride]] stride (32-token overlap), the final chunk
+    * truncated to the document tail. Chunk COUNT is the exact integer
+    * `1 + (n − ChunkTokens + ChunkStride − 1) div ChunkStride` for
+    * n > ChunkTokens else 1 — never a float ceil (a cross-engine rounding
+    * hazard); every token is covered and chunk boundaries replay
+    * identically anywhere, so chunk ids are stable join keys for the
+    * vectors they produce. Output carries (doc_id, chunk_idx) plus the
+    * 0-based token offset, length and a content digest — the digest is
+    * what downstream chunk-level dedup keys on.
+    *
+    * Scale shape: one narrow map per doc + an explode bounded by n/stride
+    * — no shuffle, no join, no window; the ORDER BY is the oracle
+    * harness's, production writers keep it partition-local. */
+  val textChunk = sql(
+    "text_chunk",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |nn AS (SELECT doc_id, t, len(t) AS n,
+       |              CASE WHEN len(t) <= $ChunkTokens THEN 1
+       |                   ELSE 1 + (len(t) - $ChunkTokens + $ChunkStride - 1) // $ChunkStride
+       |              END AS nc
+       |       FROM toks),
+       |ix AS (SELECT doc_id, n, t, unnest(range(nc)) AS i FROM nn),
+       |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |              CAST(i * $ChunkStride AS BIGINT) AS start_tok,
+       |              least($ChunkTokens, n - i * $ChunkStride) AS n_toks, t
+       |       FROM ix)
+       |SELECT doc_id, chunk_idx, start_tok,
+       |       CAST(n_toks AS BIGINT) AS n_toks,
+       |       md5(array_to_string(t[start_tok + 1 : start_tok + n_toks], ' ')) AS chunk_md5
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val n = size(col("t"))
+    val nc = when(n <= ChunkTokens, 1)
+      .otherwise(lit(1) + expr(
+        s"(size(t) - $ChunkTokens + $ChunkStride - 1) div $ChunkStride"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), n.as("n"),
+        explode(sequence(lit(0), nc - 1)).as("i"))
+      .select(col("doc_id"),
+        col("i").cast("long").as("chunk_idx"),
+        (col("i") * ChunkStride).cast("long").as("start_tok"),
+        least(lit(ChunkTokens), col("n") - col("i") * ChunkStride)
+          .cast("long").as("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("i") * ChunkStride + 1,
+            least(lit(ChunkTokens), col("n") - col("i") * ChunkStride))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Token counting + quality scoring (length/distinct/word-length ratios).
     * All ratios are exact same-double divisions on both engines. */
   val textStats = sql(
@@ -3466,6 +3523,6 @@ object TextOps {
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
     textBm25, textPplBuckets, dedupLabelsMaterialized, dedupIncremental,
-    dedupIncrementalMaterialized, decontamMinhash,
+    dedupIncrementalMaterialized, decontamMinhash, textChunk,
     corpusQualityDrift)
 }

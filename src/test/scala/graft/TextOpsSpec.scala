@@ -864,6 +864,48 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 8L && r.getDouble(3) == 1.0 && r.getBoolean(4))
   }
 
+  test("text_chunk: boundary arithmetic at the exact window edges") {
+    def words(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      1L -> words(3, "a"), // shorter than one window
+      2L -> words(128, "b"), // exactly one window
+      3L -> words(129, "c"), // one token spills into a second chunk
+      4L -> words(320, "d"))) // 128 + 2×96 = 320: last chunk exactly full
+    val got = TextOps.textChunk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(got(1L).map(t => (t._2, t._3, t._4)).toSeq == Seq((0L, 0L, 3L)))
+    assert(got(2L).map(t => (t._2, t._3, t._4)).toSeq == Seq((0L, 0L, 128L)))
+    assert(got(3L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 0L, 128L), (1L, 96L, 33L)))
+    assert(got(4L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 0L, 128L), (1L, 96L, 128L), (2L, 192L, 128L)))
+  }
+
+  test("text_chunk: real-corpus chunks tile every document completely") {
+    val sf = "/root/testdata/sf0.001"
+    val nTokens = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextOps.textChunk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == nTokens.keySet, "every document must chunk")
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // indices dense from 0, starts at stride multiples, tail reaches n
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx == i && start == i.toLong * TextOps.ChunkStride)
+        assert(len >= 1 && len <= TextOps.ChunkTokens)
+      }
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen == nTokens(doc),
+        s"doc $doc: coverage ends at ${lastStart + lastLen}, n=${nTokens(doc)}")
+      // every non-final chunk is full-width
+      sorted.init.foreach(c => assert(c._4 == TextOps.ChunkTokens.toLong))
+    }
+  }
+
   test("decontam_minhash: real-corpus rows are internally consistent") {
     val rows = TextOps.decontamMinhash.fn(spark, "/root/testdata/sf0.001").collect()
     rows.foreach { r =>
