@@ -39,16 +39,21 @@ object Similarity {
   private def sqdistSql(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
 
-  /** Brute-force cosine top-k against a fixed query vector (vec_id = 0). */
-  val simTopK = sql(
-    "sim_topk_cosine",
-    s"""WITH qr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-       |SELECT vec_id,
-       |       round(${dotSql("embedding", "qv")}
-       |             / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
-       |FROM embeddings, qr
-       |WHERE vec_id <> 0
-       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+  /** SQL CTE chain ending in `dscore(vec_id, cos)` — the full-corpus
+    * 4-dp cosine of every vector against the fixed query (vec_id 0): the
+    * DENSE retrieval leg, shared by `sim_topk_cosine` and TextOps'
+    * `rag_hybrid` fusion so the score cannot fork. */
+  private[operators] val denseScoreSqlCte: String =
+    s"""dqr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |dscore AS (SELECT vec_id,
+       |                  round(${dotSql("embedding", "qv")}
+       |                        / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |           FROM embeddings, dqr
+       |           WHERE vec_id <> 0)""".stripMargin
+
+  /** Spark side of `dscore`: one broadcast query row + a narrow map. */
+  private[operators] def denseScores(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb.filter(col("vec_id") =!= 0)
@@ -56,8 +61,15 @@ object Similarity {
       .select(col("vec_id"),
         round(dotCol("embedding", "qv")
           / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("qv", "qv"))), 4).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+  }
+
+  /** Brute-force cosine top-k against a fixed query vector (vec_id = 0). */
+  val simTopK = sql(
+    "sim_topk_cosine",
+    s"""WITH $denseScoreSqlCte
+       |SELECT vec_id, cos FROM dscore
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    denseScores(s, d).orderBy(col("cos").desc, col("vec_id")).limit(10)
   }
 
   /** SQL CTE chain ending in `assign(vec_id, cell)` — every vector's
@@ -770,6 +782,10 @@ object Similarity {
       .unionAll(e.select(col("b").as("v"), col("a").as("u")))
       .cache() // one edge list, read every round
     val w = Window.partitionBy("v").orderBy(col("c").desc, col("l"))
+    // each round reads the previous label frame TWICE (vote side +
+    // join-back side), so un-truncated lineage doubles per round (2^k
+    // subtree copies of the kNN chain) — localCheckpoint per round keeps
+    // the state vertex-sized and the plan flat, the BPE/CC discipline
     def step(lab: org.apache.spark.sql.DataFrame) = {
       val pick = ee.join(lab.withColumnRenamed("vec_id", "u"), "u")
         .groupBy("v", "l").agg(count(lit(1)).as("c"))
@@ -777,9 +793,11 @@ object Similarity {
         .select(col("v").as("vec_id"), col("l").as("nl"))
       lab.join(pick, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("nl"), col("l")).as("l"))
+        .localCheckpoint(true)
     }
     val l0 = Tables.embeddings(s, d)
       .select(col("vec_id"), col("vec_id").as("l"))
+      .localCheckpoint(true)
     val l3 = step(step(step(l0)))
     val cs = l3.groupBy(col("l").as("community"))
       .agg(count(lit(1)).as("community_size"))

@@ -1519,10 +1519,12 @@ object TextOps {
     * order double expressions on both engines (decimal literals promote
     * to the same doubles), the ≤3-term sum rounds 4 dp, and the ranking
     * runs on the ROUNDED score with a doc_id tie-break. */
-  val textBm25 = sql(
-    "text_bm25",
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-      |              FROM documents),
+  /** SQL CTE chain ending in `lscore(doc_id, dl, n_terms, bm25)` — the
+    * full LEXICAL retrieval leg (every doc holding ≥1 query term), shared
+    * by `text_bm25` and `rag_hybrid` so the score cannot fork. */
+  private val bm25SqlCte: String =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |         FROM documents),
       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
       |st AS (SELECT count(*) AS n_docs,
       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
@@ -1537,12 +1539,14 @@ object TextOps {
       |                    + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
       |                AS contrib
       |       FROM tf t JOIN df ON df.tok = t.tok
-      |       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st)
-      |SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
-      |       CAST(count(*) AS BIGINT) AS n_terms,
-      |       round(sum(contrib), 4) AS bm25
-      |FROM sc GROUP BY doc_id
-      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      |       JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN st),
+      |lscore AS (SELECT doc_id, CAST(max(dl) AS BIGINT) AS dl,
+      |                  CAST(count(*) AS BIGINT) AS n_terms,
+      |                  round(sum(contrib), 4) AS bm25
+      |           FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** Spark side of `lscore`. */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String) = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -1564,7 +1568,63 @@ object TextOps {
       .groupBy("doc_id")
       .agg(max("dl").as("dl"), count(lit(1)).as("n_terms"),
         round(sum("contrib"), 4).as("bm25"))
+  }
+
+  val textBm25 = sql(
+    "text_bm25",
+    s"""WITH $bm25SqlCte
+       |SELECT doc_id, dl, n_terms, bm25 FROM lscore
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    bm25Scores(s, d)
       .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** HYBRID RETRIEVAL FUSION — the lexical+dense combination every RAG
+    * serving stack runs (Weaviate/Qdrant-style alpha-weighted hybrid
+    * search): each document's BM25 score (the `text_bm25` leg, shared
+    * `lscore` CTE) and its embedding cosine to the fixed query (the
+    * `sim_topk_cosine` leg, shared `dscore` CTE — doc_id and vec_id share
+    * the id space) are min-max normalized to [0,1] and blended 50/50; a
+    * doc missing from a leg contributes that leg's floor. Score-based
+    * fusion is chosen over rank-based RRF deliberately: normalization
+    * needs only four broadcast 1-row aggregates (min/max per leg) — no
+    * global rank window exists anywhere, the scale-safe shape (RRF's
+    * corpus-wide rank IS an unpartitioned window).
+    *
+    * Determinism: both leg scores are already 4-dp-rounded; the blend is
+    * the identical single expression on both engines, rounded once at 4
+    * dp; ties break on doc_id. Top-10 via TakeOrderedAndProject. */
+  val ragHybrid = sql(
+    "rag_hybrid",
+    s"""WITH $bm25SqlCte,
+       |${graft.operators.Similarity.denseScoreSqlCte},
+       |lmm AS (SELECT min(bm25) AS lmin, max(bm25) AS lmax FROM lscore),
+       |dmm AS (SELECT min(cos) AS dmin, max(cos) AS dmax FROM dscore),
+       |ids AS (SELECT doc_id FROM documents WHERE doc_id <> 0)
+       |SELECT i.doc_id, l.bm25, s.cos,
+       |       round(0.5 * coalesce((l.bm25 - lmin) / nullif(lmax - lmin, 0.0), 0.0)
+       |             + 0.5 * coalesce((s.cos - dmin) / nullif(dmax - dmin, 0.0), 0.0), 4)
+       |         AS hybrid
+       |FROM ids i
+       |LEFT JOIN lscore l ON l.doc_id = i.doc_id
+       |LEFT JOIN dscore s ON s.vec_id = i.doc_id
+       |CROSS JOIN lmm CROSS JOIN dmm
+       |ORDER BY hybrid DESC, i.doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    val l = bm25Scores(s, d).select("doc_id", "bm25")
+    val ds = Similarity.denseScores(s, d).withColumnRenamed("vec_id", "doc_id")
+    val lmm = l.agg(min("bm25").as("lmin"), max("bm25").as("lmax"))
+    val dmm = ds.agg(min("cos").as("dmin"), max("cos").as("dmax"))
+    Tables.documents(s, d).select("doc_id").filter(col("doc_id") =!= 0)
+      .join(l, Seq("doc_id"), "left")
+      .join(ds, Seq("doc_id"), "left")
+      .crossJoin(broadcast(lmm))
+      .crossJoin(broadcast(dmm))
+      .select(col("doc_id"), col("bm25"), col("cos"),
+        expr("""round(0.5 * coalesce((bm25 - lmin) / nullif(lmax - lmin, 0.0D), 0.0D)
+               |      + 0.5 * coalesce((cos - dmin) / nullif(dmax - dmin, 0.0D), 0.0D), 4)"""
+          .stripMargin).as("hybrid"))
+      .orderBy(col("hybrid").desc, col("doc_id"))
       .limit(10)
   }
 
@@ -3522,7 +3582,7 @@ object TextOps {
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
-    textBm25, textPplBuckets, dedupLabelsMaterialized, dedupIncremental,
+    textBm25, ragHybrid, textPplBuckets, dedupLabelsMaterialized, dedupIncremental,
     dedupIncrementalMaterialized, decontamMinhash, textChunk,
     corpusQualityDrift)
 }

@@ -864,6 +864,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 8L && r.getDouble(3) == 1.0 && r.getBoolean(4))
   }
 
+  test("rag_hybrid: blend is bounded, ordered, and consistent with its legs") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = TextOps.ragHybrid.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    val hybrids = rows.map(_.getAs[Double]("hybrid"))
+    assert(hybrids.sameElements(hybrids.sortBy(-_)), "must rank by hybrid desc")
+    hybrids.foreach(h => assert(h >= 0.0 && h <= 1.0, s"blend out of [0,1]: $h"))
+    // the lexical leg's winner normalizes to 1.0 there, so its hybrid is
+    // ≥ 0.5 — the fused top-1 must therefore reach at least 0.5
+    assert(hybrids.head >= 0.5,
+      s"fused top-1 ${hybrids.head} below the leg-winner floor 0.5")
+    // every candidate has a vector (ids ≠ 0), so the dense column is never
+    // null; at least one fused row must carry a lexical score too
+    rows.foreach(r => assert(!r.isNullAt(r.fieldIndex("cos")), r.toString))
+    assert(rows.exists(!_.isNullAt(1)), "no fused row carries a bm25 score")
+  }
+
   test("text_chunk: boundary arithmetic at the exact window edges") {
     def words(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
     val dir = writeDocs(Seq(
