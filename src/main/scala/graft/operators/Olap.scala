@@ -2017,7 +2017,79 @@ object Olap {
           <= col("exact_union") * 0.05).as("within_5pct_of_union"))
   }
 
+  /** SNAPSHOT DIFF — the data-reconciliation report a warehouse runs when
+    * two loads of a keyed table must be compared (yesterday's dimension vs
+    * today's, replica vs primary, vendor feed v1 vs v2): per entity the
+    * OLD state (last event_type in the first 15-day window) against the
+    * NEW state (last in the second), rolled up into the
+    * (old_state, new_state) transition matrix with an added / removed /
+    * changed / unchanged verdict. Missing sides render as the literal
+    * '(absent)' rather than NULL — cross-engine NULL ordering/grouping is
+    * an avoidable hazard, and the label reads better in the report.
+    *
+    * Scale shape: two per-user ranked windows (keyed, bounded by a user's
+    * events), ONE full outer equi-join on the entity key, then a tiny
+    * partial-aggregable rollup — the diff never materializes row pairs
+    * beyond the keyed join. Last-state pick breaks ties on event_id so
+    * both engines choose identically. */
+  val snapshotDiff = sql(
+    "olap_snapshot_diff",
+    """WITH mn AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+      |e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us,
+      |             epoch_us(ts) // 86400000000 AS day
+      |      FROM events),
+      |olda AS (SELECT user_id, event_type AS st FROM (
+      |           SELECT e.user_id, e.event_type,
+      |                  row_number() OVER (PARTITION BY e.user_id
+      |                                     ORDER BY e.t_us DESC, e.event_id DESC) AS rn
+      |           FROM e, mn WHERE e.day < mn.d0 + 15)
+      |         WHERE rn = 1),
+      |newb AS (SELECT user_id, event_type AS st FROM (
+      |           SELECT e.user_id, e.event_type,
+      |                  row_number() OVER (PARTITION BY e.user_id
+      |                                     ORDER BY e.t_us DESC, e.event_id DESC) AS rn
+      |           FROM e, mn WHERE e.day >= mn.d0 + 15)
+      |         WHERE rn = 1),
+      |j AS (SELECT coalesce(o.st, '(absent)') AS old_state,
+      |             coalesce(n.st, '(absent)') AS new_state
+      |      FROM olda o FULL JOIN newb n ON n.user_id = o.user_id)
+      |SELECT old_state, new_state,
+      |       CASE WHEN old_state = '(absent)' THEN 'added'
+      |            WHEN new_state = '(absent)' THEN 'removed'
+      |            WHEN old_state = new_state THEN 'unchanged'
+      |            ELSE 'changed' END AS verdict,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM j GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("t_us"), expr("t_us div 86400000000").as("day")) // exact int div
+    val d0 = ev.agg(min("day").as("d0"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t_us").desc, col("event_id").desc)
+    def lastState(half: org.apache.spark.sql.DataFrame, as: String) =
+      half.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as(as))
+    val withD0 = ev.crossJoin(broadcast(d0))
+    val olda = lastState(withD0.filter(col("day") < col("d0") + 15), "ost")
+    val newb = lastState(withD0.filter(col("day") >= col("d0") + 15), "nst")
+    olda.join(newb, Seq("user_id"), "full_outer")
+      .select(coalesce(col("ost"), lit("(absent)")).as("old_state"),
+        coalesce(col("nst"), lit("(absent)")).as("new_state"))
+      .groupBy("old_state", "new_state")
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("old_state"), col("new_state"),
+        when(col("old_state") === "(absent)", "added")
+          .when(col("new_state") === "(absent)", "removed")
+          .when(col("old_state") === col("new_state"), "unchanged")
+          .otherwise("changed").as("verdict"),
+        col("n_users"))
+      .orderBy("old_state", "new_state")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    snapshotDiff,
     skewProfile, joinExplosion, bucketJoin, eventsCopmi, hllIntersect,
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
     eventsSeasonalBacktest, eventsAbTest, eventsSurvivalKm,

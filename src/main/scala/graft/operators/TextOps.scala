@@ -310,32 +310,49 @@ object TextOps {
     * length); verification joins the small candidate list back to the full
     * index — linear in candidates × doc size. TextOpsSpec proves the
     * output identical to the brute-force full-universe pair join. */
+  /** SQL CTE chain (appended after [[shinglesSql]]) ending in
+    * `apairs(da, db, common, un)` — the EXACT τ=0.8 Jaccard pair set from
+    * the AllPairs prefix filter, shared by `dedup_allpairs` and the
+    * `dedup_minhash_recall` certificate so the ground truth cannot fork. */
+  private val allpairsFromShSqlCte: String =
+    """apdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+      |apsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pref AS (SELECT doc_id, sh, n FROM (
+      |           SELECT s.doc_id, s.sh, z.n,
+      |                  row_number() OVER (PARTITION BY s.doc_id
+      |                                     ORDER BY apdf.df, s.sh) AS rk
+      |           FROM sh s JOIN apdf USING (sh) JOIN apsizes z USING (doc_id))
+      |         WHERE rk <= n - ((4 * n + 4) // 5) + 1),
+      |apcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+      |                  a.n AS na, b.n AS nb
+      |           FROM pref a JOIN pref b
+      |             ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |            AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)),
+      |verified AS (SELECT c.da, c.db, c.na, c.nb, count(*) AS common
+      |             FROM apcand c
+      |             JOIN sh x ON x.doc_id = c.da
+      |             JOIN sh y ON y.doc_id = c.db AND y.sh = x.sh
+      |             GROUP BY 1, 2, 3, 4),
+      |apairs AS (SELECT da, db, common, na + nb - common AS un
+      |           FROM verified
+      |           WHERE 5 * common >= 4 * (na + nb - common))""".stripMargin
+
   val dedupAllpairs = sql(
     "dedup_allpairs",
     s"""WITH $shinglesSql,
-       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |pref AS (SELECT doc_id, sh, n FROM (
-       |           SELECT s.doc_id, s.sh, z.n,
-       |                  row_number() OVER (PARTITION BY s.doc_id
-       |                                     ORDER BY df.df, s.sh) AS rk
-       |           FROM sh s JOIN df USING (sh) JOIN sizes z USING (doc_id))
-       |         WHERE rk <= n - ((4 * n + 4) // 5) + 1),
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-       |                a.n AS na, b.n AS nb
-       |         FROM pref a JOIN pref b
-       |           ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |          AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)),
-       |verified AS (SELECT c.da, c.db, c.na, c.nb, count(*) AS common
-       |             FROM cand c
-       |             JOIN sh x ON x.doc_id = c.da
-       |             JOIN sh y ON y.doc_id = c.db AND y.sh = x.sh
-       |             GROUP BY 1, 2, 3, 4)
+       |$allpairsFromShSqlCte
        |SELECT da, db, common,
-       |       round(common * 1.0 / (na + nb - common), 4) AS jaccard
-       |FROM verified
-       |WHERE 5 * common >= 4 * (na + nb - common)
+       |       round(common * 1.0 / un, 4) AS jaccard
+       |FROM apairs
        |ORDER BY da, db""".stripMargin) { (s, d) =>
+    allpairsDf(s, d)
+      .select(col("da"), col("db"), col("common"),
+        round(col("common") * lit(1.0) / col("un"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** Spark side of `apairs`: the exact τ=0.8 pair set (da, db, common, un). */
+  private def allpairsDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val shb = shingles(s, d).cache() // df count, sizes, ranking, 2 verify sides
     val dff = shb.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -358,9 +375,7 @@ object TextOps {
     common
       .filter(lit(5) * col("common") >= lit(4) * (col("na") + col("nb") - col("common")))
       .select(col("da"), col("db"), col("common"),
-        round(col("common") * lit(1.0) / (col("na") + col("nb") - col("common")), 4)
-          .as("jaccard"))
-      .orderBy("da", "db")
+        (col("na") + col("nb") - col("common")).as("un"))
   }
 
   private val NumHashes = 8
@@ -420,12 +435,14 @@ object TextOps {
   /** SQL CTE chain ending in `mp(da, db)` — the distinct MinHash-LSH
     * candidate pairs with the bucket-size cap (shared by the pair query
     * and the cluster/split queries). */
-  private val minhashPairsSqlCte: String = {
+  /** The band-pair chain WITHOUT the leading shingle CTEs — for composing
+    * with another chain that already populated `sh` (the recall
+    * certificate). */
+  private val minhashPairsFromShSqlCte: String = {
     val bandRows = (0 until NumHashes / BandSize)
       .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS v FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""$shinglesSql,
-       |sig AS (SELECT doc_id, $minhashSigSqlCols FROM sh GROUP BY doc_id),
+    s"""sig AS (SELECT doc_id, $minhashSigSqlCols FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandRows
        |),
@@ -443,6 +460,56 @@ object TextOps {
        |  WHERE s.bn > $BandBucketCap AND c.doc_id <> s.hub
        |))""".stripMargin
   }
+
+  private val minhashPairsSqlCte: String =
+    s"$shinglesSql,\n$minhashPairsFromShSqlCte"
+
+  /** MINHASH-LSH RECALL certificate — the missing half of the dedup
+    * frontier's grading: `dedup_minhash_est` prices the ESTIMATOR and
+    * `dedup_simhash_prec` the simhash decisions, but nothing measured what
+    * share of the TRUE τ=0.8 near-dup pairs the banded LSH join actually
+    * surfaces. Ground truth is the lossless AllPairs chain (`apairs` — the
+    * same shared CTE as `dedup_allpairs`, full shingle universe, exact
+    * integer threshold); candidates are the production band-bucket pair
+    * set (`mp`, shared with the pairs/cluster family). Recall counts
+    * DIRECT candidate hits — a true pair bridged only transitively through
+    * a star-edge hub counts as missed here, because this certificate
+    * grades the pair JOIN, not the cluster closure (which `dedup_clusters`
+    * covers). The theoretical 4-bands-of-2 S-curve gives
+    * p(candidate | J=0.8) = 1 − (1 − 0.8²)⁴ ≈ 0.983 — this query reports
+    * the measured number an operator tunes bands against.
+    *
+    * Scale shape: both chains are the linear-in-corpus shapes they certify;
+    * the final assembly is three 1-row aggregates cross-joined. */
+  val dedupMinhashRecall = sql(
+    "dedup_minhash_recall",
+    // mp's chain re-states sig/bands over the SAME sh frame the allpairs
+    // chain populated (shinglesSql appears once)
+    {
+      s"""WITH $shinglesSql,
+         |$allpairsFromShSqlCte,
+         |$minhashPairsFromShSqlCte,
+         |caught AS (SELECT count(*) AS n_caught
+         |           FROM apairs a JOIN mp USING (da, db)),
+         |tot AS (SELECT count(*) AS n_true FROM apairs),
+         |nc AS (SELECT count(*) AS n_candidates FROM mp)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_caught AS BIGINT) AS n_caught,
+         |       round(n_caught * 1.0 / n_true, 4) AS recall
+         |FROM tot CROSS JOIN nc CROSS JOIN caught""".stripMargin
+    }) { (s, d) =>
+    val exact = allpairsDf(s, d).select("da", "db")
+    val mp = minhashBandPairs(s, d)
+    val caught = exact.join(mp, Seq("da", "db"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    val tot = exact.agg(count(lit(1)).as("n_true"))
+    val nc = mp.agg(count(lit(1)).as("n_candidates"))
+    tot.crossJoin(broadcast(nc)).crossJoin(broadcast(caught))
+      .select(col("n_true"), col("n_candidates"), col("n_caught"),
+        round(col("n_caught") * lit(1.0) / col("n_true"), 4).as("recall"))
+  }
+
 
   /** Spark side of `mp(da, db)`: signatures → band explode → per-bucket
     * size stats → all-pairs for small buckets, star edges for oversized
@@ -2245,6 +2312,121 @@ object TextOps {
     bigramSurprisalDf(s, d).orderBy("doc_id")
   }
 
+  /** CCNet-STYLE PARAGRAPH FILTER — the sub-document quality pass CCNet
+    * actually runs (Wenzek et al. 2020 operate on paragraphs, not
+    * documents): every paragraph is scored by mean bigram surprisal under
+    * the CORPUS-trained add-1 LM (the `text_bigram_logprob` model — same
+    * `bc`/`cx`/`vs` CTEs, the model cannot fork), paragraphs noisier than
+    * the corpus mean are DROPPED, and each document is reconstructed from
+    * its kept paragraphs in order (the cleaned text's md5 is the output
+    * contract — the same digest discipline as `dedup_span_remove`).
+    * Paragraph bigrams can be UNSEEN by the document-trained model
+    * (boundary periods change tokens), so scoring left-joins with add-1
+    * fallbacks (c12→0, ctx→0) instead of the doc chain's inner joins.
+    * Paragraphs too short to score (<2 tokens) carry no evidence and are
+    * kept.
+    *
+    * EXACT ARITHMETIC at the cut: per-paragraph scores round to 4 dp and
+    * lift to ×10⁴ BIGINTs, and "noisier than the corpus mean" is the
+    * cross-multiplied integer predicate pi·N > Σpi (HUGEINT/DECIMAL(38)
+    * sums — corpus-scale paragraph counts cannot overflow) — no float
+    * mean ever exists, so the keep set is bit-identical across engines
+    * and reduction orders.
+    *
+    * Scale shape: the model is the linear bigram chain; paragraph scoring
+    * is one partial-aggregable (doc, idx) groupBy; the threshold is a
+    * broadcast 1-row aggregate; reconstruction sorts only WITHIN a
+    * document's own paragraph list. No window, no pair join. */
+  val textParagraphFilter = sql(
+    "text_paragraph_filter",
+    s"""WITH $bigramSurprisalSqlCte,
+       |p AS (SELECT doc_id, string_split(text, '. ') AS ps FROM documents),
+       |px AS (SELECT doc_id, unnest(ps) AS para,
+       |              generate_subscripts(ps, 1) - 1 AS idx
+       |       FROM p),
+       |ptk AS (SELECT doc_id, idx, para, string_split(para, ' ') AS pt FROM px),
+       |pbg AS (SELECT doc_id, idx, unnest(pt[1:len(pt)-1]) AS w1,
+       |               unnest(pt[2:len(pt)]) AS w2
+       |        FROM ptk WHERE len(pt) >= 2),
+       |psc AS (SELECT doc_id, idx,
+       |               CAST(round(round(sum(-ln((coalesce(c12, 0) + 1.0)
+       |                                        / (coalesce(ctx, 0) + v)))
+       |                                / count(*), 4) * 10000, 0) AS BIGINT) AS pi
+       |        FROM pbg LEFT JOIN bc USING (w1, w2) LEFT JOIN cx USING (w1)
+       |        CROSS JOIN vs
+       |        GROUP BY doc_id, idx),
+       |thr AS (SELECT sum(CAST(pi AS HUGEINT)) AS sp, count(*) AS np FROM psc),
+       |keepp AS (SELECT x.doc_id, x.idx, x.para
+       |          FROM px x
+       |          LEFT JOIN psc s ON s.doc_id = x.doc_id AND s.idx = x.idx
+       |          CROSS JOIN thr
+       |          WHERE s.pi IS NULL OR CAST(s.pi AS HUGEINT) * thr.np <= thr.sp),
+       |kagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |                md5(string_agg(para, '. ' ORDER BY idx)) AS clean_md5
+       |         FROM keepp GROUP BY doc_id),
+       |pagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+       |         FROM px GROUP BY doc_id)
+       |SELECT pagg.doc_id, pagg.n_paras,
+       |       coalesce(kagg.n_kept, 0) AS n_kept,
+       |       round(coalesce(kagg.n_kept, 0) * 1.0 / pagg.n_paras, 4) AS kept_frac,
+       |       kagg.clean_md5
+       |FROM pagg LEFT JOIN kagg ON kagg.doc_id = pagg.doc_id
+       |ORDER BY pagg.doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bg = t
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cx = bg.groupBy("w1").agg(count(lit(1)).as("ctx"))
+    val vs = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val px = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. "))
+        .as(Seq("idx", "para")))
+      .cache() // read three ways: scoring, keep-join, per-doc totals
+    val pbg = px.withColumn("pt", split(col("para"), " "))
+      .filter(size(col("pt")) >= 2)
+      .select(col("doc_id"), col("idx"), explode(expr(
+        """zip_with(slice(pt, 1, greatest(size(pt) - 1, 0)),
+          |         slice(pt, 2, greatest(size(pt) - 1, 0)),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("idx"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val psc = pbg
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(cx, Seq("w1"), "left")
+      .crossJoin(broadcast(vs))
+      .groupBy("doc_id", "idx")
+      .agg(round(round(sum(-log((coalesce(col("c12"), lit(0)) + lit(1.0))
+          / (coalesce(col("ctx"), lit(0)) + col("v"))))
+          / count(lit(1)), 4) * 10000, 0).cast("long").as("pi"))
+    val thr = psc.agg(sum(col("pi").cast("decimal(38,0)")).as("sp"),
+      count(lit(1)).as("np"))
+    val keepp = px
+      .join(psc, Seq("doc_id", "idx"), "left")
+      .crossJoin(broadcast(thr))
+      .filter(col("pi").isNull ||
+        col("pi").cast("decimal(38,0)") * col("np") <= col("sp"))
+    val kagg = keepp.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(idx, para))), x -> x.para), '. ')"))
+          .as("clean_md5"))
+    val pagg = px.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+    pagg.join(kagg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)) * lit(1.0) / col("n_paras"), 4)
+          .as("kept_frac"),
+        col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** INTERPOLATED KNESER-NEY bigram surprisal — the smoothing KenLM
     * actually ships (add-1 systematically over-penalizes seen bigrams in
     * Zipfian text; KN discounts each count by D and backs off to the
@@ -3578,9 +3760,10 @@ object TextOps {
     textRollingHash, textTfidf, textQuality, textVocabTopk, textOovRate,
     textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
-    dedupContainment, dedupAllpairs, textBigramTopk, corpusDupStats,
+    dedupContainment, dedupAllpairs, dedupMinhashRecall, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
+    textParagraphFilter,
     textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
     textBm25, ragHybrid, textPplBuckets, dedupLabelsMaterialized, dedupIncremental,
     dedupIncrementalMaterialized, decontamMinhash, textChunk,

@@ -407,4 +407,30 @@ class OlapSpec extends AnyFunSuite {
     assert(math.abs(share - hotCount.toDouble * hotCount / actual) < 1e-3,
       s"top_key_share $share vs recomputed ${hotCount.toDouble * hotCount / actual}")
   }
+
+  test("olap_snapshot_diff: added/removed/changed/unchanged verdicts and the last-state tie-break") {
+    import spark.implicits._
+    val DayNs = 86400L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("snapdiff").toString
+    // (event_id, ts_ns, user_id, type): u1 removed, u2 added, u3 unchanged,
+    // u4 changed, u5 added with a same-timestamp tie broken by event_id
+    Seq(
+      (1L, 0 * DayNs + 100L, 1L, "click"),
+      (2L, 20 * DayNs, 2L, "view"),
+      (3L, 1 * DayNs, 3L, "signup"), (4L, 16 * DayNs, 3L, "signup"),
+      (5L, 2 * DayNs, 4L, "click"), (6L, 17 * DayNs, 4L, "error"),
+      (10L, 21 * DayNs, 5L, "purchase"), (11L, 21 * DayNs, 5L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("olap_snapshot_diff")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val want = Set(
+      ("(absent)", "view", "added", 2L), // u2, and u5 via the id-11 tie win
+      ("click", "(absent)", "removed", 1L),
+      ("click", "error", "changed", 1L),
+      ("signup", "signup", "unchanged", 1L))
+    assert(got == want, s"extra ${got diff want}, missing ${want diff got}")
+  }
 }

@@ -864,6 +864,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 8L && r.getDouble(3) == 1.0 && r.getBoolean(4))
   }
 
+  test("text_paragraph_filter: drops the word-salad paragraph, keeps fluent and short ones") {
+    val fluent = (1 to 11).map(_ => "the cat sat on the mat").mkString(" ")
+    val salad = "zq xv qj vk jx kq wz zx" // bigrams unseen anywhere else
+    // 20 fluent-only docs train the LM; doc 100 carries salad + a short tail
+    val dir = writeDocs(
+      (0L until 20L).map(i => i -> fluent) ++
+        Seq(100L -> s"$fluent. $salad. ok"))
+    val rows = TextOps.textParagraphFilter.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r = rows(100L)
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2,
+      s"expected salad dropped of 3 paras: $r")
+    // reconstruction: fluent + the short unscored tail, in order
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$fluent. ok".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(4) == md5, s"cleaned digest forked: $r")
+    // the fluent-only docs survive whole
+    (0L until 20L).foreach(i =>
+      assert(rows(i).getLong(2) == rows(i).getLong(1), rows(i).toString))
+  }
+
+  test("dedup_minhash_recall: certificate counts reconcile with the queries it grades") {
+    val sf = "/root/testdata/sf0.01"
+    val r = TextOps.dedupMinhashRecall.fn(spark, sf).collect().head
+    val (nTrue, nCand, nCaught, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Double]("recall"))
+    // the certificate's inputs ARE the graded queries' outputs
+    assert(nTrue == TextOps.dedupAllpairs.fn(spark, sf).count(), "ground truth forked")
+    assert(nCand == TextOps.dedupMinhashPairs.fn(spark, sf).count(), "candidate set forked")
+    assert(nCaught <= math.min(nTrue, nCand) && nTrue > 0)
+    assert(recall == math.rint(nCaught * 1.0 / nTrue * 1e4) / 1e4)
+  }
+
   test("rag_hybrid: blend is bounded, ordered, and consistent with its legs") {
     val sf = "/root/testdata/sf0.01"
     val rows = TextOps.ragHybrid.fn(spark, sf).collect()
