@@ -504,6 +504,71 @@ object Sampling {
     * and the keep decision is a narrow hash-gate filter — the 100 TB fact
     * side is never shuffled; the report aggregates per lang with the
     * realized share against a broadcast 1-row total. */
+  /** TEMPERATURE-SCALED mixture plan (α = 0.5) — the multilingual sampling
+    * rule mT5/XLM-R popularized: a language's sample share ∝ n^α flattens
+    * the head and lifts the tail so low-resource languages are seen at all.
+    * α = 0.5 is chosen because n^0.5 = sqrt(n) is an IEEE-EXACT operation
+    * (a libm pow(x, 0.7) has no cross-engine bit guarantee — the
+    * `text_negative_table` ^0.75-as-nested-sqrt lesson); the weight then
+    * lifts to a ×10⁴ BIGINT so every downstream share/floor/remainder is
+    * exact integer arithmetic. A 200-doc sample budget is apportioned by
+    * LARGEST REMAINDER (quotas sum EXACTLY to the budget), and each
+    * language reports its raw vs target share and the realized
+    * up/down-sampling factor — the table a training-mixture review reads.
+    *
+    * Scale shape: one partial-aggregable language count; everything after
+    * runs on the ≤|langs| model-sized frame (its remainder rank is a
+    * pinned legal unpartitioned window over an aggregate); scalars
+    * broadcast. */
+  val corpusTemperatureMix = sql(
+    "corpus_temperature_mix",
+    """WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |nn AS (SELECT sum(n) AS nd FROM lc),
+      |wq AS (SELECT lang, n,
+      |              CAST(round(sqrt(n) * 10000, 0) AS BIGINT) AS w FROM lc),
+      |sw AS (SELECT sum(w) AS s FROM wq),
+      |ap AS (SELECT lang, n, w,
+      |              (200 * w) // s AS base, (200 * w) % s AS rem
+      |       FROM wq, sw),
+      |lv AS (SELECT 200 - sum(base) AS leftover FROM ap),
+      |rk AS (SELECT lang, n, w, base, rem,
+      |              row_number() OVER (ORDER BY rem DESC, lang) AS r FROM ap),
+      |q AS (SELECT lang, n, w,
+      |             base + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS quota
+      |      FROM rk, lv)
+      |SELECT q.lang, CAST(q.n AS BIGINT) AS n_docs,
+      |       round(q.n * 1.0 / nn.nd, 4) AS raw_share,
+      |       round(q.w * 1.0 / sw.s, 4) AS target_share,
+      |       CAST(q.quota AS BIGINT) AS quota,
+      |       round(q.quota * nn.nd * 1.0 / (200.0 * q.n), 4) AS sample_factor
+      |FROM q, sw, nn ORDER BY q.lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val lc = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+    val nn = lc.agg(sum("n").as("nd"))
+    val wq = lc.select(col("lang"), col("n"),
+      round(sqrt(col("n")) * 10000, 0).cast("long").as("w"))
+    val sw = wq.agg(sum("w").as("s"))
+    val ap = wq.crossJoin(broadcast(sw))
+      .select(col("lang"), col("n"), col("w"), col("s"),
+        expr("(200 * w) div s").as("base"), expr("(200 * w) % s").as("rem"))
+    val lv = ap.agg((lit(200) - sum("base")).as("leftover"))
+    val q = ap
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+      .crossJoin(broadcast(lv))
+      .select(col("lang"), col("n"), col("w"), col("s"),
+        (col("base") + when(col("r") <= col("leftover"), 1).otherwise(0))
+          .as("quota"))
+    q.crossJoin(broadcast(nn))
+      .select(col("lang"), col("n").as("n_docs"),
+        round(col("n") * lit(1.0) / col("nd"), 4).as("raw_share"),
+        round(col("w") * lit(1.0) / col("s"), 4).as("target_share"),
+        col("quota"),
+        round(col("quota") * col("nd") * lit(1.0) / (lit(200.0) * col("n")), 4)
+          .as("sample_factor"))
+      .orderBy("lang")
+  }
+
   val corpusReweight = sql(
     "corpus_reweight", {
       val values = MixTargets.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
@@ -1073,7 +1138,7 @@ object Sampling {
     evalSample,
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
-    corpusReweight, domainCap, tokenBudget, curationE2e, decontamReport,
+    corpusReweight, corpusTemperatureMix, domainCap, tokenBudget, curationE2e, decontamReport,
     packPaddingWaste, corpusModelCard,
     corpusCurriculum, corpusDsirWeights, corpusDsirSelect)
 }

@@ -1320,6 +1320,68 @@ object TextOps {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** CALIBRATION certificate (reliability table / ECE input) for the
+    * trained NB classifier — the eval every scored-filter pipeline needs
+    * before thresholding on a model's confidence: documents are bucketed
+    * by the PREDICTED-class posterior (softmax of the 5 log-scores,
+    * computed max-shifted so nothing underflows: conf = 1/Σ exp(sₗ−s_max))
+    * into tenths, and each bin reports volume, mean confidence, empirical
+    * accuracy against the true label, and the |conf − acc| gap — the
+    * per-bin terms of Expected Calibration Error. An over-confident
+    * classifier shows gap ≫ 0 in its top bins; a well-calibrated one
+    * tracks the diagonal. Confidence rounds to 4 dp BEFORE binning so
+    * both engines bin identical values; bin 10 (conf = 1.0 exactly)
+    * folds into bin 9 — ≤10 output rows.
+    *
+    * Scale shape: shares the `sc` score chain with `text_nb_langid` (one
+    * definition); per-doc softmax and argmax are a partial-aggregable
+    * groupBy + the same 5-row-per-doc window the classifier family ranks
+    * with; the bin rollup is ≤10 cells. */
+  val textNbCalibration = sql(
+    "text_nb_calibration",
+    s"""WITH $nbLangidSqlCte,
+       |smax AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY doc_id),
+       |conf AS (SELECT s.doc_id,
+       |                round(1.0 / sum(exp(s.score - m.mx)), 4) AS conf
+       |         FROM sc s JOIN smax m USING (doc_id) GROUP BY s.doc_id),
+       |rk AS (SELECT doc_id, lang AS pred_lang,
+       |              row_number() OVER (PARTITION BY doc_id
+       |                                 ORDER BY score DESC, lang) AS rn
+       |       FROM sc),
+       |j AS (SELECT c.conf,
+       |             least(CAST(floor(c.conf * 10) AS INT), 9) AS bin,
+       |             CASE WHEN r.pred_lang = d.lang THEN 1 ELSE 0 END AS hit
+       |      FROM conf c
+       |      JOIN (SELECT doc_id, pred_lang FROM rk WHERE rn = 1) r
+       |        ON r.doc_id = c.doc_id
+       |      JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |       round(avg(conf), 4) AS mean_conf,
+       |       round(avg(hit), 4) AS accuracy,
+       |       round(abs(avg(conf) - avg(hit)), 4) AS gap
+       |FROM j GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sc = nbLangidScores(s, d).cache() // softmax + argmax read it twice
+    val smax = sc.groupBy("doc_id").agg(max("score").as("mx"))
+    val conf = sc.join(smax, "doc_id")
+      .groupBy("doc_id")
+      .agg(round(lit(1.0) / sum(exp(col("score") - col("mx"))), 4).as("conf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    val pred = sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+    conf.join(pred, "doc_id")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("conf"),
+        least(floor(col("conf") * 10).cast("int"), lit(9)).as("bin"),
+        when(col("pred_lang") === col("lang"), 1).otherwise(0).as("hit"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg("conf"), 4).as("mean_conf"),
+        round(avg("hit"), 4).as("accuracy"),
+        round(abs(avg("conf") - avg("hit")), 4).as("gap"))
+      .orderBy("bin")
+  }
+
   /** Corpus composition report — the per-(source, language) mixture table
     * every data pipeline publishes before training: doc counts, token and
     * byte volumes, and each cell's fraction of the corpus. One partial-
@@ -3764,7 +3826,7 @@ object TextOps {
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textParagraphFilter,
-    textNbLangid, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
+    textNbLangid, textNbCalibration, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
     textBm25, ragHybrid, textPplBuckets, dedupLabelsMaterialized, dedupIncremental,
     dedupIncrementalMaterialized, decontamMinhash, textChunk,
     corpusQualityDrift)

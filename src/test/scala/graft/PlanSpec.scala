@@ -1046,6 +1046,8 @@ object PlanSpec {
     // largest-remainder quota rank over the (source × quality) CELL
     // aggregate (≤ |sources|·4 rows)
     "corpus_eval_sample",
+    // largest-remainder quota rank over the ≤|langs| language aggregate
+    "corpus_temperature_mix",
     "dedup_pareto_topk", "events_ewma", "events_seasonal_backtest",
     "events_survival_km",
     // largest-remainder top-up rank over the VOCABULARY-sized count

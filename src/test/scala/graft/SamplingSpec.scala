@@ -390,4 +390,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(drawn == quota.filter(_._2 > 0),
       s"per-cell draws diverge: $drawn vs $quota")
   }
+
+  test("corpus_temperature_mix: quotas apportion exactly; tail lifted, head flattened") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.operators.Sampling.corpusTemperatureMix.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("raw_share"),
+        r.getAs[Double]("target_share"), r.getLong(4),
+        r.getAs[Double]("sample_factor")))
+    assert(rows.map(_._5).sum == 200L, "largest remainder must sum exactly to the budget")
+    // alpha = 0.5 flattening: the most-frequent language's target share drops
+    // below raw, the least-frequent one's rises above
+    val head = rows.maxBy(_._2); val tail = rows.minBy(_._2)
+    assert(head._4 < head._3, s"head not flattened: $head")
+    assert(tail._4 > tail._3, s"tail not lifted: $tail")
+    assert(head._6 < 1.0 && tail._6 > 1.0, s"sample factors: $head / $tail")
+    // exact integer replay of the apportionment
+    val wq = rows.map { case (l, n, _, _, _, _) =>
+      l -> BigInt(math.rint(math.sqrt(n.toDouble) * 10000).toLong) }.toMap
+    val sw = wq.values.sum
+    val base = wq.map { case (l, w) => l -> (BigInt(200) * w / sw) }
+    val rem = wq.map { case (l, w) => l -> (BigInt(200) * w % sw) }
+    val k = (200 - base.values.sum).toInt
+    val topUp = rem.toSeq.sortBy { case (l, r) => (-r, l) }.take(k).map(_._1).toSet
+    rows.foreach { case (l, _, _, _, q, _) =>
+      assert(BigInt(q) == base(l) + (if (topUp(l)) 1 else 0), s"quota forked for $l") }
+  }
 }

@@ -864,6 +864,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 8L && r.getDouble(3) == 1.0 && r.getBoolean(4))
   }
 
+  test("text_nb_calibration: bins partition the corpus and bound their own confidences") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = TextOps.textNbCalibration.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Double]("mean_conf"),
+        r.getAs[Double]("accuracy"), r.getAs[Double]("gap")))
+    assert(rows.map(_._2).sum == 500, "every doc lands in exactly one bin")
+    rows.foreach { case (bin, n, conf, acc, gap) =>
+      assert(bin >= 2 && bin <= 9, s"5-class posterior floor is 0.2: bin $bin")
+      // a bin's mean confidence sits inside the bin (bin 9 includes 1.0)
+      assert(conf >= bin / 10.0 - 1e-9 && conf < (bin + 1) / 10.0 + (if (bin == 9) 0.1 else 0.0),
+        s"bin $bin mean_conf $conf outside bin")
+      assert(acc >= 0.0 && acc <= 1.0 && n > 0)
+      // gap rounds the UNROUNDED means, so recomputing from the rounded
+      // columns can differ by up to 1.5e-4 (5e-5 per rounded input)
+      assert(math.abs(gap - math.abs(conf - acc)) <= 2e-4,
+        s"gap must be |conf−acc|: $bin $conf $acc $gap")
+    }
+  }
+
   test("text_paragraph_filter: drops the word-salad paragraph, keeps fluent and short ones") {
     val fluent = (1 to 11).map(_ => "the cat sat on the mat").mkString(" ")
     val salad = "zq xv qj vk jx kq wz zx" // bigrams unseen anywhere else
