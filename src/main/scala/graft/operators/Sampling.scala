@@ -504,6 +504,42 @@ object Sampling {
     * and the keep decision is a narrow hash-gate filter — the 100 TB fact
     * side is never shuffled; the report aggregates per lang with the
     * realized share against a broadcast 1-row total. */
+  /** SHARD MANIFEST — the per-shard validation record a dataset publisher
+    * ships next to the data (WebDataset/HF dataset-card discipline): for
+    * each of 16 deterministic md5-bucket shards, document/token/byte
+    * volumes plus an ORDER-FREE content checksum — the sum of each
+    * document's first-48-bits-of-md5 as an exact integer (commutative, so
+    * the checksum is independent of row order, partitioning and engine;
+    * HUGEINT/DECIMAL(38) sums survive 10¹¹-doc shards). A re-export whose
+    * manifest matches shard-for-shard is bit-identically the same corpus
+    * with probability 1 − 2⁻⁴⁸ per changed doc; a single flipped byte
+    * moves exactly one shard's checksum. One narrow map + one
+    * partial-aggregable 16-key groupBy — no join, no window. */
+  val corpusShardManifest = sql(
+    "corpus_shard_manifest",
+    s"""WITH s AS (SELECT (${hexBucketSql("doc_id")}) % 16 AS shard,
+       |                  len(string_split(text, ' ')) AS toks,
+       |                  strlen(text) AS nbytes,
+       |                  CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) AS ck
+       |           FROM documents)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |       CAST(sum(nbytes) AS BIGINT) AS n_bytes,
+       |       CAST(sum(CAST(ck AS HUGEINT)) AS VARCHAR) AS checksum
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select((hexBucketCol(col("doc_id")) % 16).as("shard"),
+        size(split(col("text"), " ")).as("toks"),
+        length(col("text")).as("nbytes"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("ck"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").cast("long").as("n_tokens"),
+        sum("nbytes").cast("long").as("n_bytes"),
+        sum(col("ck").cast("decimal(38,0)")).cast("string").as("checksum"))
+      .orderBy("shard")
+  }
+
   /** TEMPERATURE-SCALED mixture plan (α = 0.5) — the multilingual sampling
     * rule mT5/XLM-R popularized: a language's sample share ∝ n^α flattens
     * the head and lifts the tail so low-resource languages are seen at all.
@@ -1138,7 +1174,7 @@ object Sampling {
     evalSample,
     sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
-    corpusReweight, corpusTemperatureMix, domainCap, tokenBudget, curationE2e, decontamReport,
+    corpusReweight, corpusTemperatureMix, corpusShardManifest, domainCap, tokenBudget, curationE2e, decontamReport,
     packPaddingWaste, corpusModelCard,
     corpusCurriculum, corpusDsirWeights, corpusDsirSelect)
 }

@@ -973,6 +973,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-DRIVEN SURVIVORSHIP — the MDM "golden record" rule applied to
+    * near-dup clusters: `dedup_clusters` keeps the min-id member (a
+    * deterministic but arbitrary canonical); a production curation keeps
+    * the BEST member — here the highest shared-`Quality` score, ties on
+    * the smaller doc_id so the rule degrades to the id rule exactly when
+    * quality cannot distinguish. Same cluster labels (shared CTE), so the
+    * two keep policies are directly comparable row-for-row.
+    *
+    * Scale shape: deliberately WINDOW-FREE — a per-cluster rank window
+    * would put a mega-cluster's full membership through one partition, so
+    * the argmax is two partial-aggregable aggregates (max quality per
+    * cluster, then min doc_id among the maximal members) and an equi-join
+    * back. Quality is one narrow map over documents. */
+  val dedupCanonicalQuality = sql(
+    "dedup_canonical_quality",
+    s"""WITH RECURSIVE $clusterLabelsSqlCte,
+       |${Quality.metricsSqlCte},
+       |q AS (SELECT doc_id, ${Quality.scoreSql} AS quality FROM m),
+       |j AS (SELECT c.doc_id, c.root AS cluster, q.quality
+       |      FROM cc c JOIN q USING (doc_id)),
+       |mq AS (SELECT cluster, max(quality) AS mq FROM j GROUP BY cluster),
+       |keepd AS (SELECT j.cluster, min(j.doc_id) AS keep_id
+       |          FROM j JOIN mq ON mq.cluster = j.cluster AND j.quality = mq.mq
+       |          GROUP BY j.cluster)
+       |SELECT j.doc_id, j.cluster, j.quality,
+       |       j.doc_id = k.keep_id AS keep
+       |FROM j JOIN keepd k ON k.cluster = j.cluster
+       |ORDER BY j.doc_id""".stripMargin) { (s, d) =>
+    val q = Quality.metrics(s, d).select(col("doc_id"), col("quality"))
+    val j = clusterLabels(s, d).join(q, "doc_id")
+    val mq = j.groupBy("cluster").agg(max("quality").as("mq"))
+    val keepd = j.join(mq, "cluster")
+      .filter(col("quality") === col("mq"))
+      .groupBy("cluster").agg(min("doc_id").as("keep_id"))
+    j.join(keepd, "cluster")
+      .select(col("doc_id"), col("cluster"), col("quality"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Pair graphs up to this many edges are clustered by driver union-find
     * (one bounded collect of the PAIRS, never the corpus); above it, the
     * distributed rounds run. */
@@ -3818,7 +3858,7 @@ object TextOps {
     dedupSimhashPrecMaterialized,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
-    dedupClusters, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
+    dedupClusters, dedupCanonicalQuality, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
     textRollingHash, textTfidf, textQuality, textVocabTopk, textOovRate,
     textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,

@@ -415,4 +415,33 @@ class SamplingSpec extends AnyFunSuite {
     rows.foreach { case (l, _, _, _, q, _) =>
       assert(BigInt(q) == base(l) + (if (topUp(l)) 1 else 0), s"quota forked for $l") }
   }
+
+  test("corpus_shard_manifest: checksum is order-free and flags a one-byte change") {
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.operators.Sampling.corpusShardManifest
+    val a = q.fn(spark, sf).collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // exact sequential replay from raw rows (any iteration order — the sum
+    // is commutative, which IS the property under test)
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.take(4), 16)
+    }
+    val replay = docs.reverse.groupBy { case (id, _) => bucket(id) % 16 }
+      .map { case (sh, ds) =>
+        val ck = ds.map { case (_, t) =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          BigInt(h.take(12), 16)
+        }.sum
+        sh -> (ds.length.toLong, ck.toString)
+      }
+    assert(a.keySet == replay.keySet)
+    replay.foreach { case (sh, (n, ck)) =>
+      assert(a(sh)._1 == n && a(sh)._4 == ck, s"shard $sh manifest forked") }
+  }
 }

@@ -864,6 +864,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 8L && r.getDouble(3) == 1.0 && r.getBoolean(4))
   }
 
+  test("dedup_canonical_quality: keeps the best-quality member, id only on ties") {
+    // A: fluent, NO stopwords -> quality 2; B = A + ' the' -> quality 3,
+    // near-identical shingles so they band-cluster; C/D identical text:
+    // quality ties -> min id keeps
+    // disjoint vocabularies per group so only the intended pairs cluster
+    val base = (1 to 40).map(i => f"word$i%02dx").mkString(" ")
+    val tieTx = (1 to 40).map(i => f"tiew$i%02dy").mkString(" ")
+    val solo = (1 to 40).map(i => f"alone$i%02dz").mkString(" ")
+    val dir = writeDocs(Seq(
+      10L -> base, 11L -> s"$base the",
+      20L -> solo,
+      30L -> tieTx, 31L -> tieTx))
+    val rows = TextOps.dedupCanonicalQuality.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3))).toMap
+    // the planted pair must cluster together (tripwire on band definitions)
+    assert(rows(10L)._1 == rows(11L)._1, s"10/11 did not cluster: $rows")
+    assert(rows(11L)._2 > rows(10L)._2, "the stopword copy must score higher")
+    assert(rows(11L)._3 && !rows(10L)._3,
+      "survivorship must keep the higher-quality LARGER id, not min-id")
+    // quality tie: min id keeps
+    assert(rows(30L)._1 == rows(31L)._1 && rows(30L)._3 && !rows(31L)._3)
+    // singleton keeps itself
+    assert(rows(20L)._3)
+    // per-cluster: exactly one keeper
+    rows.values.groupBy(_._1).foreach { case (c, ms) =>
+      assert(ms.count(_._3) == 1, s"cluster $c keepers != 1") }
+  }
+
   test("text_nb_calibration: bins partition the corpus and bound their own confidences") {
     val sf = "/root/testdata/sf0.01"
     val rows = TextOps.textNbCalibration.fn(spark, sf).collect()
