@@ -188,6 +188,59 @@ object Similarity {
       .limit(10)
   }
 
+  /** BATCHED IVF top-k — the shape an ANN service actually executes: a
+    * BATCH of queries (vec_ids 0–9 here) probed in ONE pass instead of a
+    * plan per query. The query set rides as a broadcast (query_id, qv,
+    * cell) frame; the corpus joins it on the cell key, so each corpus
+    * vector is scored only against the queries probing its cell — total
+    * work Σ|probed cell| across queries, never |queries|×|corpus|. Per-
+    * query ranking is a window partitioned by query_id over the bounded
+    * cell candidates (top-3 each, 4-dp cosine, candidate-id tie-break).
+    * At 100 TB this is the micro-batch of `Jobs.embeddingRouter`'s ingest
+    * side: the one scan amortizes across the whole query batch — the
+    * entire point of batching an ANN service. */
+  val simIvfBatchTopk = sql(
+    "sim_ivf_batch_topk",
+    s"""WITH $ivfAssignSqlCte,
+       |qs AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cell
+       |       FROM embeddings e JOIN assign a USING (vec_id)
+       |       WHERE e.vec_id < 10),
+       |cand AS (SELECT q.query_id, e.vec_id,
+       |                round(${dotSql("e.embedding", "q.qv")}
+       |                      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |                         * sqrt(${dotSql("q.qv", "q.qv")})), 4) AS cos
+       |         FROM embeddings e
+       |         JOIN assign a ON a.vec_id = e.vec_id
+       |         JOIN qs q ON q.cell = a.cell
+       |         WHERE e.vec_id >= 10),
+       |rk AS (SELECT query_id, vec_id, cos,
+       |              CAST(row_number() OVER (PARTITION BY query_id
+       |                                      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+       |       FROM cand)
+       |SELECT query_id, vec_id, rnk, cos FROM rk WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val assign = ivfAssignDf(s, d)
+    val qs = emb.filter(col("vec_id") < 10).join(assign, "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell"))
+    val cand = emb.filter(col("vec_id") >= 10)
+      .join(assign, "vec_id")
+      .join(broadcast(qs), "cell")
+      .select(col("query_id"), col("vec_id"),
+        round(dotCol("embedding", "qv")
+          / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("qv", "qv"))), 4)
+          .as("cos"))
+    cand
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "vec_id", "rnk", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
   /** MULTI-PROBE IVF top-k (nprobe = 3): search the union of the query's 3
     * nearest cells instead of 1 — the standard quality/cost lever of IVF at
     * scale (single-cell recall@10 is 0.3 on this corpus; see
@@ -2313,7 +2366,7 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfRecall,
+    simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfBatchTopk, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simMarginMine,
     graphTriangles, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,

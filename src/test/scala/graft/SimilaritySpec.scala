@@ -107,6 +107,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ivf_batch_topk: batched results equal a per-query sequential replay") {
+    val assign = SparkEntry.queries("sim_ivf_assign")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      math.rint(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e4) / 1e4
+    }
+    val want = (0L until 10L).flatMap { q =>
+      emb.keys.filter(v => v >= 10 && assign(v) == assign(q)).toSeq
+        .map(v => (v, cos(emb(v), emb(q))))
+        .sortBy { case (v, c) => (-c, v) }.take(3).zipWithIndex
+        .map { case ((v, c), i) => (q, v, (i + 1).toLong, c) }
+    }.toSet
+    val got = SparkEntry.queries("sim_ivf_batch_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Double]("cos")))
+      .toSet
+    assert(got == want,
+      s"batched probe forked: extra ${(got diff want).take(3)}, missing ${(want diff got).take(3)}")
+    assert(got.map(_._1).size > 1, "fixture must exercise several queries")
+  }
+
   test("graph_label_prop: communities never cross orthogonal label clusters") {
     // 4 labels × 50 identical one-hot vectors: within-label cosine is 1,
     // cross-label 0, so kNN edges never cross labels and no community may
