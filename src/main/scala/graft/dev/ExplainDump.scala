@@ -68,7 +68,22 @@ object ExplainDump {
       "scaffolding: covered positions explode linearly in duplicated " +
       "tokens, removal is one (doc_id, pos) LeftAnti equi-join, and the " +
       "cleaned-text reconstruction partial-aggregates per doc — no " +
-      "cartesian, no unpartitioned window."))
+      "cartesian, no unpartitioned window."),
+    "sim_binary_topk" -> ("1-bit quantization serving: the 64-row mean " +
+      "threshold reduces to one broadcast row, codes pack in a narrow map " +
+      "(no corpus shuffle), the Hamming scan keeps 50 candidates via " +
+      "TakeOrderedAndProject and only those are exact-reranked."),
+    "decontam_minhash" -> ("Fuzzy decontamination: the eval band index and " +
+      "eval signatures ride BroadcastHashJoins — the train side never " +
+      "shuffles for candidate generation or verification."),
+    "sim_ivf_batch_topk" -> ("Batched ANN serving: the 10-query (qv, cell) " +
+      "set is broadcast and the corpus joins it on the cell key — one scan " +
+      "amortizes across the whole query batch; per-query rank windows see " +
+      "only bounded cell candidates."),
+    "dedup_canonical_quality" -> ("Survivorship without a window: best-" +
+      "member selection is two partial-aggregable aggregates (max quality, " +
+      "min id among maximal) + an equi-join back — a mega-cluster never " +
+      "funnels through one partition."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
