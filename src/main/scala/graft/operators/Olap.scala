@@ -2088,8 +2088,49 @@ object Olap {
       .orderBy("old_state", "new_state")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view merge every
+    * warehouse refresh runs: the per-type metrics view is NOT recomputed
+    * from scratch — a BASE aggregate (the first 25 days, standing in for
+    * yesterday's materialization) merges with the DELTA aggregate (the new
+    * days) by one full outer equi-join and coalesced sums. The ORACLE is
+    * deliberately the DIRECT full recompute over all events: the hash
+    * match IS the certificate that the merge path produces bit-identical
+    * results to rescanning history — count and sum are the mergeable
+    * aggregates, exact integer cents make the merge associativity exact
+    * (float sums would differ by reduction order).
+    *
+    * Scale shape: the delta side scans only new data (the entire point —
+    * at 100 TB the base is a stored kilobyte-scale view, never rescanned);
+    * both aggregates partial-aggregate; the merge join is view-sized. */
+  val incrementalAgg = sql(
+    "olap_incremental_agg",
+    """WITH e AS (SELECT event_type,
+      |                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |          FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr("t_us div 86400000000").as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val d0 = ev.agg(min("day").as("d0"))
+    val withD0 = ev.crossJoin(broadcast(d0))
+    def agg(half: org.apache.spark.sql.DataFrame, p: String) =
+      half.groupBy("event_type")
+        .agg(count(lit(1)).as(s"${p}_n"), sum("cents").as(s"${p}_c"))
+    val base = agg(withD0.filter(col("day") < col("d0") + 25), "b")
+    val delta = agg(withD0.filter(col("day") >= col("d0") + 25), "n")
+    base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("n_n"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("b_c"), lit(0L)) + coalesce(col("n_c"), lit(0L)))
+          .as("cents"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    snapshotDiff,
+    snapshotDiff, incrementalAgg,
     skewProfile, joinExplosion, bucketJoin, eventsCopmi, hllIntersect,
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
     eventsSeasonalBacktest, eventsAbTest, eventsSurvivalKm,

@@ -602,15 +602,18 @@ object TextOps {
     * candidates are bounded by 4 bands × the eval docs sharing each
     * bucket ≤ 4·|eval|, and the best-match window partitions on doc_id —
     * bounded frames everywhere. */
-  val decontamMinhash = sql(
-    "decontam_minhash", {
-      val bandRows = (0 until NumHashes / BandSize)
-        .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS v FROM sig")
-        .mkString("\n  UNION ALL ")
-      val agree = (0 until NumHashes)
-        .map(j => s"CASE WHEN a.mh$j = e.mh$j THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH $shinglesSql,
+  /** SQL CTE chain ending in `spl(doc_id, split)` + `best(doc_id,
+    * eval_doc_id, n_windows, rk)` — the fuzzy-decontamination verdict
+    * chain, ONE definition for the per-doc query and its per-source
+    * report. */
+  private val decontamMinhashSqlCte: String = {
+    val bandRows = (0 until NumHashes / BandSize)
+      .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh${2 * b} || mh${2 * b + 1}) AS v FROM sig")
+      .mkString("\n  UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(j => s"CASE WHEN a.mh$j = e.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$shinglesSql,
          |sig AS (SELECT doc_id, $minhashSigSqlCols FROM sh GROUP BY doc_id),
          |spl AS (SELECT doc_id,
          |               CASE WHEN ${Keys.hexBucketSql("doc_id")} < ${Keys.TrainThr} THEN 'train'
@@ -634,12 +637,27 @@ object TextOps {
          |best AS (SELECT doc_id, eval_doc_id, n_windows,
          |                row_number() OVER (PARTITION BY doc_id
          |                                   ORDER BY n_windows DESC, eval_doc_id) AS rk
-         |         FROM scored)
-         |SELECT doc_id, eval_doc_id, n_windows,
-         |       round(n_windows / 8.0, 4) AS est_jaccard,
-         |       n_windows >= 6 AS flagged
-         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+         |         FROM scored)""".stripMargin
+  }
+
+  val decontamMinhash = sql(
+    "decontam_minhash",
+    s"""WITH $decontamMinhashSqlCte
+       |SELECT doc_id, eval_doc_id, n_windows,
+       |       round(n_windows / 8.0, 4) AS est_jaccard,
+       |       n_windows >= 6 AS flagged
+       |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (_, best) = decontamMinhashFrames(s, d)
+    best.filter(col("rk") === 1)
+      .select(col("doc_id"), col("eval_doc_id"), col("n_windows"),
+        round(col("n_windows") / 8.0, 4).as("est_jaccard"),
+        (col("n_windows") >= 6).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** Spark side of (`spl`, `best`). */
+  private def decontamMinhashFrames(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val bucket = Keys.hexBucketCol(col("doc_id"))
     val spl = Tables.documents(s, d).select(col("doc_id"),
@@ -670,14 +688,47 @@ object TextOps {
       .join(broadcast(evalSig), "eval_doc_id")
       .select(col("doc_id"), col("eval_doc_id"),
         agree.cast("long").as("n_windows"))
-    scored
+    val best = scored
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("n_windows").desc, col("eval_doc_id"))))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("eval_doc_id"), col("n_windows"),
-        round(col("n_windows") / 8.0, 4).as("est_jaccard"),
-        (col("n_windows") >= 6).as("flagged"))
-      .orderBy("doc_id")
+    (spl, best)
+  }
+
+  /** Per-SOURCE fuzzy-contamination rollup — `decontam_report`'s twin for
+    * the MinHash path: which crawls carry near-duplicates of the benchmark
+    * and how concentrated (the review table that separates a scraped
+    * benchmark mirror from incidental paraphrase overlap). Shares the
+    * whole verdict chain with `decontam_minhash` (one definition); adds a
+    * doc->source lookup and a tiny conditional aggregate. The denominator
+    * is EVERY train doc (including those with no shingles or no band
+    * match), so rates compare across sources honestly. */
+  val decontamMinhashReport = sql(
+    "decontam_minhash_report",
+    s"""WITH $decontamMinhashSqlCte,
+       |fl AS (SELECT doc_id FROM best WHERE rk = 1 AND n_windows >= 6)
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_train,
+       |       CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_flagged,
+       |       round(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+       |             / count(*), 4) AS rate
+       |FROM spl p
+       |JOIN documents d ON d.doc_id = p.doc_id
+       |LEFT JOIN fl ON fl.doc_id = p.doc_id
+       |WHERE p.split = 'train'
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    val (spl, best) = decontamMinhashFrames(s, d)
+    val fl = best.filter(col("rk") === 1 && col("n_windows") >= 6)
+      .select(col("doc_id"), lit(1).as("hit"))
+    spl.filter(col("split") === "train").select("doc_id")
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .join(fl, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_flagged"),
+        round(sum(coalesce(col("hit"), lit(0))) * lit(1.0) / count(lit(1)), 4)
+          .as("rate"))
+      .orderBy("source")
   }
 
   /** INCREMENTAL dedup — the shape a production ingestion actually runs:
@@ -3868,6 +3919,6 @@ object TextOps {
     textParagraphFilter,
     textNbLangid, textNbCalibration, dedupWinnowPairs, textBigramLogprob, textLangidConfusion,
     textBm25, ragHybrid, textPplBuckets, dedupLabelsMaterialized, dedupIncremental,
-    dedupIncrementalMaterialized, decontamMinhash, textChunk,
+    dedupIncrementalMaterialized, decontamMinhash, decontamMinhashReport, textChunk,
     corpusQualityDrift)
 }

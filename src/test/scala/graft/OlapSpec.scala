@@ -408,6 +408,17 @@ class OlapSpec extends AnyFunSuite {
       s"top_key_share $share vs recomputed ${hotCount.toDouble * hotCount / actual}")
   }
 
+  test("olap_incremental_agg: the base+delta merge equals the direct recompute") {
+    val out = SparkEntry.queries("olap_incremental_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == direct, s"merge forked from recompute: $out vs $direct")
+  }
+
   test("olap_snapshot_diff: added/removed/changed/unchanged verdicts and the last-state tie-break") {
     import spark.implicits._
     val DayNs = 86400L * 1000000000L

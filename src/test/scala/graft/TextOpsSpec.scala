@@ -1003,6 +1003,24 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontam_minhash_report: rollup reconciles with the per-doc query") {
+    val sf = "/root/testdata/sf0.01"
+    val flagged = TextOps.decontamMinhash.fn(spark, sf).collect()
+      .filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    val bySource = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trains = bySource.keys.filter(id =>
+      bucketOf(id) < graft.operators.Keys.TrainThr).toSeq
+    val want = trains.groupBy(bySource).map { case (src, ids) =>
+      src -> (ids.length.toLong, ids.count(flagged).toLong) }
+    val got = TextOps.decontamMinhashReport.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"report forked: $got vs $want")
+    assert(got.values.map(_._2).sum == flagged.size,
+      "every flagged doc must appear in exactly one source row")
+  }
+
   test("decontam_minhash: real-corpus rows are internally consistent") {
     val rows = TextOps.decontamMinhash.fn(spark, "/root/testdata/sf0.001").collect()
     rows.foreach { r =>
