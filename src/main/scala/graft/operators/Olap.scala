@@ -2129,8 +2129,117 @@ object Olap {
       .orderBy("event_type")
   }
 
+  /** CUPED variance reduction — the experimentation-platform standard
+    * (Deng et al. 2013): each user's POST-period revenue is adjusted by
+    * their PRE-period revenue (y' = y − θ·(x − x̄), θ = cov(x,y)/var(x)),
+    * which removes the between-user variance the pre-period predicts and
+    * typically cuts experiment runtime ~var_reduction-fold. Variant
+    * assignment is the same deterministic hash gate as `events_ab_test`;
+    * the readout is per-arm raw vs adjusted means plus θ and the ρ²
+    * variance-reduction factor.
+    *
+    * Determinism: all SUMS (Σx, Σy, Σxy, Σx², Σy², per-arm twins) are
+    * exact integer cents in HUGEINT/DECIMAL(38); every derived statistic
+    * is the IDENTICAL arithmetic expression over those exact scalars on
+    * both engines (single-rounded at 4 dp), so no accumulation-order
+    * epsilon exists anywhere. Two partial-aggregable passes (per-user
+    * roll-up, then global + per-arm conditional aggregates), scalars
+    * broadcast — no window, no join beyond the 1-row cross. */
+  val eventsCuped = sql(
+    "events_cuped",
+    s"""WITH e AS (SELECT user_id,
+       |                 epoch_us(ts) // 86400000000 AS day,
+       |                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |          FROM events),
+       |mn AS (SELECT min(day) AS d0 FROM e),
+       |pp AS (SELECT user_id,
+       |              sum(CASE WHEN day < d0 + 15 THEN cents ELSE 0 END) AS pre,
+       |              sum(CASE WHEN day >= d0 + 15 THEN cents ELSE 0 END) AS post
+       |       FROM e CROSS JOIN mn GROUP BY user_id),
+       |g AS (SELECT count(*) AS n,
+       |             sum(CAST(pre AS HUGEINT)) AS sx,
+       |             sum(CAST(post AS HUGEINT)) AS sy,
+       |             sum(CAST(pre AS HUGEINT) * pre) AS sxx,
+       |             sum(CAST(pre AS HUGEINT) * post) AS sxy,
+       |             sum(CAST(post AS HUGEINT) * post) AS syy
+       |      FROM pp),
+       |a AS (SELECT CASE WHEN ${Keys.hexBucketSql("user_id")} < 32768
+       |                  THEN 'A' ELSE 'B' END AS variant,
+       |             count(*) AS nv,
+       |             sum(CAST(pre AS HUGEINT)) AS sxv,
+       |             sum(CAST(post AS HUGEINT)) AS syv
+       |      FROM pp GROUP BY 1),
+       |d2 AS (SELECT variant, nv,
+       |              CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+       |              CAST(sxx AS DOUBLE) AS dxx, CAST(sxy AS DOUBLE) AS dxy,
+       |              CAST(syy AS DOUBLE) AS dyy, CAST(n AS DOUBLE) AS dn,
+       |              CAST(sxv AS DOUBLE) AS dxv, CAST(syv AS DOUBLE) AS dyv,
+       |              CAST(nv AS DOUBLE) AS dnv
+       |       FROM a CROSS JOIN g)
+       |SELECT variant, CAST(nv AS BIGINT) AS n_users,
+       |       round(1.0 * dxv / dnv, 4) AS mean_pre,
+       |       round(1.0 * dyv / dnv, 4) AS mean_post,
+       |       round(1.0 * dyv / dnv
+       |             - ((1.0 * dn * dxy - 1.0 * dx * dy)
+       |                / (1.0 * dn * dxx - 1.0 * dx * dx))
+       |               * (1.0 * dxv / dnv - 1.0 * dx / dn), 4) AS mean_adjusted,
+       |       round((1.0 * dn * dxy - 1.0 * dx * dy)
+       |             / (1.0 * dn * dxx - 1.0 * dx * dx), 4) AS theta,
+       |       round(((1.0 * dn * dxy - 1.0 * dx * dy) * (1.0 * dn * dxy - 1.0 * dx * dy))
+       |             / ((1.0 * dn * dxx - 1.0 * dx * dx) * (1.0 * dn * dyy - 1.0 * dy * dy)), 4)
+       |         AS var_reduction
+       |FROM d2 ORDER BY variant""".stripMargin) { (s, d) =>
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val d0 = ev.agg(min("day").as("d0"))
+    val pp = ev.crossJoin(broadcast(d0))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("d0") + 15, col("cents")).otherwise(0L)).as("pre"),
+        sum(when(col("day") >= col("d0") + 15, col("cents")).otherwise(0L)).as("post"))
+    val g = pp.agg(count(lit(1)).as("n"),
+      sum(col("pre").cast(dec)).as("sx"),
+      sum(col("post").cast(dec)).as("sy"),
+      sum(col("pre").cast(dec) * col("pre")).as("sxx"),
+      sum(col("pre").cast(dec) * col("post")).as("sxy"),
+      sum(col("post").cast(dec) * col("post")).as("syy"))
+    val a = pp
+      .select(when(Keys.hexBucketCol(col("user_id")) < 32768, "A").otherwise("B")
+        .as("variant"), col("pre"), col("post"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("nv"),
+        sum(col("pre").cast(dec)).as("sxv"),
+        sum(col("post").cast(dec)).as("syv"))
+    // the decimal scalars must enter the formulas as DOUBLES (Spark decimal
+    // arithmetic would keep decimals; DuckDB's 1.0* promotes) — same IEEE
+    // op sequence both engines
+    val dbl = a.crossJoin(broadcast(g)).selectExpr(
+      "variant", "nv",
+      "CAST(sx AS DOUBLE) AS dx", "CAST(sy AS DOUBLE) AS dy",
+      "CAST(sxx AS DOUBLE) AS dxx", "CAST(sxy AS DOUBLE) AS dxy",
+      "CAST(syy AS DOUBLE) AS dyy", "CAST(n AS DOUBLE) AS dn",
+      "CAST(sxv AS DOUBLE) AS dxv", "CAST(syv AS DOUBLE) AS dyv",
+      "CAST(nv AS DOUBLE) AS dnv")
+    dbl.select(col("variant"), col("nv").as("n_users"),
+        expr("round(1.0 * dxv / dnv, 4)").as("mean_pre"),
+        expr("round(1.0 * dyv / dnv, 4)").as("mean_post"),
+        expr("""round(1.0 * dyv / dnv
+               |      - ((1.0 * dn * dxy - 1.0 * dx * dy)
+               |         / (1.0 * dn * dxx - 1.0 * dx * dx))
+               |        * (1.0 * dxv / dnv - 1.0 * dx / dn), 4)""".stripMargin)
+          .as("mean_adjusted"),
+        expr("""round((1.0 * dn * dxy - 1.0 * dx * dy)
+               |      / (1.0 * dn * dxx - 1.0 * dx * dx), 4)""".stripMargin)
+          .as("theta"),
+        expr("""round(((1.0 * dn * dxy - 1.0 * dx * dy) * (1.0 * dn * dxy - 1.0 * dx * dy))
+               |      / ((1.0 * dn * dxx - 1.0 * dx * dx) * (1.0 * dn * dyy - 1.0 * dy * dy)), 4)"""
+          .stripMargin).as("var_reduction"))
+      .orderBy("variant")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    snapshotDiff, incrementalAgg,
+    snapshotDiff, incrementalAgg, eventsCuped,
     skewProfile, joinExplosion, bucketJoin, eventsCopmi, hllIntersect,
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
     eventsSeasonalBacktest, eventsAbTest, eventsSurvivalKm,

@@ -241,6 +241,103 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** MMR DIVERSITY RE-RANKING (Carbonell & Goldstein 1998, λ = 0.5) — the
+    * post-retrieval stage a RAG pipeline runs so the context window isn't
+    * five copies of the same passage: from the dense top-20, greedily pick
+    * 5 results maximizing `λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)`.
+    * The greedy loop is UNROLLED into 5 relational rounds: each round's
+    * penalty is a max over the ≤4-row selected set, the winner an
+    * ORDER BY/LIMIT 1 argmax on exact ×10⁴ integer scores (ci − pen with
+    * vec_id tie-break — at λ = 0.5 the float λ-blend and the integer
+    * difference rank identically, so no float compare exists in the
+    * selection). Pairwise cosines use the same 4-dp rounding as the dense
+    * leg.
+    *
+    * Scale shape: everything after the TakeOrdered top-20 cut runs on
+    * bounded frames — the candidate×candidate join is 20×20 against a
+    * broadcast list (the codebook-size exception, stated), the per-round
+    * aggregates are ≤20 rows. The corpus is touched once by the dense
+    * scan. */
+  val simMmrRerank = sql(
+    "sim_mmr_rerank", {
+      val rounds = (2 to 5).map { k =>
+        s"""rk$k AS (SELECT c.vec_id, c.ci, max(p.pij) AS pen
+           |         FROM ci c
+           |         JOIN pw p ON p.i = c.vec_id
+           |         JOIN sel${k - 1} s ON p.j = s.vec_id
+           |         WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+           |         GROUP BY c.vec_id, c.ci),
+           |pick$k AS (SELECT vec_id, ci, pen, $k AS rnk FROM rk$k
+           |           ORDER BY ci - pen DESC, vec_id LIMIT 1),
+           |sel$k AS (SELECT vec_id FROM sel${k - 1}
+           |          UNION ALL SELECT vec_id FROM pick$k)""".stripMargin
+      }.mkString(",\n")
+      val allPicks = (1 to 5).map(k => s"SELECT * FROM pick$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $denseScoreSqlCte,
+         |top AS (SELECT vec_id, cos FROM dscore ORDER BY cos DESC, vec_id LIMIT 20),
+         |ci AS (SELECT vec_id, CAST(round(cos * 10000, 0) AS BIGINT) AS ci FROM top),
+         |pe AS (SELECT c.vec_id, e.embedding,
+         |              sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+         |       FROM ci c JOIN embeddings e USING (vec_id)),
+         |pw AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |              CAST(round(round(${dotSql("a.embedding", "b.embedding")}
+         |                                / (a.nrm * b.nrm), 4) * 10000, 0) AS BIGINT) AS pij
+         |       FROM pe a JOIN pe b ON a.vec_id <> b.vec_id),
+         |pick1 AS (SELECT vec_id, ci, CAST(0 AS BIGINT) AS pen, 1 AS rnk
+         |          FROM ci ORDER BY ci DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id FROM pick1),
+         |$rounds
+         |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id,
+         |       round(ci / 10000.0, 4) AS cos,
+         |       round(pen / 10000.0, 4) AS penalty,
+         |       round((ci - pen) / 20000.0, 4) AS mmr
+         |FROM ($allPicks)
+         |ORDER BY rnk""".stripMargin
+    }) { (s, d) =>
+    val top = denseScores(s, d).orderBy(col("cos").desc, col("vec_id")).limit(20)
+    val ci = top.select(col("vec_id"),
+      round(col("cos") * 10000, 0).cast("long").as("ci")).cache()
+    val pe = ci.join(Tables.embeddings(s, d), "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotCol("embedding", "embedding")).as("nrm"))
+    val a = pe.select(col("vec_id").as("i"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = pe.select(col("vec_id").as("j"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    // 20x20 against a broadcast bounded list — the codebook-size exception
+    val pw = a.crossJoin(broadcast(b)).filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(round(dotCol("ea", "eb") / (col("na") * col("nb")), 4) * 10000, 0)
+          .cast("long").as("pij"))
+      .cache()
+    // each round's 1-row winner is read by EVERY later round's selected set
+    // and by the final union — checkpoint it once (the per-round lineage
+    // discipline; the frame is one row)
+    val pick1 = ci.orderBy(col("ci").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("ci"), lit(0L).as("pen"), lit(1).as("rnk"))
+      .localCheckpoint(true)
+    var picks = Vector(pick1)
+    var sel = pick1.select("vec_id")
+    for (k <- 2 to 5) {
+      val rk = ci.join(sel, Seq("vec_id"), "left_anti")
+        .join(pw, col("vec_id") === col("i"))
+        .join(broadcast(sel.select(col("vec_id").as("j"))), "j")
+        .groupBy("vec_id", "ci").agg(max("pij").as("pen"))
+      val pick = rk.orderBy((col("ci") - col("pen")).desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("ci"), col("pen"), lit(k).as("rnk"))
+        .localCheckpoint(true)
+      picks :+= pick
+      sel = sel.unionAll(pick.select("vec_id"))
+    }
+    picks.reduce(_ unionAll _)
+      .select(col("rnk").cast("long").as("rnk"), col("vec_id"),
+        round(col("ci") / 10000.0, 4).as("cos"),
+        round(col("pen") / 10000.0, 4).as("penalty"),
+        round((col("ci") - col("pen")) / 20000.0, 4).as("mmr"))
+      .orderBy("rnk")
+  }
+
   /** MULTI-PROBE IVF top-k (nprobe = 3): search the union of the query's 3
     * nearest cells instead of 1 — the standard quality/cost lever of IVF at
     * scale (single-cell recall@10 is 0.3 on this corpus; see
@@ -2366,7 +2463,7 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfBatchTopk, simIvfRecall,
+    simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfBatchTopk, simMmrRerank, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simMarginMine,
     graphTriangles, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,

@@ -408,6 +408,39 @@ class OlapSpec extends AnyFunSuite {
       s"top_key_share $share vs recomputed ${hotCount.toDouble * hotCount / actual}")
   }
 
+  test("events_cuped: a pre-period imbalance vanishes under adjustment; theta and rho2 exact") {
+    import spark.implicits._
+    def bucket(id: Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.take(4), 16)
+    }
+    val aIds = (0L to 500L).filter(bucket(_) < 32768).take(10)
+    val bIds = (0L to 500L).filter(bucket(_) >= 32768).take(10)
+    val DayNs = 86400L * 1000000000L
+    // post = 2*pre for every user and arm A gets systematically larger pre:
+    // raw post means differ spuriously, but theta = 2 exactly, so the
+    // adjusted means both collapse to 2*(global pre mean) — EXACTLY equal
+    val rows = (aIds.zipWithIndex.map { case (u, i) => (u, 100.0 + 10 * i) } ++
+      bIds.zipWithIndex.map { case (u, i) => (u, 10.0 + 1 * i) }).zipWithIndex.flatMap {
+      case ((u, v), i) => Seq(
+        (2L * i, 0 * DayNs + i.toLong, u, "view", v),
+        (2L * i + 1, 20 * DayNs + i.toLong, u, "purchase", 2 * v))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cuped").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("events_cuped")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (ra, rb) = (got("A"), got("B"))
+    assert(ra.getLong(1) == 10 && rb.getLong(1) == 10)
+    assert(ra.getAs[Double]("mean_post") != rb.getAs[Double]("mean_post"),
+      "the planted imbalance must show in the raw means")
+    assert(ra.getAs[Double]("mean_adjusted") == rb.getAs[Double]("mean_adjusted"),
+      s"CUPED must remove the pre-period imbalance exactly: $ra vs $rb")
+    assert(ra.getAs[Double]("theta") == 2.0 && ra.getAs[Double]("var_reduction") == 1.0)
+  }
+
   test("olap_incremental_agg: the base+delta merge equals the direct recompute") {
     val out = SparkEntry.queries("olap_incremental_agg")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -107,6 +107,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim_mmr_rerank: equals a sequential greedy MMR replay; mmr is monotone") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosI(a: Array[Double], b: Array[Double]): Long = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      math.rint(math.rint(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e4) / 1e4 * 1e4).toLong
+    }
+    val q = emb(0L)
+    val top = emb.keys.filter(_ != 0L).toSeq
+      .map(v => v -> cosI(emb(v), q))
+      .sortBy { case (v, c) => (-c, v) }.take(20)
+    val ciMap = top.toMap
+    var selected = Vector.empty[Long]
+    val replay = (1 to 5).map { k =>
+      val cand = top.filterNot { case (v, _) => selected.contains(v) }
+        .map { case (v, c) =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(s => cosI(emb(v), emb(s))).max
+          (v, c, pen)
+        }
+      val (wv, wc, wp) = cand.minBy { case (v, c, p) => (-(c - p), v) }
+      selected :+= wv
+      (k.toLong, wv, wc, wp)
+    }
+    val got = SparkEntry.queries("sim_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getAs[Double]("cos") * 1e4).toLong,
+        math.rint(r.getAs[Double]("penalty") * 1e4).toLong))
+    assert(got.toSeq == replay, s"MMR forked: ${got.toSeq} vs $replay")
+    // ranks ≥ 2 optimize the same objective over a shrinking candidate set
+    // with growing penalties → non-increasing; rank 1 ignores penalties
+    // (which can be NEGATIVE for anti-correlated vectors), so it is excluded
+    val mmrs = SparkEntry.queries("sim_mmr_rerank")(spark, sf).collect()
+      .map(_.getAs[Double]("mmr")).drop(1)
+    assert(mmrs.sameElements(mmrs.sorted.reverse),
+      s"greedy MMR scores from rank 2 must be non-increasing: ${mmrs.toSeq}")
+  }
+
   test("sim_ivf_batch_topk: batched results equal a per-query sequential replay") {
     val assign = SparkEntry.queries("sim_ivf_assign")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
