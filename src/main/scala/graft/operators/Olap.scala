@@ -2238,8 +2238,76 @@ object Olap {
       .orderBy("variant")
   }
 
+  /** RETENTION HALF-LIFE — the one-number decay summary a growth team
+    * quotes from the retention triangle: fit ln r(o) = a + b·o over the
+    * corpus-wide return-rate curve (share of users active o days after
+    * their first day) and report the decay rate b, the half-life
+    * −ln2/b, and the fit's r². The regression uses the `ml_linreg`
+    * exactness discipline EXTENDED to a float input: each point's
+    * ln-rate is 4-dp-rounded and lifted to a ×10⁴ BIGINT, so all five
+    * regression sums are EXACT integers and the slope is one double
+    * expression over exact scalars — no accumulation-order epsilon,
+    * although ln() feeds the points (the repo-wide ln policy).
+    *
+    * Scale shape: first-day frame and distinct (user, offset) activity
+    * partial-aggregate; the curve is calendar-bounded (≤ horizon rows);
+    * the regression is one aggregate over that bounded frame. */
+  val eventsRetentionHalflife = sql(
+    "events_retention_halflife",
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS f0 FROM e GROUP BY user_id),
+      |n0 AS (SELECT count(*) AS n0 FROM f),
+      |act AS (SELECT DISTINCT e.user_id, e.day - f.f0 AS o
+      |        FROM e JOIN f USING (user_id) WHERE e.day > f.f0),
+      |rc AS (SELECT o, count(*) AS cnt FROM act GROUP BY o),
+      |pts AS (SELECT CAST(o AS BIGINT) AS x,
+      |               CAST(round(ln(cnt * 1.0 / n0.n0) * 10000, 0) AS BIGINT) AS y
+      |        FROM rc CROSS JOIN n0),
+      |g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |      FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_offsets,
+      |       round(((1.0 * n * sxy - 1.0 * sx * sy)
+      |              / (1.0 * n * sxx - 1.0 * sx * sx)) / 10000.0, 4) AS decay_rate,
+      |       round(-ln(2) * 10000.0
+      |             / ((1.0 * n * sxy - 1.0 * sx * sy)
+      |                / (1.0 * n * sxx - 1.0 * sx * sx)), 4) AS half_life_days,
+      |       round(((1.0 * n * sxy - 1.0 * sx * sy) * (1.0 * n * sxy - 1.0 * sx * sy))
+      |             / ((1.0 * n * sxx - 1.0 * sx * sx) * (1.0 * n * syy - 1.0 * sy * sy)), 4)
+      |         AS r2
+      |FROM g""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr("t_us div 86400000000").as("day"))
+    val f = e.groupBy("user_id").agg(min("day").as("f0"))
+    val n0 = f.agg(count(lit(1)).as("n0"))
+    val act = e.join(f, "user_id").filter(col("day") > col("f0"))
+      .select(col("user_id"), (col("day") - col("f0")).as("o")).distinct()
+    val rc = act.groupBy("o").agg(count(lit(1)).as("cnt"))
+    val pts = rc.crossJoin(broadcast(n0))
+      .select(col("o").cast("long").as("x"),
+        round(log(col("cnt") * lit(1.0) / col("n0")) * 10000, 0)
+          .cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // 1.0D: Spark's bare 1.0 literal is DECIMAL(2,1) and would keep the
+      // whole chain decimal; DuckDB's 1.0 promotes through division to
+      // DOUBLE — the D suffix makes both sides the same double arithmetic
+      .selectExpr("CAST(n AS BIGINT) AS n_offsets",
+        """round(((1.0D * n * sxy - 1.0D * sx * sy)
+          |       / (1.0D * n * sxx - 1.0D * sx * sx)) / 10000.0D, 4) AS decay_rate"""
+          .stripMargin,
+        """round(-ln(2) * 10000.0D
+          |      / ((1.0D * n * sxy - 1.0D * sx * sy)
+          |         / (1.0D * n * sxx - 1.0D * sx * sx)), 4) AS half_life_days"""
+          .stripMargin,
+        """round(((1.0D * n * sxy - 1.0D * sx * sy) * (1.0D * n * sxy - 1.0D * sx * sy))
+          |      / ((1.0D * n * sxx - 1.0D * sx * sx) * (1.0D * n * syy - 1.0D * sy * sy)), 4)
+          |  AS r2""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    snapshotDiff, incrementalAgg, eventsCuped,
+    snapshotDiff, incrementalAgg, eventsCuped, eventsRetentionHalflife,
     skewProfile, joinExplosion, bucketJoin, eventsCopmi, hllIntersect,
     mergeUpsert, hllMerge, eventsRfm, eventsGrowthAccounting, eventsCohortLtv,
     eventsSeasonalBacktest, eventsAbTest, eventsSurvivalKm,

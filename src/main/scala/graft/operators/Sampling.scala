@@ -458,6 +458,26 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** LEAKAGE-SAFE K-FOLD assignment (k = 5) — the cross-validation twin of
+    * `split_leakage_safe`: fold membership is the md5 bucket of the
+    * near-dup CLUSTER id mod 5, so a paraphrase pair can never straddle a
+    * train fold and its held-out fold (the leak that inflates every CV
+    * score on un-deduplicated text). Same shared cluster-label CTE; the
+    * fold of a document is decided by ONE narrow expression over the
+    * label — no shuffle beyond the label chain itself. The md5-bucket
+    * mod keeps folds balanced in expectation and exactly reproducible. */
+  val splitKfold = sql(
+    "split_kfold",
+    s"""WITH RECURSIVE ${TextOps.clusterLabelsSqlCte}
+       |SELECT doc_id, root AS cluster,
+       |       CAST((${hexBucketSql("root")}) % 5 AS INT) AS fold
+       |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextOps.clusterLabels(s, d)
+      .select(col("doc_id"), col("cluster"),
+        (hexBucketCol(col("cluster")) % 5).cast("int").as("fold"))
+      .orderBy("doc_id")
+  }
+
   /** LENGTH-WEIGHTED deterministic sampling: a doc is kept with probability
     * proportional to its character count — the sampling you want when the
     * budget is TOKENS, not documents (a uniform doc sample over-represents
@@ -1172,7 +1192,7 @@ object Sampling {
 
   val defs: Seq[QueryDef] = Seq(
     evalSample,
-    sampleHash, sampleStratified, splitAssign, splitLeakageSafe,
+    sampleHash, sampleStratified, splitAssign, splitLeakageSafe, splitKfold,
     decontamNgram, decontamBloom, packSequences, sampleWeighted,
     corpusReweight, corpusTemperatureMix, corpusShardManifest, domainCap, tokenBudget, curationE2e, decontamReport,
     packPaddingWaste, corpusModelCard,

@@ -408,6 +408,29 @@ class OlapSpec extends AnyFunSuite {
       s"top_key_share $share vs recomputed ${hotCount.toDouble * hotCount / actual}")
   }
 
+  test("events_retention_halflife: recovers a planted halve-per-day decay curve") {
+    import spark.implicits._
+    val DayNs = 86400L * 1000000000L
+    // 1024 users all active day 0; exactly 2^(10-o) of them return at
+    // offset o (nested sets) => r(o) = 2^-o, a perfect ln-line with
+    // slope -ln2/day -> half-life 1 day
+    val rows = (1L to 1024L).map(u => (u, 0L * DayNs + u, u, "view", 1.0)) ++
+      (1 to 9).flatMap { o =>
+        (1L to (1L << (10 - o))).map(u =>
+          (10000L * o + u, o * DayNs + u, u, "view", 1.0))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("halflife").toString
+    rows.zipWithIndex.map { case ((_, ts, u, t, v), i) => (i.toLong, ts, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("events_retention_halflife")(spark, dir).collect().head
+    assert(r.getLong(0) == 9)
+    val decay = r.getAs[Double]("decay_rate")
+    assert(math.abs(decay - (-math.log(2))) < 2e-4, s"decay $decay vs -ln2")
+    assert(math.abs(r.getAs[Double]("half_life_days") - 1.0) < 1e-3, r.toString)
+    assert(r.getAs[Double]("r2") > 0.9999, r.toString)
+  }
+
   test("events_cuped: a pre-period imbalance vanishes under adjustment; theta and rho2 exact") {
     import spark.implicits._
     def bucket(id: Long) = {

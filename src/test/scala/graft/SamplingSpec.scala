@@ -444,4 +444,23 @@ class SamplingSpec extends AnyFunSuite {
     replay.foreach { case (sh, (n, ck)) =>
       assert(a(sh)._1 == n && a(sh)._4 == ck, s"shard $sh manifest forked") }
   }
+
+  test("split_kfold: folds follow the cluster hash; no near-dup pair straddles folds") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.operators.Sampling.splitKfold.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 500)
+    def bucket(id: Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.take(4), 16)
+    }
+    rows.foreach { case (_, cluster, fold) =>
+      assert(fold == bucket(cluster) % 5, s"fold must be the cluster hash: $cluster $fold") }
+    // every member of a cluster lands in ONE fold (the leakage-safety claim)
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $c straddles folds") }
+    // all five folds populated on 500 docs
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq(0, 1, 2, 3, 4))
+  }
 }
