@@ -72,6 +72,36 @@ object Similarity {
     denseScores(s, d).orderBy(col("cos").desc, col("vec_id")).limit(10)
   }
 
+  /** FILTERED VECTOR SEARCH — the metadata-constrained top-k every vector
+    * store ships (search within a tenant/language/label): brute-force
+    * cosine over ONLY the vectors whose label matches the predicate. The
+    * filter is a plain scan predicate, so Catalyst pushes it into the
+    * parquet reader (`PushedFilters: [EqualTo(label,3)]` — PlanSpec
+    * asserts it): at 100 TB with label-partitioned or z-ordered layout
+    * (`layout_zorder`) the scan touches only matching files, which is the
+    * entire economics of filtered search — pre-filtering beats
+    * post-filtering an unfiltered ANN result both in recall (no k-starved
+    * result sets) and in bytes read. Top-k is TakeOrderedAndProject. */
+  val simFilteredTopk = sql(
+    "sim_filtered_topk",
+    s"""WITH fqr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |       round(${dotSql("embedding", "qv")}
+       |             / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |FROM embeddings, fqr
+       |WHERE vec_id <> 0 AND label = 3
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0 && col("label") === 3)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dotCol("embedding", "qv")
+          / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("qv", "qv"))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** SQL CTE chain ending in `assign(vec_id, cell)` — every vector's
     * nearest-centroid cell (shared by the assign and probe queries). */
   private val ivfAssignSqlCte: String =
@@ -2463,7 +2493,7 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    simTopK, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfBatchTopk, simMmrRerank, simIvfRecall,
+    simTopK, simFilteredTopk, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfBatchTopk, simMmrRerank, simIvfRecall,
     simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simMarginMine,
     graphTriangles, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,

@@ -1880,6 +1880,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-GATE ABLATION — the dashboard a data-quality review reads
+    * before tuning thresholds: for each of the three shared `Quality`
+    * gates (word-length band, stopword presence, digit ratio), how many
+    * docs pass it, how many fail it, how many fail it UNIQUELY (the
+    * gate's marginal contribution — a gate with zero unique rejections is
+    * dead weight), plus the all-gates pass count repeated per row for
+    * context. Gate definitions are the SAME integer predicates as the
+    * `Quality.scoreSql` components (stated inline from the same metric
+    * columns, spec-tied to the score), so the ablation cannot drift from
+    * the score it explains. ONE conditional-aggregate pass over the
+    * metrics frame — no joins, no windows, 3 output rows. */
+  val textQualityAblation = sql(
+    "text_quality_ablation", {
+      val g = Seq(
+        "g1" -> "(n_letters >= 3 * n_tokens AND n_letters <= 10 * n_tokens)",
+        "g2" -> "(n_stop > 0)",
+        "g3" -> "(5 * n_digit < n_tokens)")
+      val aggCols = g.map { case (k, p) =>
+        s"""sum(CASE WHEN $p THEN 1 ELSE 0 END) AS ${k}_pass,
+           |       sum(CASE WHEN NOT $p THEN 1 ELSE 0 END) AS ${k}_fail""".stripMargin
+      }.mkString(",\n       ")
+      val uniq = g.map { case (k, p) =>
+        val others = g.filter(_._1 != k).map(_._2).mkString(" AND ")
+        s"sum(CASE WHEN NOT $p AND $others THEN 1 ELSE 0 END) AS ${k}_uniq"
+      }.mkString(",\n       ")
+      val allPass = g.map(_._2).mkString(" AND ")
+      val rows = g.zipWithIndex.map { case ((k, _), i) =>
+        s"SELECT ${i + 1} AS gate, ${k}_pass AS n_pass, ${k}_fail AS n_fail, ${k}_uniq AS n_unique_fail, all_pass FROM a"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $qualityMetricsSqlCte,
+         |a AS (SELECT $aggCols,
+         |       $uniq,
+         |       sum(CASE WHEN $allPass THEN 1 ELSE 0 END) AS all_pass
+         |      FROM m)
+         |SELECT CAST(gate AS INT) AS gate, CAST(n_pass AS BIGINT) AS n_pass,
+         |       CAST(n_fail AS BIGINT) AS n_fail,
+         |       CAST(n_unique_fail AS BIGINT) AS n_unique_fail,
+         |       CAST(all_pass AS BIGINT) AS n_all_pass
+         |FROM ($rows) ORDER BY gate""".stripMargin
+    }) { (s, d) =>
+    val m = qualityMetrics(s, d)
+    val g = Seq(
+      expr("n_letters >= 3 * n_tokens AND n_letters <= 10 * n_tokens"),
+      expr("n_stop > 0"),
+      expr("5 * n_digit < n_tokens"))
+    val aggs = g.zipWithIndex.flatMap { case (p, i) =>
+      val others = g.zipWithIndex.filter(_._2 != i).map(_._1).reduce(_ && _)
+      Seq(sum(when(p, 1L).otherwise(0L)).as(s"p$i"),
+        sum(when(!p, 1L).otherwise(0L)).as(s"f$i"),
+        sum(when(!p && others, 1L).otherwise(0L)).as(s"u$i"))
+    } :+ sum(when(g.reduce(_ && _), 1L).otherwise(0L)).as("ap")
+    val a = m.agg(aggs.head, aggs.tail: _*)
+    (0 until 3).map { i =>
+      a.select(lit(i + 1).as("gate"), col(s"p$i").as("n_pass"),
+        col(s"f$i").as("n_fail"), col(s"u$i").as("n_unique_fail"),
+        col("ap").as("n_all_pass"))
+    }.reduce(_ unionAll _).orderBy("gate")
+  }
+
   /** Corpus vocabulary: top-50 tokens by document frequency with exact
     * counts — the vocab/tokenizer-training precursor. One partial-agg
     * shuffle on token; the top-k is a TakeOrderedAndProject (rank on
@@ -3910,7 +3969,7 @@ object TextOps {
     textStats, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashPairs,
     dedupClusters, dedupCanonicalQuality, dedupClustersMulti, dedupSimhash, dedupSimhashPairs, textTokenBpe,
-    textRollingHash, textTfidf, textQuality, textVocabTopk, textOovRate,
+    textRollingHash, textTfidf, textQuality, textQualityAblation, textVocabTopk, textOovRate,
     textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
     dedupContainment, dedupAllpairs, dedupMinhashRecall, textBigramTopk, corpusDupStats,

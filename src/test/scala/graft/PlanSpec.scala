@@ -87,6 +87,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThan(l_quantity"), "quantity predicate not pushed")
   }
 
+  test("sim_filtered_topk: the label predicate reaches the parquet scan") {
+    // the economics of filtered vector search: PRE-filtering at the scan
+    // (file pruning under a label-aware layout) vs post-filtering an ANN
+    // result — the predicate must be in PushedFilters, not a java filter
+    val plan = executedPlan("sim_filtered_topk")
+    assert(plan.contains("EqualTo(label,3)"),
+      "label filter not pushed to the scan")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
   test("q1_agg: shipdate filter pushed down + only needed columns read") {
     val plan = executedPlan("q1_agg")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

@@ -107,6 +107,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim_filtered_topk: equals the brute-force scan restricted to the label") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val q = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      math.rint(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e4) / 1e4
+    }
+    val want = rows.filter(r => r._1 != 0L && r._3 == 3)
+      .map(r => (r._1, cos(r._2, q)))
+      .sortBy { case (v, c) => (-c, v) }.take(10).toSeq
+    val got = SparkEntry.queries("sim_filtered_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("cos"))).toSeq
+    assert(got == want, s"filtered scan forked: $got vs $want")
+    SparkEntry.queries("sim_filtered_topk")(spark, sf).collect()
+      .foreach(r => assert(r.getInt(1) == 3, "every hit must satisfy the filter"))
+  }
+
   test("sim_mmr_rerank: equals a sequential greedy MMR replay; mmr is monotone") {
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap

@@ -892,6 +892,26 @@ class TextOpsSpec extends AnyFunSuite {
       assert(ms.count(_._3) == 1, s"cluster $c keepers != 1") }
   }
 
+  test("text_quality_ablation: reconciles with the per-doc quality scores") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = TextOps.textQualityAblation.fn(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    val q = TextOps.textQuality.fn(spark, sf).collect()
+    val n = q.length
+    val allPass = q.count(_.getAs[Int]("quality") == 3).toLong
+    rows.values.foreach { case (p, f, u, ap) =>
+      assert(p + f == n, "pass + fail must cover the corpus")
+      assert(u <= f, "unique failures are a subset of failures")
+      assert(ap == allPass, "all-pass context must equal the quality-3 count")
+    }
+    // a doc failing exactly one gate has quality 2 — the unique-fail totals
+    // must equal the quality-2 population
+    assert(rows.values.map(_._3).sum == q.count(_.getAs[Int]("quality") == 2),
+      "sum of unique failures must equal the quality-2 doc count")
+  }
+
   test("text_nb_calibration: bins partition the corpus and bound their own confidences") {
     val sf = "/root/testdata/sf0.01"
     val rows = TextOps.textNbCalibration.fn(spark, sf).collect()
