@@ -1234,6 +1234,11 @@ object TextOps {
        |       bit_count(xor(sa, sb)) AS dist
        |FROM pairs
        |ORDER BY da, db""".stripMargin) { (s, d) =>
+    simhashPairsDf(s, d).orderBy("da", "db")
+  }
+
+  /** Spark side of `pairs`: (da, db, dist) at Hamming ≤ 1, distinct. */
+  private def simhashPairsDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     import graft.functions.HammingDistance.hamming_distance
     val sig = simhashSig(s, d)
     val blocks = sig.select(col("doc_id"), col("simhash"),
@@ -1249,7 +1254,42 @@ object TextOps {
     a.join(b, Seq("bi", "bv")).filter(col("da") < col("db"))
       .filter(dist <= 1)
       .select(col("da"), col("db"), dist.as("dist")).distinct()
-      .orderBy("da", "db")
+  }
+
+  /** SIMHASH RECALL certificate — the last cell of the fingerprint
+    * precision/recall grid: `dedup_simhash_prec` grades how many simhash
+    * decisions are TRUE near-dups (precision); this grades how many TRUE
+    * τ=0.8 Jaccard pairs (the lossless `apairs` AllPairs ground truth,
+    * same shared CTE as `dedup_minhash_recall`) the ≤1-Hamming simhash
+    * join actually surfaces. The number is EXPECTED to be well below the
+    * banded-MinHash recall — a 60-bit signature at distance ≤ 1 is a
+    * high-precision/low-recall design point, and PRICING that trade
+    * (instead of asserting it) is what lets an operator choose the
+    * fingerprint family per use case. Both chains are the linear shapes
+    * they certify; assembly is three 1-row aggregates. */
+  val dedupSimhashRecall = sql(
+    "dedup_simhash_recall",
+    s"""WITH $shinglesSql,
+       |$allpairsFromShSqlCte,
+       |${simhashPairsSqlWith("sx")},
+       |caught AS (SELECT count(*) AS n_caught
+       |           FROM apairs a JOIN sxpairs p ON p.da = a.da AND p.db = a.db),
+       |tot AS (SELECT count(*) AS n_true FROM apairs),
+       |nc AS (SELECT count(*) AS n_candidates FROM sxpairs)
+       |SELECT CAST(n_true AS BIGINT) AS n_true,
+       |       CAST(n_candidates AS BIGINT) AS n_candidates,
+       |       CAST(n_caught AS BIGINT) AS n_caught,
+       |       round(n_caught * 1.0 / n_true, 4) AS recall
+       |FROM tot CROSS JOIN nc CROSS JOIN caught""".stripMargin) { (s, d) =>
+    val exact = allpairsDf(s, d).select("da", "db")
+    val sp = simhashPairsDf(s, d).select("da", "db")
+    val caught = exact.join(sp, Seq("da", "db"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    val tot = exact.agg(count(lit(1)).as("n_true"))
+    val nc = sp.agg(count(lit(1)).as("n_candidates"))
+    tot.crossJoin(broadcast(nc)).crossJoin(broadcast(caught))
+      .select(col("n_true"), col("n_candidates"), col("n_caught"),
+        round(col("n_caught") * lit(1.0) / col("n_true"), 4).as("recall"))
   }
 
   /** Unigram LM quality score — mean surprisal −ln p(tok) under the
@@ -3972,7 +4012,7 @@ object TextOps {
     textRollingHash, textTfidf, textQuality, textQualityAblation, textVocabTopk, textOovRate,
     textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
-    dedupContainment, dedupAllpairs, dedupMinhashRecall, textBigramTopk, corpusDupStats,
+    dedupContainment, dedupAllpairs, dedupMinhashRecall, dedupSimhashRecall, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textParagraphFilter,

@@ -964,6 +964,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall == math.rint(nCaught * 1.0 / nTrue * 1e4) / 1e4)
   }
 
+  test("dedup_simhash_recall: reconciles with its chains and sits below the MinHash recall") {
+    val sf = "/root/testdata/sf0.01"
+    val r = TextOps.dedupSimhashRecall.fn(spark, sf).collect().head
+    val (nTrue, nCand, nCaught) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue == TextOps.dedupAllpairs.fn(spark, sf).count(), "ground truth forked")
+    assert(nCand == TextOps.dedupSimhashPairs.fn(spark, sf).count(), "candidate set forked")
+    assert(nCaught <= math.min(nTrue, nCand) && nTrue > 0)
+    // the designed trade: <=1-Hamming on 60 bits is high-precision /
+    // low-recall next to 4x2 banded MinHash — the grid must show it
+    val mh = TextOps.dedupMinhashRecall.fn(spark, sf).collect().head
+    assert(r.getAs[Double]("recall") <= mh.getAs[Double]("recall"),
+      s"simhash@dist1 recall must not exceed banded-MinHash recall: $r vs $mh")
+  }
+
   test("rag_hybrid: blend is bounded, ordered, and consistent with its legs") {
     val sf = "/root/testdata/sf0.01"
     val rows = TextOps.ragHybrid.fn(spark, sf).collect()
