@@ -400,8 +400,31 @@ object TextOps {
         (1 until NumHashes).map(j =>
           min(substring(col("h"), 4 * j + 1, 4)).as(s"mh$j")): _*)
 
-  /** Spark side of `sig(doc_id, mh0..mh7)`. */
-  private def minhashSig(s: org.apache.spark.sql.SparkSession, d: String) =
+  /** Spark side of `sig(doc_id, mh0..mh7)` — computed PER ROW by the
+    * native [[graft.functions.MinhashSigs]] expression (one loop over the
+    * doc's digest array), not by explode + groupBy: the signature stage is
+    * a narrow map with zero shuffle, and the first exchange in the LSH
+    * chain is the band-bucket join that genuinely needs co-location.
+    * MinhashSigSpec proves this frame bit-identical to the groupBy twin
+    * [[sigOver]] (which remains the definition the estimator certificate
+    * runs over its CAPPED index). Docs with no shingles (< 3 tokens) have
+    * an empty digest array → filtered, matching the groupBy twin where
+    * they simply produce no rows. */
+  private[graft] def minhashSig(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ms = graft.functions.MinhashSigs.minhash_sigs(
+      graft.functions.ShingleMd5s.shingle_md5s(split(col("text"), " "), 3),
+      NumHashes)
+    Tables.documents(s, d)
+      .select(col("doc_id"), ms.as("ms"))
+      .filter(size(col("ms")) === NumHashes)
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(j => col("ms").getItem(j).as(s"mh$j")): _*)
+  }
+
+  /** The groupBy twin over the full index — kept private for
+    * MinhashSigSpec's bit-identity proof against [[minhashSig]]. */
+  private[graft] def minhashSigViaGroupBy(
+      s: org.apache.spark.sql.SparkSession, d: String) =
     sigOver(shingles(s, d))
 
   /** MinHash signatures: one md5 per shingle, sliced into 8 disjoint 4-hex
