@@ -32,11 +32,20 @@ import org.apache.spark.sql.SparkSession
   * Failure honesty: a query that throws is recorded in `"failed"` with
   * its message, its timing is NOT reported, and the process exits
   * nonzero — a regression can't hide behind a fast-looking number.
+  *
+  * Self-describing noise fields: `"spread"` names the queries behind
+  * `n_spread` (no more diffing raw arrays by hand), and
+  * `"queries_clean"` re-times the 10 slowest queries min-of-3 in a
+  * brand-new SparkContext AFTER the sweep — the steady-state number to
+  * compare round-over-round, with the sweep number quantifying
+  * accumulated-driver-state inflation.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** Session factory — also used by the end-of-sweep clean re-measure,
+    * which needs a genuinely FRESH SparkContext (the sweep-state inflation
+    * it quantifies lives in driver/ContextCleaner/status-store state that
+    * `clearCache()` cannot reset). */
+  private def mkSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -70,6 +79,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    var spark = mkSession(cpus)
 
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () } // warmup only
@@ -172,8 +188,37 @@ object Bench {
     val passWeightedMin = raw.valuesIterator
       .map(ts => if (ts.isEmpty) 0.0 else ts.length * ts.min).sum
     val contention = if (passWeightedMin > 0) wallSec / passWeightedMin else 1.0
-    val nSpread = raw.valuesIterator.map(_.drop(1))
-      .count(ts => ts.nonEmpty && ts.max > 2.0 * ts.min)
+    // spread queries NAMED, not just counted (round-8 adjudication had to
+    // diff raw arrays by hand to find which six were untrustworthy)
+    val spreadNames = raw.iterator
+      .filter { case (_, ts) =>
+        val t = ts.drop(1); t.nonEmpty && t.max > 2.0 * t.min }
+      .map(_._1).toList
+    val nSpread = spreadNames.size
+
+    // End-of-sweep CLEAN re-measure (full runs only): the 10 slowest
+    // queries re-timed min-of-3 in a brand-new SparkContext, quantifying
+    // sweep-state inflation per query so round-over-round comparisons can
+    // use steady-state numbers instead of position-in-sweep artifacts.
+    // (The round-8 "dedup chain regression" was exactly this: code
+    // identical r7→r8, but 50 more queries of accumulated driver state in
+    // front of the family.)
+    val cleanResults: Seq[(String, Double)] =
+      if (only.nonEmpty || results.isEmpty) Seq.empty
+      else {
+        val top = results.sortBy(-_._2).take(10).map(_._1)
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = mkSession(cpus)
+        try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // warmup the fresh context
+        top.flatMap { name =>
+          val fn = SparkEntry.queries(name)
+          val ts = List(timeOnce(fn), timeOnce(fn), timeOnce(fn)).flatMap(_.toOption)
+          if (ts.isEmpty) None else Some(name -> ts.min)
+        }
+      }
 
     // ---- compact stdout line, hard budget ≤ LineBudget chars ----
     // Failed entries first (a regression must survive the cut), messages
@@ -182,7 +227,13 @@ object Bench {
     val failedShort = failed.take(5)
       .map { case (k, m) => jstr(k) + ":" + jstr(m.take(60)) }
       .mkString("{", ",", "}")
-    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"wall_sec":${jnum(wallSec)},"contention":${jnum(contention)},"n_spread":$nSpread,"n_failed":${failed.size},"failed":$failedShort,"""
+    // spread names capped at 8 in the stdout line (budget); full list in
+    // BENCH_FULL.json
+    val spreadShort = spreadNames.take(8).map(jstr).mkString("[", ",", "]")
+    val spreadFull = spreadNames.map(jstr).mkString("[", ",", "]")
+    val cleanJson = cleanResults
+      .map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"wall_sec":${jnum(wallSec)},"contention":${jnum(contention)},"n_spread":$nSpread,"spread":$spreadShort,"queries_clean":$cleanJson,"n_failed":${failed.size},"failed":$failedShort,"""
     val bySlow = results.sortBy(-_._2).map { case (k, v) => jstr(k) + ":" + jnum(v) }
     // room for: "queries":{…},"queries_omitted":NNN}
     val fixed = head.length + """"queries":{},"queries_omitted":000}""".length
@@ -195,7 +246,7 @@ object Bench {
     val line = head + "\"queries\":{" + bySlow.take(kept).mkString(",") +
       s"""},"queries_omitted":${bySlow.size - kept}}"""
 
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","wall_sec":${jnum(wallSec)},"contention":${jnum(contention)},"n_spread":$nSpread,"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"raw":$rawJson}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","wall_sec":${jnum(wallSec)},"contention":${jnum(contention)},"n_spread":$nSpread,"spread":$spreadFull,"queries_clean":$cleanJson,"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"raw":$rawJson}"""
     // a dev-subset run must not clobber the committed full-sweep artifact
     val fullPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_DEV.json"
     try java.nio.file.Files.writeString(
