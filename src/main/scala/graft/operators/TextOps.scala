@@ -352,9 +352,15 @@ object TextOps {
   }
 
   /** Spark side of `apairs`: the exact τ=0.8 pair set (da, db, common, un). */
-  private def allpairsDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def allpairsDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    allpairsOver(shingles(s, d))
+
+  /** The AllPairs chain over ANY (doc_id, sh) inverted index — the
+    * production path computes the index inline; the `_materialized`
+    * certificate twin reads the parquet snapshot. */
+  private def allpairsOver(sh: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val shb = shingles(s, d).cache() // df count, sizes, ranking, 2 verify sides
+    val shb = sh.cache() // df count, sizes, ranking, 2 verify sides
     val dff = shb.groupBy("sh").agg(count(lit(1)).as("df"))
     val sizes = shb.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pref = shb.join(dff, "sh").join(sizes, "doc_id")
@@ -533,6 +539,51 @@ object TextOps {
         round(col("n_caught") * lit(1.0) / col("n_true"), 4).as("recall"))
   }
 
+
+  /** The MATERIALIZED twin of `dedup_minhash_recall` — the deployment
+    * shape for certificate re-runs: the shingle inverted index (the most
+    * expensive shared frame of the certificate — exploded, df-counted,
+    * rank-windowed, and joined twice by the AllPairs verify) is computed
+    * ONCE per corpus snapshot and written as parquet
+    * (`dedup_shingle_index` snapshot); the lossless AllPairs ground-truth
+    * chain runs over the snapshot and its verified pair set — the actual
+    * certificate ground truth, linear-in-dups tiny — is snapshotted too
+    * (`allpairs-exact`), so certificate RE-runs (threshold sweeps, band
+    * tuning) pay only the banded candidate chain plus a parquet read.
+    * The banded chain keeps its narrow-map signature path. Same oracle
+    * SQL as the recompute twin, so the driver's hash compare IS the
+    * bit-identity proof (the snapshots hold exactly the `sh` and
+    * `apairs` frames the oracle CTEs populate). */
+  val dedupMinhashRecallMaterialized = sql(
+    "dedup_minhash_recall_materialized",
+    s"""WITH $shinglesSql,
+       |$allpairsFromShSqlCte,
+       |$minhashPairsFromShSqlCte,
+       |caught AS (SELECT count(*) AS n_caught
+       |           FROM apairs a JOIN mp USING (da, db)),
+       |tot AS (SELECT count(*) AS n_true FROM apairs),
+       |nc AS (SELECT count(*) AS n_candidates FROM mp)
+       |SELECT CAST(n_true AS BIGINT) AS n_true,
+       |       CAST(n_candidates AS BIGINT) AS n_candidates,
+       |       CAST(n_caught AS BIGINT) AS n_caught,
+       |       round(n_caught * 1.0 / n_true, 4) AS recall
+       |FROM tot CROSS JOIN nc CROSS JOIN caught""".stripMargin) { (s, d) =>
+    // sequential snapshots, NOT nested: computeIfAbsent re-entering the
+    // same ConcurrentHashMap (even on another key) risks a recursive-update
+    // IllegalStateException / bin deadlock
+    val sh = snapshotOnce(s, d, "shingle-index")(
+      shingles(s, d).repartition(col("doc_id")))
+    val exact = snapshotOnce(s, d, "allpairs-exact")(
+      allpairsOver(sh).select("da", "db").repartition(col("da")))
+    val mp = minhashBandPairs(s, d)
+    val caught = exact.join(mp, Seq("da", "db"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    val tot = exact.agg(count(lit(1)).as("n_true"))
+    val nc = mp.agg(count(lit(1)).as("n_candidates"))
+    tot.crossJoin(broadcast(nc)).crossJoin(broadcast(caught))
+      .select(col("n_true"), col("n_candidates"), col("n_caught"),
+        round(col("n_caught") * lit(1.0) / col("n_true"), 4).as("recall"))
+  }
 
   /** Spark side of `mp(da, db)`: signatures → band explode → per-bucket
     * size stats → all-pairs for small buckets, star edges for oversized
@@ -1502,7 +1553,7 @@ object TextOps {
        |              row_number() OVER (PARTITION BY doc_id
        |                                 ORDER BY score DESC, lang) AS rn
        |       FROM sc),
-       |j AS (SELECT c.conf,
+       |j AS (SELECT CAST(round(c.conf * 10000, 0) AS BIGINT) AS conf4,
        |             least(CAST(floor(c.conf * 10) AS INT), 9) AS bin,
        |             CASE WHEN r.pred_lang = d.lang THEN 1 ELSE 0 END AS hit
        |      FROM conf c
@@ -1510,9 +1561,9 @@ object TextOps {
        |        ON r.doc_id = c.doc_id
        |      JOIN documents d ON d.doc_id = c.doc_id)
        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
-       |       round(avg(conf), 4) AS mean_conf,
+       |       round(sum(conf4) / (10000.0 * count(*)), 4) AS mean_conf,
        |       round(avg(hit), 4) AS accuracy,
-       |       round(abs(avg(conf) - avg(hit)), 4) AS gap
+       |       round(abs(sum(conf4) / 10000.0 - sum(hit)) / count(*), 4) AS gap
        |FROM j GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val sc = nbLangidScores(s, d).cache() // softmax + argmax read it twice
@@ -1523,16 +1574,22 @@ object TextOps {
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
     val pred = sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("pred_lang"))
+    // repo float discipline: 4-dp conf lifted to an exact ×10⁴ BIGINT per
+    // doc, so the bin means are exact-integer sums with ONE final division
+    // — partial-aggregation summation order can never flip the 4th decimal
+    // (avg() over rounded doubles could, when a bin mean lands near a
+    // 5e-5 boundary)
     conf.join(pred, "doc_id")
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("conf"),
+      .select(round(col("conf") * 10000, 0).cast("long").as("conf4"),
         least(floor(col("conf") * 10).cast("int"), lit(9)).as("bin"),
         when(col("pred_lang") === col("lang"), 1).otherwise(0).as("hit"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
-        round(avg("conf"), 4).as("mean_conf"),
+        round(sum("conf4") / (lit(10000.0) * count(lit(1))), 4).as("mean_conf"),
         round(avg("hit"), 4).as("accuracy"),
-        round(abs(avg("conf") - avg("hit")), 4).as("gap"))
+        round(abs(sum("conf4") / lit(10000.0) - sum("hit")) / count(lit(1)), 4)
+          .as("gap"))
       .orderBy("bin")
   }
 
@@ -1868,8 +1925,11 @@ object TextOps {
     * search): each document's BM25 score (the `text_bm25` leg, shared
     * `lscore` CTE) and its embedding cosine to the fixed query (the
     * `sim_topk_cosine` leg, shared `dscore` CTE — doc_id and vec_id share
-    * the id space) are min-max normalized to [0,1] and blended 50/50; a
-    * doc missing from a leg contributes that leg's floor. Score-based
+    * the id space) are min-max normalized to [0,1] — both legs over the
+    * RETURNABLE candidate set (the query doc 0 is excluded from both
+    * normalizations, so the best returnable doc normalizes to 1.0 on each
+    * leg) — and blended 50/50; a doc missing from a leg contributes that
+    * leg's floor. Score-based
     * fusion is chosen over rank-based RRF deliberately: normalization
     * needs only four broadcast 1-row aggregates (min/max per leg) — no
     * global rank window exists anywhere, the scale-safe shape (RRF's
@@ -1882,7 +1942,8 @@ object TextOps {
     "rag_hybrid",
     s"""WITH $bm25SqlCte,
        |${graft.operators.Similarity.denseScoreSqlCte},
-       |lmm AS (SELECT min(bm25) AS lmin, max(bm25) AS lmax FROM lscore),
+       |lmm AS (SELECT min(bm25) AS lmin, max(bm25) AS lmax FROM lscore
+       |        WHERE doc_id <> 0),
        |dmm AS (SELECT min(cos) AS dmin, max(cos) AS dmax FROM dscore),
        |ids AS (SELECT doc_id FROM documents WHERE doc_id <> 0)
        |SELECT i.doc_id, l.bm25, s.cos,
@@ -1896,7 +1957,12 @@ object TextOps {
        |ORDER BY hybrid DESC, i.doc_id LIMIT 10""".stripMargin) { (s, d) =>
     val l = bm25Scores(s, d).select("doc_id", "bm25")
     val ds = Similarity.denseScores(s, d).withColumnRenamed("vec_id", "doc_id")
-    val lmm = l.agg(min("bm25").as("lmin"), max("bm25").as("lmax"))
+    // normalize over the RETURNABLE candidate set: doc 0 is the query doc
+    // and is excluded from the output and the dense leg's min/max — a
+    // query term landing in doc 0 must not skew the lexical normalization
+    // either (both legs now treat id 0 identically)
+    val lmm = l.filter(col("doc_id") =!= 0)
+      .agg(min("bm25").as("lmin"), max("bm25").as("lmax"))
     val dmm = ds.agg(min("cos").as("dmin"), max("cos").as("dmax"))
     Tables.documents(s, d).select("doc_id").filter(col("doc_id") =!= 0)
       .join(l, Seq("doc_id"), "left")
@@ -4035,7 +4101,8 @@ object TextOps {
     textRollingHash, textTfidf, textQuality, textQualityAblation, textVocabTopk, textOovRate,
     textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
-    dedupContainment, dedupAllpairs, dedupMinhashRecall, dedupSimhashRecall, textBigramTopk, corpusDupStats,
+    dedupContainment, dedupAllpairs, dedupMinhashRecall,
+    dedupMinhashRecallMaterialized, dedupSimhashRecall, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textParagraphFilter,
