@@ -567,7 +567,10 @@ object Jobs {
     * the gate cannot fork. Emits `"b:md5hex"` keys; docs with fewer than 3
     * tokens have no shingles and yield an empty array (they cannot match
     * anything). StreamingSpec proves the chain produces the exact batch
-    * candidate set (`decontam_minhash`'s flag population). */
+    * candidate (output-row) population of `decontam_minhash` — any band
+    * hit, i.e. every doc that query emits a row for (n_windows >= 2), NOT
+    * only its flagged >= 6/8 subset; the gate is deliberately conservative
+    * in that direction (see [[minhashGate]]'s any-band-hit semantics). */
   private def bandKeys(text: Column): Column = {
     val h = transform(
       graft.functions.ShingleMd5s.shingle_md5s(split(text, " "), 3),
@@ -717,6 +720,59 @@ object Jobs {
           / (col("nrm") * col("__inrm")) >= thr,
       "left_anti")
   }
+
+  /** One micro-batch of the STREAMING ANN SERVING path — the query-side
+    * twin of [[annGate]]'s ingest side: a batch of query vectors is
+    * assigned to cells by the same broadcast codebook literal (first-
+    * minimum argmin ≡ the batch `min(struct(dist, label))` tie-break),
+    * then joined against the frozen cell-partitioned corpus index so each
+    * index vector is scored only against the queries probing its cell —
+    * the `sim_ivf_batch_topk` economics, per micro-batch. Cosines use the
+    * index's precomputed norms and the shared native dot-product fold, and
+    * round 4 dp exactly like the batch query; per-query top-k is a window
+    * over the bounded probed-cell candidates. StreamingSpec proves the
+    * streamed results row-identical to `sim_ivf_batch_topk` on the same
+    * query/corpus split. Input needs (vec_id, embedding); `index` needs
+    * (cell, vec_id, embedding, nrm). */
+  def annServeBatch(queryBatch: DataFrame, index: DataFrame,
+      labels: Array[Int], cents: Array[Array[Double]], k: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(labels.length == cents.length && labels.nonEmpty,
+      "codebook labels and centroids must align")
+    val dists = transform(typedLit(cents.map(_.toSeq).toSeq),
+      c => graft.functions.SquaredDistance.squared_distance(col("embedding"), c))
+    val qs = queryBatch
+      .withColumn("cell", element_at(typedLit(labels.toSeq),
+        array_position(dists, array_min(dists)).cast("int")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell"))
+    val qn = sqrt(graft.functions.DotProduct.dot_product(col("qv"), col("qv")))
+    index
+      .select(col("cell"), col("vec_id"), col("embedding").as("__ie"),
+        col("nrm").as("__inrm"))
+      .join(broadcast(qs), "cell")
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.DotProduct.dot_product(col("__ie"), col("qv"))
+          / (col("__inrm") * qn), 4).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "rnk", "cos")
+  }
+
+  /** The streaming wrapper: query stream → [[annServeBatch]] per
+    * micro-batch → `onBatch` (the service's reply path). The index and
+    * codebook are FROZEN — the 100 TB serving shape where the corpus scan
+    * amortizes across each query batch and the model rides broadcast. */
+  def annServe(queries: DataFrame, index: DataFrame,
+      labels: Array[Int], cents: Array[Array[Double]], k: Int = 3)
+      (onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        onBatch(annServeBatch(batch, index, labels, cents, k)))
 
   /** The budget + emit stage of the streaming curation job: a foreachBatch
     * sink that keeps the greedy running token total across micro-batches

@@ -965,4 +965,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && dupped.nonEmpty,
       s"fixture must exercise both verdicts: kept ${streamed.size}, dropped ${dupped.size}")
   }
+
+  test("annServe: streamed per-micro-batch top-k equals sim_ivf_batch_topk " +
+      "on the same query/corpus split") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Similarity
+
+    // serving shape: corpus index frozen over vec_id >= 10 (the batch
+    // query's candidate side), queries 0-9 streamed in small micro-batches
+    val index = Similarity.ivfIndex(spark, sf)
+      .filter(col("vec_id") >= 10).cache()
+    val (labels, cents) = Similarity.frozenCodebook(spark, sf)
+    val qRows = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = Jobs.annServe(mem.toDF().toDF("vec_id", "embedding"),
+        index, labels, cents) { b =>
+      got ++= b.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }.start()
+    qRows.grouped(4).foreach(g => mem.addData(g.toSeq)) // 3 micro-batches
+    q.processAllAvailable(); q.stop()
+
+    val want = SparkEntry.queries("sim_ivf_batch_topk")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.toSet == want,
+      s"serving forked from batch: extra ${(got.toSet diff want).take(3)}, " +
+        s"missing ${(want diff got.toSet).take(3)}")
+    assert(want.size >= 10, s"fixture too small to prove parity: ${want.size} rows")
+  }
 }
