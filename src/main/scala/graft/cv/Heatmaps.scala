@@ -28,10 +28,11 @@ object Heatmaps {
     out
   }
 
-  /** Separable gaussian blur, truncated at 3σ (M8 prereq; the reference
-    * uses scipy gaussian_filter with σ=3). Edges clamp (nearest). */
-  def gaussianBlur(map: Array[Float], w: Int, h: Int, sigma: Double): Array[Float] = {
-    require(map.length == w * h)
+  /** Normalized gaussian kernel, truncated at 3σ — the ONE definition
+    * shared by [[gaussianBlur]] and the `cv_pose_peaks` oracle SQL
+    * generator (which embeds these exact doubles as literals so the
+    * DuckDB replay multiplies the same bits). */
+  private[graft] def gaussKernel(sigma: Double): Array[Double] = {
     val radius = math.max(1, math.ceil(3 * sigma).toInt)
     val kernel = Array.tabulate(2 * radius + 1) { i =>
       val x = i - radius
@@ -40,6 +41,15 @@ object Heatmaps {
     val ksum = kernel.sum
     var i = 0
     while (i < kernel.length) { kernel(i) /= ksum; i += 1 }
+    kernel
+  }
+
+  /** Separable gaussian blur, truncated at 3σ (M8 prereq; the reference
+    * uses scipy gaussian_filter with σ=3). Edges clamp (nearest). */
+  def gaussianBlur(map: Array[Float], w: Int, h: Int, sigma: Double): Array[Float] = {
+    require(map.length == w * h)
+    val kernel = gaussKernel(sigma)
+    val radius = kernel.length / 2
 
     val tmp = new Array[Float](w * h)
     var y = 0

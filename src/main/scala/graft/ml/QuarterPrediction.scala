@@ -122,6 +122,36 @@ object QuarterPrediction {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[String, PipelineModel]
 
+  /** The most recently trained pipeline — the model the RF oracle SQL
+    * compiles. Within one Verify/Bench run there is exactly one sfDir, so
+    * this is the model whose scores the oracle must replay. */
+  private val lastModel =
+    new java.util.concurrent.atomic.AtomicReference[PipelineModel]()
+
+  /** Oracle SQL for `ml_rf_score`, compiled from the trained forest —
+    * available only once `trainAndScore` has run (the driver's Verify runs
+    * every query BEFORE dumping oracle_sql.json, so the model for its
+    * sfDir is always cached by then; before any run the query falls back
+    * to the rows-only check it always had). See [[RfSqlCompiler]] for the
+    * replay contract. */
+  def rfScoreOracleSql: Option[String] = Option(lastModel.get()).map { pm =>
+    val rf = pm.stages(2)
+      .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
+    val nCat = pm.stages(0)
+      .asInstanceOf[org.apache.spark.ml.feature.OneHotEncoderModel]
+      .categorySizes(0) - 1 // dropLast
+    require(rf.numFeatures == featureCols.size + nCat,
+      s"feature-slot mismatch: rf=${rf.numFeatures} vs ${featureCols.size}+$nCat")
+    // feature-vector slot i → SQL over the feature frame: the 13 int
+    // columns in assembler order, then the OHE classVec (dropLast) as
+    // explicit 0/1 indicators of enemyStyle
+    def feat(i: Int): String =
+      if (i < featureCols.size) s""""${featureCols(i)}""""
+      else s"""CASE WHEN "$categoricalCol" = ${i - featureCols.size} THEN 1.0 ELSE 0.0 END"""
+    s"""WITH ${graft.operators.Pipelines.featFrameSqlCtes},
+       |${RfSqlCompiler.scoreSelectSql(rf, feat, "base")}""".stripMargin
+  }
+
   /** End-to-end: train on the sfDir tables (once per process, Q2), score
     * the full frame, emit the observable columns. Deterministic under the
     * fixed seed. */
@@ -138,6 +168,7 @@ object QuarterPrediction {
       val trainDf = df.filter(pmod(col("rowId"), lit(10)) === 0).coalesce(4).cache()
       train(if (trainDf.isEmpty) df else trainDf)
     })
+    lastModel.set(model)
     score(model, df)
       .select("rowId", "winPeriod", "prediction", "prob", "msg")
       .orderBy("rowId")

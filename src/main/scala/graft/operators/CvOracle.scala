@@ -207,4 +207,77 @@ object CvOracle {
        |       concat_ws(',', det.team, det.num, s.score, s.reb, s.ast) AS msg
        |FROM det LEFT JOIN stats s ON s.team = det.team AND s.num = det.num
        |ORDER BY det.doc_id, det.team, det.num""".stripMargin
+
+  /** Shortest-round-trip double literal in E-notation (a bare `0.1`
+    * parses as DECIMAL on both engines — decimal arithmetic would replace
+    * the IEEE ops the blur replay depends on). */
+  private def fmtD(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E")) s else s + "E0"
+  }
+
+  /** Oracle for `cv_pose_peaks` — the A5/M8 heatmap stage replayed
+    * relationally: the splitmix64 stub decode's green channel over a
+    * 16×16 crop is one "heatmap" channel, blurred by the REAL σ=3
+    * separable gaussian (`Heatmaps.gaussianBlur`) and peak-detected by
+    * the REAL 4-neighbor strict/non-strict rule with threshold 0.1
+    * (`Heatmaps.detectPeaks`).
+    *
+    * Float replay contract: map values are FLOAT (g/255, one IEEE float
+    * division); each blur pass accumulates float·kernel products in
+    * DOUBLE, left-associated in kernel order — the list-comprehension
+    * element is the EXPLICIT 19-term sum in the exact order of the Scala
+    * while-loop, with the kernel doubles embedded as literals from the
+    * shared [[graft.cv.Heatmaps.gaussKernel]] — then casts to FLOAT
+    * exactly like `tmp(i) = acc.toFloat`. Identical ops on identical
+    * bits on both engines, so the peak comparisons (strict < left/up,
+    * non-strict right/down, edge-clamped taps) cannot diverge and the
+    * raw-map `score` ships as a bit-exact FLOAT passthrough. The doc
+    * subset (id % 50 = 0) bounds the replay the same way on both
+    * sides. */
+  def posePeaksSql: String = {
+    val kernel = graft.cv.Heatmaps.gaussKernel(3.0)
+    val r = kernel.length / 2
+    // explicit left-assoc ordered sum over the clamped 1-based list index
+    def blurSum(list: String, idx: String): String =
+      (-r to r).map { k =>
+        s"$list[least(greatest($idx + $k, 1), 16)] * ${fmtD(kernel(k + r))}"
+      }.mkString("(", "\n         + ", ")")
+    s"""WITH ${Multimodal.stubPixelsSqlCte(1)},
+       |px16 AS MATERIALIZED (
+       |  SELECT id, CAST(i // 64 AS BIGINT) AS y, CAST(i % 64 AS BIGINT) AS x,
+       |         CAST(CAST((px // 256) % 256 AS BIGINT) AS FLOAT)
+       |           / CAST(255.0 AS FLOAT) AS v
+       |  FROM p WHERE id % 50 = 0 AND i % 64 < 16 AND i // 64 < 16),
+       |vrow AS (SELECT id, y, list(v ORDER BY x) AS xs
+       |         FROM px16 GROUP BY id, y),
+       |hrow AS (SELECT id, y,
+       |                [CAST(${blurSum("xs", "xi")} AS FLOAT)
+       |                 for xi in range(1, 17)] AS ts
+       |         FROM vrow),
+       |tmp AS MATERIALIZED (
+       |  SELECT id, y, unnest(range(0, 16)) AS x, unnest(ts) AS t FROM hrow),
+       |tcol AS (SELECT id, x, list(t ORDER BY y) AS ys
+       |         FROM tmp GROUP BY id, x),
+       |vcol AS (SELECT id, x,
+       |                [CAST(${blurSum("ys", "yi")} AS FLOAT)
+       |                 for yi in range(1, 17)] AS ss
+       |         FROM tcol),
+       |sm AS MATERIALIZED (
+       |  SELECT id, x, unnest(range(0, 16)) AS y, unnest(ss) AS sv FROM vcol)
+       |SELECT p.id AS doc_id, CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
+       |       raw.v AS score
+       |FROM sm p
+       |JOIN px16 raw ON raw.id = p.id AND raw.x = p.x AND raw.y = p.y
+       |LEFT JOIN sm nl ON nl.id = p.id AND nl.y = p.y AND nl.x = p.x - 1
+       |LEFT JOIN sm nr ON nr.id = p.id AND nr.y = p.y AND nr.x = p.x + 1
+       |LEFT JOIN sm nu ON nu.id = p.id AND nu.x = p.x AND nu.y = p.y - 1
+       |LEFT JOIN sm nd ON nd.id = p.id AND nd.x = p.x AND nd.y = p.y + 1
+       |WHERE p.sv > 0.1E0
+       |  AND (p.x = 0  OR p.sv > nl.sv)
+       |  AND (p.x = 15 OR p.sv >= nr.sv)
+       |  AND (p.y = 0  OR p.sv > nu.sv)
+       |  AND (p.y = 15 OR p.sv >= nd.sv)
+       |ORDER BY doc_id, y, x""".stripMargin
+  }
 }

@@ -57,7 +57,11 @@ class CoverageSpec extends AnyFunSuite {
   }
 
   test("README's oracle-checked/rows-only split matches SparkEntry") {
-    val nOracle = SparkEntry.oracleSql.size
+    // ml_rf_score's compiled-forest oracle appears once a model is trained
+    // in-process, so its presence depends on suite order — the README
+    // documents the stable fresh-JVM split and notes the dynamic upgrade
+    val dynamicOracle = Set("ml_rf_score")
+    val nOracle = (SparkEntry.oracleSql.keySet -- dynamicOracle).size
     val nRowsOnly = declared.size - nOracle
     val m = "(\\d+) oracle-checked \\+ (\\d+) rows-only".r
       .findFirstMatchIn(readme)
