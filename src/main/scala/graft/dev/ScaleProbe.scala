@@ -1,0 +1,136 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: measures a GROWTH EXPONENT for the headline
+  * dedup/similarity/graph queries instead of asserting one.
+  *
+  * All driver-provided bench evidence stops at sf0.1 (~17 MB); the 100 TB
+  * claims otherwise rest on plan shapes alone. This main derives amplified
+  * corpora (×8, ×32) from the sf0.1 tables into a temp dir — never
+  * touching /root/testdata — runs each probe query at the three sizes, and
+  * fits the least-squares slope of ln(time) on ln(scale). A plan that is
+  * secretly quadratic in corpus size (an uncapped bucket join, a
+  * non-broadcast cartesian) shows up as an exponent ≥ ~2 immediately;
+  * honest linear-with-overhead plans land well under 1.2.
+  *
+  * Amplification preserves the workload's SHAPE, not just its bytes:
+  *  - documents: replica r offsets doc_id and tags every TOKEN with `_r`,
+  *    so shingles never collide across replicas — per-replica dup
+  *    structure (and thus near-dup pair count) is preserved exactly and
+  *    total dups scale LINEARLY with the corpus, which is the regime the
+  *    dedup chain claims linearity in. A verbatim copy would instead make
+  *    every doc an 8-way near-dup clique (quadratic pair growth baked into
+  *    the DATA, not the plan — measuring nothing about the plan).
+  *  - embeddings: replica r offsets vec_id and jitters each component
+  *    deterministically (`x + 0.01·sin(vec_id·31 + i·7 + r·13)`), so
+  *    replicas scatter around the original manifold instead of stacking
+  *    onto it (stacked copies would make every kNN list degenerate).
+  *
+  * Output: BENCH_SCALE.json — per query t×1/t×8/t×32 (min-of-2 seconds)
+  * and the fitted exponent.
+  *
+  * Usage: runMain graft.dev.ScaleProbe [baseSfDir]
+  */
+object ScaleProbe {
+
+  val Scales = Seq(1, 8, 32)
+  /** Headliners of the three families whose linearity the repo claims. */
+  val Probes = Seq("dedup_clusters", "dedup_allpairs", "corpus_dup_stats",
+    "sim_ivfpq_adc", "graph_triangles")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+    val dirs: Map[Int, String] = Scales.map { k =>
+      k -> (if (k == 1) base else amplify(spark, base, k, s"$root/x$k"))
+    }.toMap
+
+    def timeOnce(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      org.apache.spark.sql.GraftSqlBridge
+        .dropTopLevelSort(graft.SparkEntry.queries(name)(spark, dir))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup
+    try graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val rows = Probes.map { name =>
+      val ts = Scales.map { k =>
+        val t = math.min(timeOnce(name, dirs(k)), timeOnce(name, dirs(k)))
+        println(f"[scaleprobe] $name x$k%-2d: $t%.3f s")
+        k -> t
+      }
+      // least-squares slope of ln t on ln k
+      val pts = ts.map { case (k, t) => (math.log(k.toDouble), math.log(t)) }
+      val n = pts.size
+      val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+      val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+        pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      name -> (ts.map(_._2), slope)
+    }
+
+    def j(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val json = rows.map { case (name, (ts, slope)) =>
+      s""""$name":{"t":[${ts.map(j).mkString(",")}],"exponent":${j(slope)}}"""
+    }.mkString(
+      s"""{"base":"$base","scales":[${Scales.mkString(",")}],"queries":{""",
+      ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SCALE.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+
+  /** doc_id/vec_id replica offset — far above any real id in testdata. */
+  private val IdOffset = 100000000L
+
+  private def amplify(spark: SparkSession, base: String, k: Int,
+      out: String): String = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val amplDocs = (0 until k).map { r =>
+      // tag every token so shingles never collide across replicas: the
+      // per-replica near-dup structure (and df distribution) is preserved
+      // exactly, total dups grow linearly with the corpus
+      val tagged =
+        if (r == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "), x => concat(x, lit(s"_$r"))),
+          " ")
+      docs.select(
+        (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
+        tagged.as("text"), col("lang"), col("source"),
+        length(tagged).as("n_chars"))
+    }.reduce(_ unionAll _)
+    amplDocs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val amplEmb = (0 until k).map { r =>
+      val jittered =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          (x + lit(0.01) * sin(col("vec_id") * 31 + i * 7 + lit(r * 13)))
+            .cast("float"))
+      emb.select(
+        (col("vec_id") + lit(r * IdOffset)).as("vec_id"),
+        jittered.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+    amplEmb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+}
