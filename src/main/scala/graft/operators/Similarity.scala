@@ -72,6 +72,50 @@ object Similarity {
     denseScores(s, d).orderBy(col("cos").desc, col("vec_id")).limit(10)
   }
 
+  /** MRL ADAPTIVE RETRIEVAL — the serving shape `sim_trunc_recall`
+    * prices: a CHEAP truncated-16-dim scan proposes the top-50
+    * candidates (1/4 of the vector bytes over the corpus), then ONLY
+    * those 50 are re-scored with the full-dim cosine and the top-10
+    * emitted. When the true top-10 survive the truncated cut (what
+    * `sim_trunc_recall` measures), the output EQUALS the brute-force
+    * full-dim answer at a fraction of the scan cost — the funnel
+    * economics of every coarse-to-fine retrieval stack. Both stages are
+    * TakeOrdered over narrow maps; the rerank input is a 50-row
+    * broadcast semi-join. */
+  val simMrlAdaptive = sql(
+    "sim_mrl_adaptive",
+    s"""WITH mq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id FROM (
+       |  SELECT vec_id,
+       |         round(${dotSql("embedding[1:16]", "qv[1:16]")}
+       |               / (sqrt(${dotSql("embedding[1:16]", "embedding[1:16]")})
+       |                  * sqrt(${dotSql("qv[1:16]", "qv[1:16]")})), 4) AS cos
+       |  FROM embeddings, mq WHERE vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 50) t)
+       |SELECT e.vec_id,
+       |       round(${dotSql("e.embedding", "qv")}
+       |             / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})), 4) AS cos
+       |FROM embeddings e JOIN cand USING (vec_id), mq
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dot = graft.functions.DotProduct.dot_product _
+    val e16 = slice(col("embedding"), 1, 16)
+    val q16 = slice(col("qv"), 1, 16)
+    val cand = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(e16, q16) / (sqrt(dot(e16, e16)) * sqrt(dot(q16, q16))), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      .select("vec_id")
+    emb.join(broadcast(cand), "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qv"))
+          / (sqrt(dot(col("embedding"), col("embedding")))
+            * sqrt(dot(col("qv"), col("qv")))), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+  }
+
   /** FILTERED VECTOR SEARCH — the metadata-constrained top-k every vector
     * store ships (search within a tenant/language/label): brute-force
     * cosine over ONLY the vectors whose label matches the predicate. The
@@ -147,7 +191,7 @@ object Similarity {
         .as("cvec"))
 
   /** Spark side of `assign(vec_id, cell)`. */
-  private def ivfAssignDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def ivfAssignDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     val emb = Tables.embeddings(s, d)
     // Assignment is a broadcast cross join (n × k rows) with ONE
     // native squared-distance loop (graft.functions.SquaredDistance — same
@@ -584,33 +628,61 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Bounded-block cap for the kNN candidate join: a cell with more
+    * members than this sub-shards deterministically (`vec_id % s`,
+    * s = ⌈size/cap⌉) and candidates are generated WITHIN a sub-shard
+    * only. With a fixed codebook, cell sizes grow linearly with the
+    * corpus and the within-cell block join grows QUADRATICALLY — the
+    * scale-probe measured graph_triangles' ×8→×32 segment at slope ~1.9
+    * before this cap (BENCH_SCALE.json). Sub-sharding bounds every block
+    * at cap² work, restoring linear total cost, at the standard ANN
+    * price: neighbors in a sibling sub-shard are not candidates (the
+    * same accepted trade as the LSH BandBucketCap's star edges). The cap
+    * sits far above every driver-testdata cell size, so oracle results
+    * are cap-invariant there; SimilaritySpec forces a low cap to prove
+    * the sharded path's structure. */
+  private[graft] val CellShardCap = 1024L
+
   /** SQL CTE chain ending in `rk(src, dst, cos, rn)` — the within-cell
     * top-k cosine ranking shared by `sim_knn_graph` (which emits it) and
-    * `graph_pagerank` (which walks it as an edge list). */
+    * `graph_pagerank` (which walks it as an edge list). Candidates join
+    * on (cell, sub-shard); s = 1 (single shard, exact within-cell kNN)
+    * whenever the cell is within [[CellShardCap]]. */
   private val knnRankedSqlCte: String =
     s"""$ivfAssignSqlCte,
-       |emb2 AS (SELECT e.vec_id, e.embedding, a.cell,
+       |ksz AS (SELECT cell, (count(*) + ${CellShardCap - 1}) // $CellShardCap AS s
+       |        FROM assign GROUP BY cell),
+       |emb2 AS (SELECT e.vec_id, e.embedding, a.cell, e.vec_id % z.s AS shard,
        |                sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-       |         FROM embeddings e JOIN assign a USING (vec_id)),
+       |         FROM embeddings e JOIN assign a USING (vec_id)
+       |         JOIN ksz z USING (cell)),
        |pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
        |              round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
-       |       FROM emb2 a JOIN emb2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |       FROM emb2 a JOIN emb2 b ON a.cell = b.cell AND a.shard = b.shard
+       |        AND a.vec_id <> b.vec_id),
        |rk AS (SELECT src, dst, cos,
        |              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rn
        |       FROM pr)""".stripMargin
 
-  /** Spark side of `rk`: (src, dst, cos, rn), unfiltered. */
-  private def knnRankedDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** Spark side of `rk`: (src, dst, cos, rn), unfiltered. `cap` defaults
+    * to [[CellShardCap]]; SimilaritySpec lowers it to prove the sharded
+    * path's structure on the real corpus. */
+  private[graft] def knnRankedDf(s: org.apache.spark.sql.SparkSession,
+      d: String, cap: Long = CellShardCap) = {
     import org.apache.spark.sql.expressions.Window
+    val sizes = ivfAssignDf(s, d).groupBy("cell")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("cell"), expr(s"(__n + ${cap - 1}) div $cap").as("s"))
     val withCell = Tables.embeddings(s, d).join(ivfAssignDf(s, d), "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"),
-        sqrt(dotCol("embedding", "embedding")).as("nrm"))
-    val a = withCell.select(col("cell"), col("vec_id").as("src"),
+      .join(sizes, "cell")
+      .select(col("vec_id"), col("cell"), (col("vec_id") % col("s")).as("shard"),
+        col("embedding"), sqrt(dotCol("embedding", "embedding")).as("nrm"))
+    val a = withCell.select(col("cell"), col("shard"), col("vec_id").as("src"),
       col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withCell.select(col("cell"), col("vec_id").as("dst"),
+    val b = withCell.select(col("cell"), col("shard"), col("vec_id").as("dst"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+    a.join(b, Seq("cell", "shard")).filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round(dotCol("ea", "eb") / (col("na") * col("nb")), 4).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -2497,7 +2569,7 @@ object Similarity {
     simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simMarginMine,
     graphTriangles, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
-    simRangeSearch, simIvfBuild, simTruncRecall, graphPagerank, embDimStats,
+    simRangeSearch, simIvfBuild, simTruncRecall, simMrlAdaptive, graphPagerank, embDimStats,
     semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
     simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift, simKmeansIter,
     simKcenterInit, embOutlier, embPcaPower, embPcaVar,

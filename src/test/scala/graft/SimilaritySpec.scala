@@ -498,4 +498,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 3L, true)),
       s"margin must pick exclusive y3 over hub y1 (cos 0.58 < 0.6): ${got.toSeq}")
   }
+
+  test("kNN cell sub-sharding: default cap is invariant on testdata; forced cap bounds blocks") {
+    import org.apache.spark.sql.functions._
+    // 1. cap-invariance: every testdata cell is far below CellShardCap, so
+    //    the production frame must be IDENTICAL to the unsharded join —
+    //    this is what keeps every kNN-family oracle valid under the cap
+    val prod = Similarity.knnRankedDf(spark, sf)
+    val unsharded = Similarity.knnRankedDf(spark, sf, cap = 1L << 40)
+    assert(prod.exceptAll(unsharded).isEmpty && unsharded.exceptAll(prod).isEmpty)
+
+    // 2. forced cap=2: candidates must pair only within (cell, vec_id % s)
+    val capped = Similarity.knnRankedDf(spark, sf, cap = 2L)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.nonEmpty)
+    // recompute cell + shard exactly as the operator does
+    val cells = Similarity.ivfAssignDf(spark, sf)
+    val szs = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cellMap = cells.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def shard(v: Long): (Int, Long) = {
+      val c = cellMap(v)
+      val s = (szs(c) + 1) / 2 // ceil(n/2) for cap=2
+      (c, v % s)
+    }
+    capped.foreach { case (a, b) =>
+      assert(shard(a) == shard(b),
+        s"edge ($a,$b) crosses sub-shards: ${shard(a)} vs ${shard(b)}")
+    }
+    // 3. the forced cap genuinely shrinks candidate sets (it did shard)
+    val full = unsharded.select("src", "dst").count()
+    assert(capped.length < full, "cap=2 must prune cross-shard candidates")
+  }
+
+  test("sim_mrl_adaptive: funnel equals a driver-side replay; loss is the priced trade") {
+    // internal correctness: the funnel output must equal rerank-by-full-cos
+    // of the truncated-16 top-50, replayed driver-side from raw vectors
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos4(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < d) { ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i); bb += b(i).toDouble * b(i); i += 1 }
+      math.rint(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e4) / 1e4
+    }
+    val q = rows(0L)
+    val cand = rows.keys.filter(_ != 0L).toSeq
+      .map(v => v -> cos4(rows(v), q, 16))
+      .sortBy { case (v, c) => (-c, v) }.take(50).map(_._1)
+    val want = cand.map(v => (v, cos4(rows(v), q, 64)))
+      .sortBy { case (v, c) => (-c, v) }.take(10)
+    val got = Similarity.simMrlAdaptive.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"funnel forked from the replay: $got vs $want")
+
+    // the trade is real on NON-matryoshka synthetic vectors (the first 16
+    // dims carry no privileged signal here): overlap with brute force is
+    // partial — which is exactly what sim_trunc_recall exists to price
+    val brute = Similarity.simTopK.fn(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val overlap = got.map(_._1).count(brute)
+    assert(overlap >= 1 && overlap <= 10)
+  }
 }
