@@ -572,14 +572,15 @@ object Jobs {
     * only its flagged >= 6/8 subset; the gate is deliberately conservative
     * in that direction (see [[minhashGate]]'s any-band-hit semantics). */
   private def bandKeys(text: Column): Column = {
-    val h = transform(
-      graft.functions.ShingleMd5s.shingle_md5s(split(text, " "), 3),
-      x => lower(hex(x)))
-    val mh = (0 until 8).map(j =>
-      array_min(transform(h, s => substring(s, 4 * j + 1, 4))))
+    // native per-row window minima (one compiled loop per doc) instead of
+    // 8 interpreted array_min(transform(...)) passes — bit-identical to
+    // the lambda construction (MinhashSigsSpec) and to the batch chain
+    val ms = graft.functions.MinhashSigs.minhash_sigs(
+      graft.functions.ShingleMd5s.shingle_md5s(split(text, " "), 3), 8)
+    val mh = (0 until 8).map(j => ms.getItem(j))
     val bands = (0 until 4).map(b =>
       concat(lit(s"$b:"), md5(concat(mh(2 * b), mh(2 * b + 1)))))
-    when(size(h) > 0, array(bands: _*))
+    when(size(ms) > 0, array(bands: _*))
       .otherwise(array().cast("array<string>"))
   }
 
