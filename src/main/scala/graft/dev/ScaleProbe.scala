@@ -36,9 +36,11 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   val Scales = Seq(1, 8, 32)
-  /** Headliners of the three families whose linearity the repo claims. */
+  /** Headliners of the three families whose linearity the repo claims,
+    * plus the flagship 5-stage curation e2e and the BPE apply chain. */
   val Probes = Seq("dedup_clusters", "dedup_allpairs", "corpus_dup_stats",
-    "sim_ivfpq_adc", "graph_triangles")
+    "sim_ivfpq_adc", "graph_triangles", "corpus_curation_e2e",
+    "text_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
