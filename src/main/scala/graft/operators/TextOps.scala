@@ -1366,6 +1366,41 @@ object TextOps {
         round(col("n_caught") * lit(1.0) / col("n_true"), 4).as("recall"))
   }
 
+  /** The MATERIALIZED twin of `dedup_simhash_recall` — both recall
+    * certificates grade against the SAME AllPairs ground truth, so this
+    * twin reads the `allpairs-exact` snapshot
+    * (`dedup_minhash_recall_materialized` writes it once per application
+    * and corpus; whichever runs first pays the build) and re-runs only
+    * the simhash candidate chain. Same oracle SQL as the recompute twin
+    * → the driver's hash compare is the bit-identity proof. */
+  val dedupSimhashRecallMaterialized = sql(
+    "dedup_simhash_recall_materialized",
+    s"""WITH $shinglesSql,
+       |$allpairsFromShSqlCte,
+       |${simhashPairsSqlWith("sx")},
+       |caught AS (SELECT count(*) AS n_caught
+       |           FROM apairs a JOIN sxpairs p ON p.da = a.da AND p.db = a.db),
+       |tot AS (SELECT count(*) AS n_true FROM apairs),
+       |nc AS (SELECT count(*) AS n_candidates FROM sxpairs)
+       |SELECT CAST(n_true AS BIGINT) AS n_true,
+       |       CAST(n_candidates AS BIGINT) AS n_candidates,
+       |       CAST(n_caught AS BIGINT) AS n_caught,
+       |       round(n_caught * 1.0 / n_true, 4) AS recall
+       |FROM tot CROSS JOIN nc CROSS JOIN caught""".stripMargin) { (s, d) =>
+    val sh = snapshotOnce(s, d, "shingle-index")(
+      shingles(s, d).repartition(col("doc_id")))
+    val exact = snapshotOnce(s, d, "allpairs-exact")(
+      allpairsOver(sh).select("da", "db").repartition(col("da")))
+    val sp = simhashPairsDf(s, d).select("da", "db")
+    val caught = exact.join(sp, Seq("da", "db"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    val tot = exact.agg(count(lit(1)).as("n_true"))
+    val nc = sp.agg(count(lit(1)).as("n_candidates"))
+    tot.crossJoin(broadcast(nc)).crossJoin(broadcast(caught))
+      .select(col("n_true"), col("n_candidates"), col("n_caught"),
+        round(col("n_caught") * lit(1.0) / col("n_true"), 4).as("recall"))
+  }
+
   /** Unigram LM quality score — mean surprisal −ln p(tok) under the
     * corpus unigram MLE, the cheap language-model quality proxy used to
     * rank/filter documents before training (gibberish and boilerplate
@@ -4102,7 +4137,8 @@ object TextOps {
     textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
     dedupContainment, dedupAllpairs, dedupMinhashRecall,
-    dedupMinhashRecallMaterialized, dedupSimhashRecall, textBigramTopk, corpusDupStats,
+    dedupMinhashRecallMaterialized, dedupSimhashRecall,
+    dedupSimhashRecallMaterialized, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
     dedupMinhashEst, corpusCurationFunnel, dedupCrossSource, textWinnowing,
     textParagraphFilter,
