@@ -1045,6 +1045,29 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(finalPlanSection("sim_kcenter_init")).length >= 3,
       "each greedy round must broadcast the 16-row center frame")
   }
+
+  test("sim_mrl_adaptive: both funnel stages are TakeOrderedAndProject, candidates broadcast") {
+    // coarse stage: truncated-dim scan + top-50 cut; fine stage: 50-row
+    // candidate list broadcast back onto the corpus scan + top-10 cut —
+    // neither stage may global-sort, and the rerank join must not shuffle
+    // the corpus side
+    val plan = executedPlan("sim_mrl_adaptive")
+    assert(plan.contains("TakeOrderedAndProject"), "funnel stages must not global-sort")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the 50-row candidate list must ride broadcast into the rerank")
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere in the funnel")
+  }
+
+  test("cv_pose_peaks: the peak UDF chain is a narrow map (single exchange for the gate sort)") {
+    // stub decode -> blur -> peak detect all happen per-row inside the
+    // UDF; the only acceptable exchange is the final deterministic ORDER
+    // BY the correctness gate requires
+    val plan = finalPlanSection("cv_pose_peaks")
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx <= 1, s"peak pipeline must not shuffle beyond the gate sort ($nEx exchanges)")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "no join belongs in the per-row peak pipeline")
+  }
 }
 
 object PlanSpec {
