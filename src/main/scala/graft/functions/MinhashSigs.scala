@@ -37,8 +37,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinhashSigs(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
-  require(numHashes >= 1 && numHashes <= 16,
-    "numHashes must be in [1,16] (md5 is 16 bytes = 16 2-byte windows)")
+  require(numHashes >= 1 && numHashes <= 8,
+    "numHashes must be in [1,8] (md5 is 16 bytes = 8 2-byte windows)")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

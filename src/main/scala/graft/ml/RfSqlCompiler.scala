@@ -46,7 +46,13 @@ object RfSqlCompiler {
     * exact integers, order-insensitive). */
   private def treeExpr(t: GTree, c: Int, feat: Int => String): String = t match {
     case GLeaf(stats) =>
-      s"${fmt(stats(c))} / ${fmt(stats.sum)}"
+      // predictRaw skips a tree whose leaf class-count total is 0
+      // (`if (total != 0)`); stats are compile-time literals, so the skip
+      // compiles to a plain 0 contribution instead of a 0/0 division that
+      // would error under ANSI/DuckDB where Spark scores fine. Fitted
+      // leaves always carry >=1 sample, so this is the latent edge only.
+      if (stats.sum == 0.0) "0.0E0"
+      else s"${fmt(stats(c))} / ${fmt(stats.sum)}"
     case GSplit(fi, thr, l, r) =>
       s"CASE WHEN ${feat(fi)} <= ${fmt(thr)} " +
         s"THEN ${treeExpr(l, c, feat)} ELSE ${treeExpr(r, c, feat)} END"
