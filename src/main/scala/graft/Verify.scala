@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // sfDir hint for cold-start oracle resolution (ml_rf_score's persisted
+    // compiled-forest SQL is keyed by sfDir; see QuarterPrediction)
+    System.setProperty("graft.sf.dir", sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -122,19 +122,32 @@ object QuarterPrediction {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[String, PipelineModel]
 
-  /** The most recently trained pipeline — the model the RF oracle SQL
-    * compiles. Within one Verify/Bench run there is exactly one sfDir, so
-    * this is the model whose scores the oracle must replay. */
-  private val lastModel =
-    new java.util.concurrent.atomic.AtomicReference[PipelineModel]()
+  /** The key of the most recently trained sfDir — the model whose scores
+    * the oracle must replay. Within one Verify/Bench run there is exactly
+    * one sfDir, so "last" is unambiguous there. */
+  private val lastKey =
+    new java.util.concurrent.atomic.AtomicReference[String]()
 
-  /** Oracle SQL for `ml_rf_score`, compiled from the trained forest —
-    * available only once `trainAndScore` has run (the driver's Verify runs
-    * every query BEFORE dumping oracle_sql.json, so the model for its
-    * sfDir is always cached by then; before any run the query falls back
-    * to the rows-only check it always had). See [[RfSqlCompiler]] for the
-    * replay contract. */
-  def rfScoreOracleSql: Option[String] = Option(lastModel.get()).map { pm =>
+  /** Compiled oracle SQL per sfDir key, filled at train time (in-memory
+    * twin of the on-disk [[persistRoot]] files). */
+  private val compiledSqlCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** On-disk home of the compiled-forest oracle SQL: training is seeded
+    * and the training frame is deterministic per sfDir, so a persisted
+    * compilation is byte-identical to a fresh one for the same sfDir —
+    * a pure cache, keyed by the full (sanitized) sfDir path. Overridable
+    * for test isolation. */
+  private def persistRoot: String =
+    sys.env.getOrElse("GRAFT_ML_STATE", "ml-state")
+  private def sfKey(sfDir: String): String =
+    new java.io.File(sfDir).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def oraclePath(key: String) =
+    java.nio.file.Paths.get(persistRoot, s"rf_oracle_$key.sql")
+
+  /** Compiles the fitted pipeline's forest into the full `ml_rf_score`
+    * oracle SQL. See [[RfSqlCompiler]] for the replay contract. */
+  private def compileOracle(pm: PipelineModel): String = {
     val rf = pm.stages(2)
       .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
     val nCat = pm.stages(0)
@@ -152,6 +165,39 @@ object QuarterPrediction {
        |${RfSqlCompiler.scoreSelectSql(rf, feat, "base")}""".stripMargin
   }
 
+  /** Cold-start fallback: the persisted compilation, but ONLY when the
+    * right sfDir is unambiguous — the env hint (`SPARK_GRAFT_SF_DIR`,
+    * which Bench always has) or a persistRoot holding exactly one key.
+    * Ambiguity degrades to None (the rows-only check), never to a
+    * wrong-sfDir oracle that would hash-mismatch a correct result. */
+  private def loadPersisted(): Option[String] = {
+    val dir = new java.io.File(persistRoot)
+    val files = Option(dir.list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("rf_oracle_") && n.endsWith(".sql")).sorted
+    val hint = sys.props.get("graft.sf.dir") // set by Verify from its arg
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")) // set for Bench by the driver
+    val chosen = hint.map(sfKey) match {
+      case Some(k) if files.contains(s"rf_oracle_$k.sql") => Some(s"rf_oracle_$k.sql")
+      case Some(_) => None // hinted sfDir has no persisted compilation
+      case None => if (files.length == 1) Some(files.head) else None
+    }
+    chosen.map { f =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(persistRoot, f)), "UTF-8")
+    }
+  }
+
+  /** Oracle SQL for `ml_rf_score`. In-JVM: available once `trainAndScore`
+    * has run (the driver's Verify runs every query BEFORE dumping
+    * oracle_sql.json, so the model for its sfDir is always compiled by
+    * then). Cold start (round-9 VERDICT #4): falls back to the SQL
+    * persisted at the last train for the same sfDir — so a fresh JVM that
+    * never trains still dumps the full oracle instead of silently
+    * degrading to rows-only. */
+  def rfScoreOracleSql: Option[String] =
+    Option(lastKey.get()).flatMap(compiledSqlCache.get)
+      .orElse(try loadPersisted() catch { case _: Throwable => None })
+
   /** End-to-end: train on the sfDir tables (once per process, Q2), score
     * the full frame, emit the observable columns. Deterministic under the
     * fixed seed. */
@@ -162,13 +208,41 @@ object QuarterPrediction {
       // at-scale pattern (the model doesn't need 100 TB of rows; scoring is
       // a narrow map over all of them). Sample is keyed, not random: stable
       // across runs and engines.
-      // coalesce the (small) training side: RF's per-iteration tree
-      // aggregations pay per-partition overhead, which dominates when the
-      // sample is thousands of rows spread over 32 partitions
-      val trainDf = df.filter(pmod(col("rowId"), lit(10)) === 0).coalesce(4).cache()
+      // Pin the training-side LAYOUT, not just its rows: MLlib RF's
+      // split-finding samples per partition, so the fitted trees depend on
+      // partition count AND per-partition row order. `coalesce(4)` (round
+      // 9) inherited whatever layout the ambient session produced — AQE
+      // on/off flipped the upstream aggregate's partitioning and yielded a
+      // deterministic-but-DIFFERENT model (caught by the DeterminismSpec
+      // golden pin when PlanBudgetSpec, which measures plans AQE-off,
+      // trained first). repartition(4, rowId) + sortWithinPartitions is
+      // bit-stable under any session config: hash placement and in-
+      // partition order both derive from the unique key alone. The 4-way
+      // repartition also keeps the round-9 win (per-iteration tree-agg
+      // overhead on a thousands-of-rows sample).
+      val trainDf = df.filter(pmod(col("rowId"), lit(10)) === 0)
+        .repartition(4, col("rowId"))
+        .sortWithinPartitions("rowId")
+        .cache()
       train(if (trainDf.isEmpty) df else trainDf)
     })
-    lastModel.set(model)
+    val key = sfKey(sfDir)
+    compiledSqlCache.getOrElseUpdate(key, {
+      val sqlText = compileOracle(model)
+      // best-effort persist: the compilation is deterministic per sfDir
+      // (seeded training over a deterministic frame), so the file is a
+      // pure cache a cold JVM can trust; IO failure only costs cold-start
+      // oracle availability, never correctness
+      try {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(persistRoot))
+        java.nio.file.Files.writeString(oraclePath(key), sqlText)
+      } catch { case e: Throwable =>
+        System.err.println(s"[ml] rf oracle persist failed: ${e.getMessage}")
+      }
+      sqlText
+    })
+    lastKey.set(key)
     score(model, df)
       .select("rowId", "winPeriod", "prediction", "prob", "msg")
       .orderBy("rowId")

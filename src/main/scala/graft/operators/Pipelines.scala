@@ -6,8 +6,10 @@ import graft.core.QueryDef.{rowsOnly, sql}
 import graft.cv.PlayerIdent
 import graft.ml.QuarterPrediction
 
-/** The reference's two end-to-end pipelines as declared queries (rows-only
-  * checks — RF scoring and the CV UDF chain are not SQL-expressible).
+/** The reference's two end-to-end pipelines as declared queries — BOTH
+  * oracle-checked: the CV UDF chain is replayed stage-for-stage in DuckDB
+  * ([[CvOracle]]), and the trained RandomForest is compiled into
+  * nested-CASE oracle SQL ([[graft.ml.RfSqlCompiler]]).
   */
 object Pipelines {
 
@@ -50,9 +52,11 @@ object Pipelines {
     * it can evaluate one — after `trainAndScore` runs (Verify runs every
     * query before dumping oracle_sql.json), the fitted 14-tree forest is
     * compiled into nested CASE expressions that replay Spark's scoring
-    * IEEE-op-for-IEEE-op ([[graft.ml.RfSqlCompiler]]). Before any run
-    * (fresh JVM, no model) the query keeps its original rows-only check +
-    * the DeterminismSpec golden pin. */
+    * IEEE-op-for-IEEE-op ([[graft.ml.RfSqlCompiler]]). Cold start (fresh
+    * JVM, no model yet): the compilation persisted at the last train for
+    * the same sfDir is loaded from `ml-state/` — only a JVM that has
+    * NEVER trained on the target sfDir (ambiguous or absent persisted
+    * state) falls back to the rows-only check + DeterminismSpec pin. */
   def mlRfScore: QueryDef = QuarterPrediction.rfScoreOracleSql match {
     case Some(sqlText) =>
       sql("ml_rf_score", sqlText)((s, d) => QuarterPrediction.trainAndScore(s, d))

@@ -19,8 +19,14 @@ import graft.core.Tables
   * (computed by [[GoldenDump]]; the RF fit is fully seeded). Re-pin ONLY
   * in a commit that deliberately changes the model. */
 object RfGolden {
+  // re-pinned in round 10 with the deliberate training-layout change:
+  // trainDf is now repartition(4, rowId) + sortWithinPartitions (bit-
+  // stable under any ambient session config) instead of coalesce(4)
+  // (which inherited AQE-dependent upstream partitioning — MLlib RF
+  // split-finding samples per partition, so the old pin was only valid
+  // for AQE-on-first-train suite orders)
   val rows = 1473L
-  val md5 = "a76394b557fbef2b9f0ece6a2e87ee7b"
+  val md5 = "0d19350294fac2974935885afd3a3c57"
 }
 
 /** Pinned golden canonical output of `cv_player_pipeline` at sf0.001
