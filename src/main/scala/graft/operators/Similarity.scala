@@ -643,6 +643,25 @@ object Similarity {
     * the sharded path's structure. */
   private[graft] val CellShardCap = 1024L
 
+  /** One within-cell top-k ranking CTE chain ending in `rk<sfx>(src, dst,
+    * cos, rn)` — cap-parameterized so the shard-recall certificate can
+    * instantiate a forced-low-cap chain and an effectively-uncapped chain
+    * side by side in one WITH (suffix keeps the CTE names disjoint). */
+  private def knnRankedSqlCteFor(cap: Long, sfx: String): String =
+    s"""ksz$sfx AS (SELECT cell, (count(*) + ${cap - 1}) // $cap AS s
+       |        FROM assign GROUP BY cell),
+       |emb2$sfx AS (SELECT e.vec_id, e.embedding, a.cell, e.vec_id % z.s AS shard,
+       |                sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+       |         FROM embeddings e JOIN assign a USING (vec_id)
+       |         JOIN ksz$sfx z USING (cell)),
+       |pr$sfx AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |              round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
+       |       FROM emb2$sfx a JOIN emb2$sfx b ON a.cell = b.cell AND a.shard = b.shard
+       |        AND a.vec_id <> b.vec_id),
+       |rk$sfx AS (SELECT src, dst, cos,
+       |              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rn
+       |       FROM pr$sfx)""".stripMargin
+
   /** SQL CTE chain ending in `rk(src, dst, cos, rn)` — the within-cell
     * top-k cosine ranking shared by `sim_knn_graph` (which emits it) and
     * `graph_pagerank` (which walks it as an edge list). Candidates join
@@ -650,39 +669,63 @@ object Similarity {
     * whenever the cell is within [[CellShardCap]]. */
   private val knnRankedSqlCte: String =
     s"""$ivfAssignSqlCte,
-       |ksz AS (SELECT cell, (count(*) + ${CellShardCap - 1}) // $CellShardCap AS s
-       |        FROM assign GROUP BY cell),
-       |emb2 AS (SELECT e.vec_id, e.embedding, a.cell, e.vec_id % z.s AS shard,
-       |                sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-       |         FROM embeddings e JOIN assign a USING (vec_id)
-       |         JOIN ksz z USING (cell)),
-       |pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |              round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
-       |       FROM emb2 a JOIN emb2 b ON a.cell = b.cell AND a.shard = b.shard
-       |        AND a.vec_id <> b.vec_id),
-       |rk AS (SELECT src, dst, cos,
-       |              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rn
-       |       FROM pr)""".stripMargin
+       |${knnRankedSqlCteFor(CellShardCap, "")}""".stripMargin
 
   /** Spark side of `rk`: (src, dst, cos, rn), unfiltered. `cap` defaults
     * to [[CellShardCap]]; SimilaritySpec lowers it to prove the sharded
-    * path's structure on the real corpus. */
+    * path's structure on the real corpus.
+    *
+    * Plan choice (round-10: the sharding machinery must not tax the
+    * common case): ONE scalar probe — max cell size, a k-row aggregate,
+    * the standard statistics pass before a physical-plan decision, never
+    * corpus data — picks between
+    *  - FAST PATH, every cell ≤ cap: s = 1 and shard = 0 everywhere, so
+    *    the (cell, shard) join degenerates to a join on cell alone and
+    *    the cell-size join + shard column are dropped from the plan
+    *    entirely (they cost the three rk-chain consumers ~0.6 s flat at
+    *    sf0.1 while buying nothing);
+    *  - SHARDED PATH, any cell > cap: the full (cell, shard) candidate
+    *    join that bounds every block at cap² work (the ×32 linearity fix).
+    * Both paths produce bit-identical frames when every cell ≤ cap (shard
+    * is constant 0 there), so the shared oracle SQL — whose `ksz` CTE
+    * computes s = 1 in that regime — covers whichever path runs. */
   private[graft] def knnRankedDf(s: org.apache.spark.sql.SparkSession,
       d: String, cap: Long = CellShardCap) = {
     import org.apache.spark.sql.expressions.Window
-    val sizes = ivfAssignDf(s, d).groupBy("cell")
-      .agg(count(lit(1)).as("__n"))
-      .select(col("cell"), expr(s"(__n + ${cap - 1}) div $cap").as("s"))
-    val withCell = Tables.embeddings(s, d).join(ivfAssignDf(s, d), "vec_id")
-      .join(sizes, "cell")
-      .select(col("vec_id"), col("cell"), (col("vec_id") % col("s")).as("shard"),
-        col("embedding"), sqrt(dotCol("embedding", "embedding")).as("nrm"))
-    val a = withCell.select(col("cell"), col("shard"), col("vec_id").as("src"),
+    // assign is MATERIALIZED once (localCheckpoint, the ivfIndex/annGate
+    // discipline): it feeds the scalar plan-choice probe, the cell-size
+    // aggregate, and the candidate join — without the checkpoint each
+    // consumer would recompute the codebook fit + assignment from scratch
+    // (the probe alone made the r10 fast path a net LOSS in the A/B until
+    // this landed). Linear state: one (vec_id, cell) row per vector.
+    val assign = ivfAssignDf(s, d).localCheckpoint()
+    val maxCellRow = assign.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).first()
+    val maxCell = if (maxCellRow.isNullAt(0)) 0L else maxCellRow.getLong(0)
+    val withCell =
+      if (maxCell <= cap)
+        Tables.embeddings(s, d).join(assign, "vec_id")
+          .select(col("vec_id"), col("cell"), col("embedding"),
+            sqrt(dotCol("embedding", "embedding")).as("nrm"))
+      else {
+        val sizes = assign.groupBy("cell")
+          .agg(count(lit(1)).as("__n"))
+          .select(col("cell"), expr(s"(__n + ${cap - 1}) div $cap").as("s"))
+        Tables.embeddings(s, d).join(assign, "vec_id")
+          .join(sizes, "cell")
+          .select(col("vec_id"), col("cell"),
+            (col("vec_id") % col("s")).as("shard"),
+            col("embedding"), sqrt(dotCol("embedding", "embedding")).as("nrm"))
+      }
+    val joinKeys = if (maxCell <= cap) Seq("cell") else Seq("cell", "shard")
+    val aCols = joinKeys.map(col) ++ Seq(col("vec_id").as("src"),
       col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withCell.select(col("cell"), col("shard"), col("vec_id").as("dst"),
+    val bCols = joinKeys.map(col) ++ Seq(col("vec_id").as("dst"),
       col("embedding").as("eb"), col("nrm").as("nb"))
+    val a = withCell.select(aCols: _*)
+    val b = withCell.select(bCols: _*)
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    a.join(b, Seq("cell", "shard")).filter(col("src") =!= col("dst"))
+    a.join(b, joinKeys).filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round(dotCol("ea", "eb") / (col("na") * col("nb")), 4).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -701,6 +744,66 @@ object Similarity {
        |SELECT src, dst, cos, rn FROM rk WHERE rn <= 3
        |ORDER BY src, dst""".stripMargin) { (s, d) =>
     knnRankedDf(s, d).filter(col("rn") <= 3).orderBy("src", "dst")
+  }
+
+  /** Forced-low cap for the shard-recall certificate: driver cells run
+    * ~50 vectors, so cap 8 shards every cell into s≈7 sub-shards — the
+    * s>1 regime the production cap only enters at amplified scale. */
+  private[graft] val ShardRecallCap = 8L
+  /** "Uncapped" side of the certificate: far above any conceivable cell
+    * size, so s = 1 everywhere and the chain is the exact within-cell
+    * kNN. */
+  private val NoShardCap = 1000000000L
+
+  /** SUB-SHARD RECALL CERTIFICATE (round-9 VERDICT #1 — the one scale
+    * trade that was asserted, not measured): above [[CellShardCap]] a
+    * vector's true within-cell nearest neighbor can sit in a sibling
+    * sub-shard and is silently not a candidate. This prices that trade
+    * the same way `dedup_minhash_recall` prices the LSH band-bucket
+    * trade: pair-level recall@3 of the SHARDED within-cell kNN versus the
+    * UNSHARDED exact within-cell kNN, on the driver corpus with the cap
+    * forced to [[ShardRecallCap]] so every cell genuinely splits (s≈7 —
+    * the s>1 regime). `n_exact` counts the exact top-3 pairs, `n_hit`
+    * those the sharded chain retains; both sides rank the 4-dp-rounded
+    * cosine with dst tie-break, so the sets are bit-identical across
+    * engines and recall is exact integer arithmetic until the final
+    * division.
+    *
+    * READING THE NUMBER: modulo sharding splits a cell into s
+    * pseudo-random groups, so an exact top-3 neighbor survives only when
+    * it lands in the source's sub-shard — expected recall ≈ 1/s. Measured
+    * sf0.01 (s≈7): 219/1500 = 0.146 ≈ 1/7 — the trade is exactly as
+    * predicted, not worse. The operational conclusion this certificate
+    * encodes: sub-sharding is the SAFETY VALVE that keeps the plan linear
+    * when cells overflow the cap, not a steady-state quality plan — at
+    * production scale the codebook must grow with the corpus (k ∝ n/cap)
+    * so cells stay under the cap and s stays 1, and the certificate is
+    * the alarm that fires (recall << 1) if that sizing discipline slips.
+    * The amplified-corpus twin (ScaleProbe's shard-recall probe at the
+    * REAL cap, where s>1 arises from data volume rather than a forced
+    * knob) lands in BENCH_SCALE.json. */
+  val simKnnShardRecall = sql(
+    "sim_knn_shard_recall",
+    s"""WITH $ivfAssignSqlCte,
+       |${knnRankedSqlCteFor(ShardRecallCap, "_s")},
+       |${knnRankedSqlCteFor(NoShardCap, "_x")},
+       |top_s AS (SELECT src, dst FROM rk_s WHERE rn <= 3),
+       |top_x AS (SELECT src, dst FROM rk_x WHERE rn <= 3),
+       |hit AS (SELECT count(*) AS n_hit
+       |        FROM top_s JOIN top_x USING (src, dst)),
+       |tot AS (SELECT count(*) AS n_exact FROM top_x)
+       |SELECT n_exact, n_hit,
+       |       round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall_at3
+       |FROM tot, hit""".stripMargin) { (s, d) =>
+    val exact = knnRankedDf(s, d, cap = NoShardCap)
+      .filter(col("rn") <= 3).select("src", "dst")
+    val sharded = knnRankedDf(s, d, cap = ShardRecallCap)
+      .filter(col("rn") <= 3).select("src", "dst")
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    val hit = exact.join(sharded, Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_hit"))
+    tot.crossJoin(hit).select(col("n_exact"), col("n_hit"),
+      round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall_at3"))
   }
 
   /** HARD-NEGATIVE MINING — the contrastive-training composition over the
@@ -2566,7 +2669,8 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     simTopK, simFilteredTopk, simIvfAssign, simIvfTopk, simIvfTopkMp, simIvfBatchTopk, simMmrRerank, simIvfRecall,
-    simIvfRecallMp, simNearDup, simKnnGraph, simHardNegatives, simMarginMine,
+    simIvfRecallMp, simNearDup, simKnnGraph, simKnnShardRecall,
+    simHardNegatives, simMarginMine,
     graphTriangles, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
     simRangeSearch, simIvfBuild, simTruncRecall, simMrlAdaptive, graphPagerank, embDimStats,
