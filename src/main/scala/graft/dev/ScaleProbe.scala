@@ -37,10 +37,16 @@ object ScaleProbe {
 
   val Scales = Seq(1, 8, 32)
   /** Headliners of the three families whose linearity the repo claims,
-    * plus the flagship 5-stage curation e2e and the BPE apply chain. */
+    * plus the flagship 5-stage curation e2e and the BPE apply chain —
+    * and (round 10) the iterative/driver-loop shapes where super-linear
+    * cost hides: fixed-round graph iterations (pagerank, label-prop),
+    * power iteration (PCA), the N-round BPE trainer's per-round corpus
+    * passes, and the span-remove rewrite chain. */
   val Probes = Seq("dedup_clusters", "dedup_allpairs", "corpus_dup_stats",
     "sim_ivfpq_adc", "graph_triangles", "corpus_curation_e2e",
-    "text_bpe_apply")
+    "text_bpe_apply",
+    "graph_pagerank", "graph_label_prop", "emb_pca_power",
+    "text_bpe_train_n5", "dedup_span_remove")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -87,11 +93,41 @@ object ScaleProbe {
       name -> (ts.map(_._2), slope)
     }
 
+    // SHARD-RECALL at the REAL cap (round-9 VERDICT #1, amplified twin of
+    // the sim_knn_shard_recall certificate): the amplified corpora push
+    // cells past CellShardCap naturally (×8: ~1600/cell → s=2; ×32:
+    // ~6400/cell → s=7), so this measures what production sub-sharding
+    // actually costs in pair-level recall@3 — expected ≈ 1/s by the
+    // modulo-sharding argument the certificate's scaladoc spells out.
+    // The ×32 exact side is the deliberate one-off quadratic (Σ cell²
+    // ground truth) the capped plan exists to avoid; it runs here, once,
+    // off the sweep path, exactly like dedup's AllPairs ground truth.
+    val recalls = Seq(8, 32).map { k =>
+      val d = dirs(k)
+      spark.catalog.clearCache()
+      val exact = graft.operators.Similarity
+        .knnRankedDf(spark, d, cap = 1000000000L)
+        .filter(col("rn") <= 3).select("src", "dst")
+      val sharded = graft.operators.Similarity.knnRankedDf(spark, d)
+        .filter(col("rn") <= 3).select("src", "dst")
+      val row = exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(exact.join(sharded, Seq("src", "dst"))
+          .agg(count(lit(1)).as("n_hit")))
+        .first()
+      val (nx, nh) = (row.getLong(0), row.getLong(1))
+      val rec = if (nx == 0) 1.0 else nh.toDouble / nx
+      println(f"[scaleprobe] shard_recall x$k%-2d: $nh/$nx = $rec%.4f")
+      k -> (nx, nh, rec)
+    }
+
     def j(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val recallJson = recalls.map { case (k, (nx, nh, rec)) =>
+      s""""x$k":{"n_exact":$nx,"n_hit":$nh,"recall_at3":${j(rec)}}"""
+    }.mkString("{", ",", "}")
     val json = rows.map { case (name, (ts, slope)) =>
       s""""$name":{"t":[${ts.map(j).mkString(",")}],"exponent":${j(slope)}}"""
     }.mkString(
-      s"""{"base":"$base","scales":[${Scales.mkString(",")}],"queries":{""",
+      s"""{"base":"$base","scales":[${Scales.mkString(",")}],"shard_recall":$recallJson,"queries":{""",
       ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SCALE.json"), json + "\n")
@@ -133,6 +169,25 @@ object ScaleProbe {
         jittered.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
     amplEmb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // Probes run arbitrary SparkEntry queries against the amplified dir;
+    // a probe that touches any OTHER table must not die on path-not-found.
+    // Those tables are carried over VERBATIM (1×) with a loud warning:
+    // a probe whose cost is dominated by an unamplified table measures a
+    // flat exponent, which is a statement about the probe choice, not the
+    // plan — the warning is what keeps that from being misread.
+    val amplified = Set("documents.parquet", "embeddings.parquet")
+    val baseDir = new java.io.File(base)
+    val others = Option(baseDir.list()).getOrElse(Array.empty[String])
+      .filter(n => n.endsWith(".parquet") && !amplified(n)).sorted
+    others.foreach { n =>
+      spark.read.parquet(s"$base/$n").write.mode("overwrite").parquet(s"$out/$n")
+    }
+    if (others.nonEmpty)
+      System.err.println(
+        s"[scaleprobe] carried over UNAMPLIFIED (1x) into $out: " +
+          others.mkString(", ") +
+          " — probes dominated by these tables measure nothing about scale")
     out
   }
 }
