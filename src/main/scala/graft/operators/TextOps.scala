@@ -3349,59 +3349,64 @@ object TextOps {
     * islands of consecutive matches + even-offset parity reproduce the
     * left-to-right non-overlapping scan ("aaaa" → [aa][aa], "aaa" →
     * [aa][a]) without any sequential fold. */
-  private def bpeRoundSql(r: Int): String = {
-    val (s, s1) = (s"seg$r", s"seg${r + 1}")
+  private def bpeRoundSql(r: Int, sfx: String = ""): String = {
+    val (s, s1) = (s"seg$sfx$r", s"seg$sfx${r + 1}")
     // MATERIALIZED is the oracle-side twin of the Spark loop's
     // localCheckpoint: each round references the previous segmentation
     // ~10×, so DuckDB's default CTE inlining re-expands the base subtree
     // ~10^N times — N=5 exhausted the fd limit on parquet opens before it
     // could even run. Materializing pr/bt/$s1 keeps the oracle linear in N
     // exactly as the checkpoint keeps the Spark plan linear in N.
-    s"""pr$r AS MATERIALIZED (
+    s"""pr$sfx$r AS MATERIALIZED (
        |         SELECT x.word, x.n, x.i, x.sym AS a, y.sym AS b
        |         FROM $s x JOIN $s y ON x.word = y.word AND y.i = x.i + 1),
-       |bt$r AS MATERIALIZED (
+       |bt$sfx$r AS MATERIALIZED (
        |         SELECT a, b, c FROM
-       |           (SELECT a, b, sum(n) AS c FROM pr$r GROUP BY a, b)
+       |           (SELECT a, b, sum(n) AS c FROM pr$sfx$r GROUP BY a, b)
        |         ORDER BY c DESC, a, b LIMIT 1),
-       |mp$r AS (SELECT p.word, p.i FROM pr$r p
-       |         JOIN bt$r t ON p.a = t.a AND p.b = t.b),
-       |il$r AS (SELECT word, i,
+       |mp$sfx$r AS (SELECT p.word, p.i FROM pr$sfx$r p
+       |         JOIN bt$sfx$r t ON p.a = t.a AND p.b = t.b),
+       |il$sfx$r AS (SELECT word, i,
        |                i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
-       |         FROM mp$r),
-       |sl$r AS (SELECT word, i FROM
+       |         FROM mp$sfx$r),
+       |sl$sfx$r AS (SELECT word, i FROM
        |           (SELECT word, i,
        |                   i - min(i) OVER (PARTITION BY word, grp) AS off
-       |            FROM il$r) WHERE off % 2 = 0),
-       |rb$r AS (SELECT g.word, g.n, g.i,
+       |            FROM il$sfx$r) WHERE off % 2 = 0),
+       |rb$sfx$r AS (SELECT g.word, g.n, g.i,
        |                CASE WHEN m1.i IS NOT NULL THEN t.a || t.b
        |                     WHEN m2.i IS NOT NULL THEN NULL
        |                     ELSE g.sym END AS sym
-       |         FROM $s g CROSS JOIN bt$r t
-       |         LEFT JOIN sl$r m1 ON g.word = m1.word AND g.i = m1.i
-       |         LEFT JOIN sl$r m2 ON g.word = m2.word AND g.i = m2.i + 1),
+       |         FROM $s g CROSS JOIN bt$sfx$r t
+       |         LEFT JOIN sl$sfx$r m1 ON g.word = m1.word AND g.i = m1.i
+       |         LEFT JOIN sl$sfx$r m2 ON g.word = m2.word AND g.i = m2.i + 1),
        |$s1 AS MATERIALIZED (
        |        SELECT word, n,
        |               CAST(row_number() OVER (PARTITION BY word ORDER BY i)
        |                    AS BIGINT) AS i, sym
-       |        FROM rb$r WHERE sym IS NOT NULL)""".stripMargin
+       |        FROM rb$sfx$r WHERE sym IS NOT NULL)""".stripMargin
   }
 
   /** The shared oracle-SQL prefix of every BPE query: word-frequency
     * vocabulary + initial character segmentation + N chained merge-round
     * CTEs. The generator scales with the driver loop in [[bpeRoundsN]] —
     * one N, both engines. */
-  private def bpeBaseSql(nRounds: Int): String =
-    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+  private def bpeCtesFor(nRounds: Int, sfx: String, docWhere: String): String = {
+    val where = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
+    s"""w$sfx AS (SELECT word, CAST(count(*) AS BIGINT) AS n
        |           FROM (SELECT unnest(string_split(text, ' ')) AS word
-       |                 FROM documents)
+       |                 FROM documents$where)
        |           WHERE word <> '' GROUP BY word),
-       |seg1 AS (SELECT word, n,
+       |seg${sfx}1 AS (SELECT word, n,
        |                CAST(unnest(range(1, len(word) + 1)) AS BIGINT) AS i,
        |                substr(word, CAST(unnest(range(1, len(word) + 1)) AS INT), 1)
        |                  AS sym
-       |         FROM w),
-       |${(1 to nRounds).map(bpeRoundSql).mkString(",\n")}""".stripMargin
+       |         FROM w$sfx),
+       |${(1 to nRounds).map(bpeRoundSql(_, sfx)).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeBaseSql(nRounds: Int): String =
+    s"WITH ${bpeCtesFor(nRounds, "", "")}"
 
   /** The trainer's merge-table SELECT over N rounds' bt CTEs. */
   private def bpeTrainSql(nRounds: Int): String =
@@ -3460,11 +3465,66 @@ object TextOps {
     bpeTrainFrame(s, d, 5)
   }
 
+  /** SAMPLED-TRAINER CERTIFICATE (round-9 VERDICT #3, the BPE deploy
+    * shape): at 100 TB nobody trains a tokenizer on the firehose — you
+    * train on a deterministic hash-sample and APPLY to everything
+    * (`text_bpe_apply` is the apply side). This query prices that shape
+    * the way the recall certificates price theirs: the merge table
+    * trained on the doc_id % 4 == 0 key-sample (deterministic,
+    * reproducible, engine-independent — the `sample_hash` discipline)
+    * joined round-for-round against the full-corpus merge table, with an
+    * `agree` flag per round. Both chains run the SAME round machinery
+    * ([[bpeMergeRound]] / [[bpeRoundSql]] — one generator, two
+    * instantiations), so the only degree of freedom is the sample itself.
+    * Pair counts are included on both sides: where the rounds agree the
+    * sampled count ≈ 1/4 the full count shows the sample measured the
+    * same distribution; where they disagree the counts show WHY — on this
+    * synthetic corpus the top pairs are near-ties (round 2 full: `in`
+    * 2760 vs `ow` 2747, a 0.5% gap), so a 25% sample legitimately flips
+    * the winner. That IS the certificate's finding: sample-training is
+    * faithful exactly to the extent the merge distribution is separated,
+    * and the emitted counts let an operator see the separation margin
+    * instead of trusting a yes/no flag.
+    *
+    * Scale shape: two vocabulary-sized trainer chains (the sampled one
+    * over ~1/4 the corpus scan), one N-row join at the end — strictly
+    * cheaper than 2× `text_bpe_train`. */
+  val textBpeTrainSampled = sql(
+    "text_bpe_train_sampled",
+    s"""WITH ${bpeCtesFor(3, "", "")},
+       |${bpeCtesFor(3, "smp", "doc_id % 4 = 0")}
+       |SELECT f.round, f.a, f.b, CAST(f.c AS BIGINT) AS pair_count,
+       |       s.a AS a_sampled, s.b AS b_sampled,
+       |       CAST(s.c AS BIGINT) AS pair_count_sampled,
+       |       (f.a = s.a AND f.b = s.b) AS agree
+       |FROM (${(1 to 3).map(r => s"SELECT $r AS round, * FROM bt$r")
+                .mkString("\n      UNION ALL ")}) f
+       |JOIN (${(1 to 3).map(r => s"SELECT $r AS round, * FROM btsmp$r")
+                .mkString("\n      UNION ALL ")}) s
+       |  USING (round)
+       |ORDER BY round""".stripMargin) { (s, d) =>
+    def table(bts: Seq[org.apache.spark.sql.DataFrame]) =
+      bts.zipWithIndex.map { case (bt, idx) =>
+        bt.select(lit(idx + 1).as("round"), col("a"), col("b"),
+          col("c").cast("long"))
+      }.reduce(_ unionByName _)
+    val full = table(bpeRoundsN(s, d, 3)._1)
+      .toDF("round", "a", "b", "pair_count")
+    val sampled = table(bpeRoundsN(s, d, 3, col("doc_id") % 4 === 0)._1)
+      .toDF("round", "a_sampled", "b_sampled", "pair_count_sampled")
+    full.join(sampled, "round")
+      .withColumn("agree",
+        col("a") === col("a_sampled") && col("b") === col("b_sampled"))
+      .orderBy("round")
+  }
+
   /** Initial character segmentation over the word-type vocabulary:
     * (word, n, i, sym). */
-  private[graft] def bpeSeg1(s: org.apache.spark.sql.SparkSession, d: String)
+  private[graft] def bpeSeg1(s: org.apache.spark.sql.SparkSession, d: String,
+      docFilter: org.apache.spark.sql.Column = lit(true))
       : org.apache.spark.sql.DataFrame = {
     val w = Tables.documents(s, d)
+      .filter(docFilter)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -3531,9 +3591,10 @@ object TextOps {
     * iterative-algorithm pattern (ALS/GraphX do the same).
     * Returns (bt per round, final segmentation). */
   private[graft] def bpeRoundsN(s: org.apache.spark.sql.SparkSession,
-      d: String, nRounds: Int)
+      d: String, nRounds: Int,
+      docFilter: org.apache.spark.sql.Column = lit(true))
       : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
-    var seg = bpeSeg1(s, d).localCheckpoint()
+    var seg = bpeSeg1(s, d, docFilter).localCheckpoint()
     val bts = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]
     (1 to nRounds).foreach { _ =>
@@ -4127,7 +4188,7 @@ object TextOps {
     textUnigramViterbi, textSkipgramPairs, textNegativeTable, textSpanCorruption,
     textWordpieceVocab, textWordpieceSegment,
     textSubstringDup, dedupSpanRemove, corpusDedupYield, textBigramKn, dedupParetoTopk,
-    textBpeTrain, textBpeTrainN5, textBpeApply,
+    textBpeTrain, textBpeTrainN5, textBpeTrainSampled, textBpeApply,
     textEntropy, dedupTopClusters, textZipfFit, dedupSimhashPrec,
     dedupSimhashPrecMaterialized,
     textStats, textLangId, textFingerprint,
