@@ -83,7 +83,12 @@ object ExplainDump {
     "dedup_canonical_quality" -> ("Survivorship without a window: best-" +
       "member selection is two partial-aggregable aggregates (max quality, " +
       "min id among maximal) + an equi-join back — a mega-cluster never " +
-      "funnels through one partition."))
+      "funnels through one partition."),
+    "sim_knn_graph" -> ("Within-cell kNN on the s=1 FAST PATH (round 10): " +
+      "the scalar max-cell probe found every cell under CellShardCap, so " +
+      "the candidate join keys on cell alone — no cell-size join, no shard " +
+      "column — over the localCheckpointed assignment; the sharded " +
+      "(cell, shard) plan only materializes when a cell overflows the cap."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
