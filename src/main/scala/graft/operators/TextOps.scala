@@ -3508,9 +3508,26 @@ object TextOps {
         bt.select(lit(idx + 1).as("round"), col("a"), col("b"),
           col("c").cast("long"))
       }.reduce(_ unionByName _)
-    val full = table(bpeRoundsN(s, d, 3)._1)
+    // ONE corpus scan feeds BOTH trainers: the word-frequency aggregate
+    // carries the full count and the sampled-subset count side by side
+    // (vocabulary-sized, checkpointed once), and each chain segments its
+    // own view — at 100 TB this halves the corpus reads of the
+    // certificate without touching either trainer's arithmetic (the
+    // sampled chain sees exactly the doc_id % 4 == 0 counts it would
+    // have computed from its own scan; hash-identical to the two-scan
+    // formulation, which remains the oracle's shape).
+    val w2 = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") % 4 === 0, 1L).otherwise(0L)).as("n_smp"))
+      .localCheckpoint()
+    val full = table(bpeRoundsFromSeg1(
+        segOfW(w2.select(col("word"), col("n"))), 3)._1)
       .toDF("round", "a", "b", "pair_count")
-    val sampled = table(bpeRoundsN(s, d, 3, col("doc_id") % 4 === 0)._1)
+    val sampled = table(bpeRoundsFromSeg1(
+        segOfW(w2.filter(col("n_smp") > 0)
+          .select(col("word"), col("n_smp").as("n"))), 3)._1)
       .toDF("round", "a_sampled", "b_sampled", "pair_count_sampled")
     full.join(sampled, "round")
       .withColumn("agree",
@@ -3520,20 +3537,23 @@ object TextOps {
 
   /** Initial character segmentation over the word-type vocabulary:
     * (word, n, i, sym). */
-  private[graft] def bpeSeg1(s: org.apache.spark.sql.SparkSession, d: String,
-      docFilter: org.apache.spark.sql.Column = lit(true))
-      : org.apache.spark.sql.DataFrame = {
-    val w = Tables.documents(s, d)
-      .filter(docFilter)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("n"))
+  /** Character segmentation of a word-frequency table `w(word, n)`. */
+  private def segOfW(w: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     w.select(col("word"), col("n"),
       posexplode(expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
         .as(Seq("p0", "sym")))
       .select(col("word"), col("n"), (col("p0") + 1).cast("long").as("i"),
         col("sym"))
-  }
+
+  private[graft] def bpeSeg1(s: org.apache.spark.sql.SparkSession, d: String,
+      docFilter: org.apache.spark.sql.Column = lit(true))
+      : org.apache.spark.sql.DataFrame =
+    segOfW(Tables.documents(s, d)
+      .filter(docFilter)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n")))
 
   /** One BPE merge round: seg → (nextSeg, chosen merge bt(a, b, c)). The
     * plan shape is the scale contract (PlanSpec asserts it per-round):
@@ -3593,8 +3613,17 @@ object TextOps {
   private[graft] def bpeRoundsN(s: org.apache.spark.sql.SparkSession,
       d: String, nRounds: Int,
       docFilter: org.apache.spark.sql.Column = lit(true))
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) =
+    bpeRoundsFromSeg1(bpeSeg1(s, d, docFilter), nRounds)
+
+  /** The round loop over an already-built initial segmentation — split
+    * out so a caller that derives several word-frequency tables from ONE
+    * corpus scan (`text_bpe_train_sampled`) can run each chain without
+    * re-reading the corpus. */
+  private[graft] def bpeRoundsFromSeg1(seg1: org.apache.spark.sql.DataFrame,
+      nRounds: Int)
       : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
-    var seg = bpeSeg1(s, d, docFilter).localCheckpoint()
+    var seg = seg1.localCheckpoint()
     val bts = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]
     (1 to nRounds).foreach { _ =>
