@@ -136,12 +136,14 @@ object ScaleProbe {
   }
 
   /** doc_id/vec_id replica offset — far above any real id in testdata.
-    * ODD (a prime) on purpose: the kNN sub-sharding assigns `vec_id % s`,
-    * and an even offset made every jitter-twin share its original's
-    * parity — at s=2 the ×8 shard-recall measured 0.993 purely from that
-    * id-layout accident (replica twins could never cross shards). An odd
-    * offset decorrelates replica ids from any small modulus, so the
-    * amplified recall measures the sharding policy, not the amplifier. */
+    * ODD (a prime) on purpose: the round-9 kNN sub-sharding assigned
+    * `vec_id % s`, and an even offset made every jitter-twin share its
+    * original's parity — at s=2 the ×8 shard-recall measured 0.993 purely
+    * from that id-layout accident (replica twins could never cross
+    * shards). The round-10 GEOMETRIC slab split keys on the embedding
+    * itself (vec_id only tie-breaks), so no id layout can flatter it —
+    * the odd offset stays as cheap insurance against any future
+    * id-keyed policy. */
   private val IdOffset = 100000007L
 
   private def amplify(spark: SparkSession, base: String, k: Int,

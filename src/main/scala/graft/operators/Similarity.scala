@@ -629,18 +629,31 @@ object Similarity {
   }
 
   /** Bounded-block cap for the kNN candidate join: a cell with more
-    * members than this sub-shards deterministically (`vec_id % s`,
-    * s = ⌈size/cap⌉) and candidates are generated WITHIN a sub-shard
-    * only. With a fixed codebook, cell sizes grow linearly with the
+    * members than this sub-shards into s = ⌈size/cap⌉ GEOMETRIC SLABS —
+    * members ranked by their projection onto a fixed direction (the
+    * first embedding component; raw float, identical ordering on both
+    * engines, vec_id tie-break), slab = ⌊(rank−1)·s/size⌋ — and each
+    * vector's candidates are its own slab plus the two ADJACENT slabs (a
+    * ±1 multi-probe via a 3-row offset explode, so the join stays
+    * equi-key). With a fixed codebook, cell sizes grow linearly with the
     * corpus and the within-cell block join grows QUADRATICALLY — the
     * scale-probe measured graph_triangles' ×8→×32 segment at slope ~1.9
-    * before this cap (BENCH_SCALE.json). Sub-sharding bounds every block
-    * at cap² work, restoring linear total cost, at the standard ANN
-    * price: neighbors in a sibling sub-shard are not candidates (the
-    * same accepted trade as the LSH BandBucketCap's star edges). The cap
-    * sits far above every driver-testdata cell size, so oracle results
-    * are cap-invariant there; SimilaritySpec forces a low cap to prove
-    * the sharded path's structure. */
+    * before this cap (BENCH_SCALE.json). Slab sharding bounds every
+    * block at 3·cap² work, restoring linear total cost, and — unlike the
+    * round-9 `vec_id % s` split, whose recall collapsed to the 1/s floor
+    * it predicts (measured 0.16 at ×32) — keeps near neighbors
+    * co-candidate: |proj(a) − proj(b)| ≤ ‖a−b‖ for any unit direction,
+    * so close neighbors have close slab ranks and stay co-candidate
+    * unless the slab population is thinner than the neighbor distance
+    * (amplified ×32, s≈7: recall@3 = 0.9997 vs modulo's 0.161 —
+    * BENCH_SCALE.json). A deployment with a trained PCA would plug PC1
+    * in as the direction (`emb_pca_power` computes it); any fixed
+    * direction carries the same Lipschitz bound. The balanced-rank split
+    * keeps the ⌈size/s⌉ ≤ cap hard bound exactly. The cap sits far above
+    * every driver-testdata cell size, so oracle results are
+    * cap-invariant there; SimilaritySpec forces a low cap to prove the
+    * sharded path's structure, and `sim_knn_shard_recall` prices the
+    * residual trade. */
   private[graft] val CellShardCap = 1024L
 
   /** One within-cell top-k ranking CTE chain ending in `rk<sfx>(src, dst,
@@ -648,15 +661,19 @@ object Similarity {
     * instantiate a forced-low-cap chain and an effectively-uncapped chain
     * side by side in one WITH (suffix keeps the CTE names disjoint). */
   private def knnRankedSqlCteFor(cap: Long, sfx: String): String =
-    s"""ksz$sfx AS (SELECT cell, (count(*) + ${cap - 1}) // $cap AS s
+    s"""ksz$sfx AS (SELECT cell, count(*) AS cnt,
+       |               (count(*) + ${cap - 1}) // $cap AS s
        |        FROM assign GROUP BY cell),
-       |emb2$sfx AS (SELECT e.vec_id, e.embedding, a.cell, e.vec_id % z.s AS shard,
+       |emb2$sfx AS (SELECT e.vec_id, e.embedding, a.cell,
+       |                ((CAST(row_number() OVER (PARTITION BY a.cell ORDER BY e.embedding[1], e.vec_id) AS BIGINT) - 1) * z.s) // z.cnt AS shard,
        |                sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
        |         FROM embeddings e JOIN assign a USING (vec_id)
        |         JOIN ksz$sfx z USING (cell)),
        |pr$sfx AS (SELECT a.vec_id AS src, b.vec_id AS dst,
        |              round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
-       |       FROM emb2$sfx a JOIN emb2$sfx b ON a.cell = b.cell AND a.shard = b.shard
+       |       FROM emb2$sfx a
+       |       CROSS JOIN (VALUES (-1), (0), (1)) AS po$sfx(o)
+       |       JOIN emb2$sfx b ON a.cell = b.cell AND b.shard = a.shard + po$sfx.o
        |        AND a.vec_id <> b.vec_id),
        |rk$sfx AS (SELECT src, dst, cos,
        |              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rn
@@ -665,8 +682,9 @@ object Similarity {
   /** SQL CTE chain ending in `rk(src, dst, cos, rn)` — the within-cell
     * top-k cosine ranking shared by `sim_knn_graph` (which emits it) and
     * `graph_pagerank` (which walks it as an edge list). Candidates join
-    * on (cell, sub-shard); s = 1 (single shard, exact within-cell kNN)
-    * whenever the cell is within [[CellShardCap]]. */
+    * on (cell, ±1 radial slab); s = 1 (single slab, exact within-cell
+    * kNN — the ±1 probe matches only offset 0) whenever the cell is
+    * within [[CellShardCap]]. */
   private val knnRankedSqlCte: String =
     s"""$ivfAssignSqlCte,
        |${knnRankedSqlCteFor(CellShardCap, "")}""".stripMargin
@@ -684,11 +702,16 @@ object Similarity {
     *    the cell-size join + shard column are dropped from the plan
     *    entirely (they cost the three rk-chain consumers ~0.6 s flat at
     *    sf0.1 while buying nothing);
-    *  - SHARDED PATH, any cell > cap: the full (cell, shard) candidate
-    *    join that bounds every block at cap² work (the ×32 linearity fix).
-    * Both paths produce bit-identical frames when every cell ≤ cap (shard
-    * is constant 0 there), so the shared oracle SQL — whose `ksz` CTE
-    * computes s = 1 in that regime — covers whichever path runs. */
+    *  - SHARDED PATH, any cell > cap: the (cell, ±1 radial slab)
+    *    candidate join that bounds every block at 3·cap² work (the ×32
+    *    linearity fix) while keeping near neighbors co-candidate (see
+    *    [[CellShardCap]]). The a-side explodes into 3 probe rows
+    *    (slab−1, slab, slab+1) so the join stays equi-key — a pair
+    *    matches at most once (its slab delta picks the unique offset).
+    * Both paths produce bit-identical frames when every cell ≤ cap (slab
+    * is constant 0 there and only offset 0 matches), so the shared
+    * oracle SQL — whose `ksz` CTE computes s = 1 in that regime —
+    * covers whichever path runs. */
   private[graft] def knnRankedDf(s: org.apache.spark.sql.SparkSession,
       d: String, cap: Long = CellShardCap) = {
     import org.apache.spark.sql.expressions.Window
@@ -702,33 +725,49 @@ object Similarity {
     val maxCellRow = assign.groupBy("cell").agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).first()
     val maxCell = if (maxCellRow.isNullAt(0)) 0L else maxCellRow.getLong(0)
-    val withCell =
-      if (maxCell <= cap)
-        Tables.embeddings(s, d).join(assign, "vec_id")
-          .select(col("vec_id"), col("cell"), col("embedding"),
-            sqrt(dotCol("embedding", "embedding")).as("nrm"))
-      else {
-        val sizes = assign.groupBy("cell")
-          .agg(count(lit(1)).as("__n"))
-          .select(col("cell"), expr(s"(__n + ${cap - 1}) div $cap").as("s"))
-        Tables.embeddings(s, d).join(assign, "vec_id")
-          .join(sizes, "cell")
-          .select(col("vec_id"), col("cell"),
-            (col("vec_id") % col("s")).as("shard"),
-            col("embedding"), sqrt(dotCol("embedding", "embedding")).as("nrm"))
-      }
-    val joinKeys = if (maxCell <= cap) Seq("cell") else Seq("cell", "shard")
-    val aCols = joinKeys.map(col) ++ Seq(col("vec_id").as("src"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val bCols = joinKeys.map(col) ++ Seq(col("vec_id").as("dst"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val a = withCell.select(aCols: _*)
-    val b = withCell.select(bCols: _*)
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    a.join(b, joinKeys).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(dotCol("ea", "eb") / (col("na") * col("nb")), 4).as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+    def rankPairs(joined: org.apache.spark.sql.DataFrame) =
+      joined.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(dotCol("ea", "eb") / (col("na") * col("nb")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+    if (maxCell <= cap) {
+      val withCell = Tables.embeddings(s, d)
+        .join(assign, "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          sqrt(dotCol("embedding", "embedding")).as("nrm"))
+      val a = withCell.select(col("cell"), col("vec_id").as("src"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = withCell.select(col("cell"), col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      rankPairs(a.join(b, Seq("cell")))
+    } else {
+      val sizes = assign.groupBy("cell")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("cell"), col("cnt"),
+          expr(s"(cnt + ${cap - 1}) div $cap").as("s"))
+      // geometric slab: rank within the cell by the projection onto a
+      // fixed direction — the first embedding component (raw float, so the
+      // two engines order identical values; vec_id tie-break) — then the
+      // balanced split ⌊(rank−1)·s/cnt⌋: slab sizes are ⌈cnt/s⌉ or
+      // ⌊cnt/s⌋, so the ≤ cap hard bound is exact.
+      val slabW = Window.partitionBy("cell")
+        .orderBy(element_at(col("embedding"), 1), col("vec_id"))
+      val withCell = Tables.embeddings(s, d).join(assign, "vec_id")
+        .join(sizes, "cell")
+        .withColumn("rnc", row_number().over(slabW).cast("long"))
+        .select(col("vec_id"), col("cell"),
+          expr("((rnc - 1) * s) div cnt").as("shard"),
+          col("embedding"), sqrt(dotCol("embedding", "embedding")).as("nrm"))
+      val a = withCell.select(col("cell"), col("shard"), col("vec_id").as("src"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+        .withColumn("o", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("cell"), (col("shard") + col("o")).as("pshard"),
+          col("src"), col("ea"), col("na"))
+      val b = withCell.select(col("cell"), col("shard").as("pshard"),
+        col("vec_id").as("dst"), col("embedding").as("eb"), col("nrm").as("nb"))
+      rankPairs(a.join(b, Seq("cell", "pshard")))
+    }
   }
 
   /** k-NN GRAPH over the IVF cells: every vector's top-3 cosine neighbors
@@ -769,19 +808,26 @@ object Similarity {
     * engines and recall is exact integer arithmetic until the final
     * division.
     *
-    * READING THE NUMBER: modulo sharding splits a cell into s
-    * pseudo-random groups, so an exact top-3 neighbor survives only when
-    * it lands in the source's sub-shard — expected recall ≈ 1/s. Measured
-    * sf0.01 (s≈7): 219/1500 = 0.146 ≈ 1/7 — the trade is exactly as
-    * predicted, not worse. The operational conclusion this certificate
-    * encodes: sub-sharding is the SAFETY VALVE that keeps the plan linear
-    * when cells overflow the cap, not a steady-state quality plan — at
-    * production scale the codebook must grow with the corpus (k ∝ n/cap)
-    * so cells stay under the cap and s stays 1, and the certificate is
-    * the alarm that fires (recall << 1) if that sizing discipline slips.
-    * The amplified-corpus twin (ScaleProbe's shard-recall probe at the
-    * REAL cap, where s>1 arises from data volume rather than a forced
-    * knob) lands in BENCH_SCALE.json. */
+    * READING THE NUMBER: geometric slab sharding (see [[CellShardCap]])
+    * keeps a neighbor co-candidate whenever its slab is within ±1 of the
+    * source's. This forced-cap run is the deliberately HARD case — s≈7
+    * slabs of ~7 organic vectors, so the ±1 probe sees only ~3/7 of the
+    * cell and slab width (~7 rows) is thinner than typical organic
+    * neighbor distances: measured 750/1500 = 0.50 vs the probe's 0.43
+    * coverage and vs 0.146 ≈ 1/s for the round-9 modulo split on the
+    * same data. The number that reflects production (near-dup-heavy
+    * corpora overflowing a real 1024-cap, where neighbors ARE close on
+    * any fixed direction) is the amplified twin at the REAL cap
+    * (ScaleProbe's shard-recall probe, BENCH_SCALE.json): recall@3 =
+    * 1.0 at ×8 (s=2 — ±1 covers both slabs by construction) and ~0.9997
+    * at ×32 (s≈7). The operational conclusion stands in both regimes:
+    * sub-sharding is the SAFETY VALVE that keeps the plan linear when
+    * cells overflow the cap — at production scale the codebook should
+    * still grow with the corpus (k ∝ n/cap) so s stays 1 — but with
+    * slab+probe the valve now degrades like an ANN index (sub-unit
+    * recall concentrated on genuinely-far pairs) instead of collapsing
+    * to 1/s, and this certificate is the alarm that fires if either the
+    * sizing discipline or the slab coordinate's usefulness slips. */
   val simKnnShardRecall = sql(
     "sim_knn_shard_recall",
     s"""WITH $ivfAssignSqlCte,

@@ -508,23 +508,29 @@ class SimilaritySpec extends AnyFunSuite {
     val unsharded = Similarity.knnRankedDf(spark, sf, cap = 1L << 40)
     assert(prod.exceptAll(unsharded).isEmpty && unsharded.exceptAll(prod).isEmpty)
 
-    // 2. forced cap=2: candidates must pair only within (cell, vec_id % s)
+    // 2. forced cap=2: candidates must pair only within (cell, slab ±1) —
+    //    the geometric slab split on the first embedding component plus
+    //    the ±1 multi-probe
     val capped = Similarity.knnRankedDf(spark, sf, cap = 2L)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(capped.nonEmpty)
-    // recompute cell + shard exactly as the operator does
+    // recompute cell + slab exactly as the operator does: rank within the
+    // cell by (embedding[0], vec_id), slab = (rank-1)*s div cnt
     val cells = Similarity.ivfAssignDf(spark, sf)
-    val szs = cells.groupBy("cell").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val cellMap = cells.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    def shard(v: Long): (Int, Long) = {
-      val c = cellMap(v)
-      val s = (szs(c) + 1) / 2 // ceil(n/2) for cap=2
-      (c, v % s)
+    val dim1 = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).head).toMap
+    val slabOf: Map[Long, (Int, Long)] = cellMap.groupBy(_._2).flatMap {
+      case (c, members) =>
+        val ordered = members.keys.toSeq.sortBy(v => (dim1(v), v))
+        val cnt = ordered.size.toLong
+        val s = (cnt + 1) / 2 // ceil(cnt/cap) for cap=2
+        ordered.zipWithIndex.map { case (v, i) => v -> (c, i.toLong * s / cnt) }
     }
     capped.foreach { case (a, b) =>
-      assert(shard(a) == shard(b),
-        s"edge ($a,$b) crosses sub-shards: ${shard(a)} vs ${shard(b)}")
+      val (ca, sa) = slabOf(a); val (cb, sb) = slabOf(b)
+      assert(ca == cb && math.abs(sa - sb) <= 1,
+        s"edge ($a,$b) outside cell/±1-slab: ($ca,$sa) vs ($cb,$sb)")
     }
     // 3. the forced cap genuinely shrinks candidate sets (it did shard)
     val full = unsharded.select("src", "dst").count()
