@@ -535,6 +535,16 @@ class SimilaritySpec extends AnyFunSuite {
     // 3. the forced cap genuinely shrinks candidate sets (it did shard)
     val full = unsharded.select("src", "dst").count()
     assert(capped.length < full, "cap=2 must prune cross-shard candidates")
+
+    // 4. s = 2 completeness: the ±1 probe covers both slabs of a 2-way
+    //    split, so the sharded frame must be EXACT there — the property
+    //    that makes sub-sharding a gradual valve (first pruning at s=3,
+    //    where the two endpoint slabs stop being adjacent) rather than a
+    //    cliff. cap=32 puts every sf0.001 cell (max ~63 members) at
+    //    s ∈ {1,2}.
+    val s2 = Similarity.knnRankedDf(spark, sf, cap = 32L)
+    assert(s2.exceptAll(unsharded).isEmpty && unsharded.exceptAll(s2).isEmpty,
+      "s<=2 sharded frame must equal the exact within-cell kNN")
   }
 
   test("sim_mrl_adaptive: funnel equals a driver-side replay; loss is the priced trade") {
