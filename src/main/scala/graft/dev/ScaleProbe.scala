@@ -97,8 +97,12 @@ object ScaleProbe {
     // the sim_knn_shard_recall certificate): the amplified corpora push
     // cells past CellShardCap naturally (×8: ~1600/cell → s=2; ×32:
     // ~6400/cell → s=7), so this measures what production sub-sharding
-    // actually costs in pair-level recall@3 — expected ≈ 1/s by the
-    // modulo-sharding argument the certificate's scaladoc spells out.
+    // actually costs in pair-level recall@3. Under the round-10 slab±1
+    // split the expectation is ~1.0 (jitter-twin neighbors project close
+    // on any fixed direction; s=2 is exact by construction) — a reading
+    // decaying back toward 1/s would mean the slab coordinate stopped
+    // tracking neighbor structure (the round-9 modulo split measured
+    // exactly that floor: 0.269/0.161).
     // The ×32 exact side is the deliberate one-off quadratic (Σ cell²
     // ground truth) the capped plan exists to avoid; it runs here, once,
     // off the sweep path, exactly like dedup's AllPairs ground truth.
@@ -121,8 +125,11 @@ object ScaleProbe {
     }
 
     def j(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // recall gets 5 dp: at 3 dp a 191979/192000 run collapses to "1.0",
+    // erasing the 21 missed pairs the certificate exists to count
+    def jr(d: Double) = String.format(java.util.Locale.ROOT, "%.5f", Double.box(d))
     val recallJson = recalls.map { case (k, (nx, nh, rec)) =>
-      s""""x$k":{"n_exact":$nx,"n_hit":$nh,"recall_at3":${j(rec)}}"""
+      s""""x$k":{"n_exact":$nx,"n_hit":$nh,"recall_at3":${jr(rec)}}"""
     }.mkString("{", ",", "}")
     val json = rows.map { case (name, (ts, slope)) =>
       s""""$name":{"t":[${ts.map(j).mkString(",")}],"exponent":${j(slope)}}"""

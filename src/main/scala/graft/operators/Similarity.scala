@@ -645,9 +645,10 @@ object Similarity {
     * co-candidate: |proj(a) − proj(b)| ≤ ‖a−b‖ for any unit direction,
     * so close neighbors have close slab ranks and stay co-candidate
     * unless the slab population is thinner than the neighbor distance
-    * (amplified ×32, s≈7: recall@3 = 0.9997 vs modulo's 0.161 —
-    * BENCH_SCALE.json). A deployment with a trained PCA would plug PC1
-    * in as the direction (`emb_pca_power` computes it); any fixed
+    * (amplified ×32, s≈7: recall@3 = 191979/192000 = 0.99989 vs
+    * modulo's 0.161 — BENCH_SCALE.json). A deployment with a trained
+    * PCA would plug PC1 in as the direction (`emb_pca_power` computes
+    * it); any fixed
     * direction carries the same Lipschitz bound. The balanced-rank split
     * keeps the ⌈size/s⌉ ≤ cap hard bound exactly. The cap sits far above
     * every driver-testdata cell size, so oracle results are
@@ -753,12 +754,17 @@ object Similarity {
       // ⌊cnt/s⌋, so the ≤ cap hard bound is exact.
       val slabW = Window.partitionBy("cell")
         .orderBy(element_at(col("embedding"), 1), col("vec_id"))
+      // materialized (same assign discipline): the a/b self-join below
+      // would otherwise duplicate this subtree and run the per-cell slab
+      // window — a shuffle + sort over every overflowing cell — twice
+      // per consumer. Linear state: one slabbed row per vector.
       val withCell = Tables.embeddings(s, d).join(assign, "vec_id")
         .join(sizes, "cell")
         .withColumn("rnc", row_number().over(slabW).cast("long"))
         .select(col("vec_id"), col("cell"),
           expr("((rnc - 1) * s) div cnt").as("shard"),
           col("embedding"), sqrt(dotCol("embedding", "embedding")).as("nrm"))
+        .localCheckpoint()
       val a = withCell.select(col("cell"), col("shard"), col("vec_id").as("src"),
         col("embedding").as("ea"), col("nrm").as("na"))
         .withColumn("o", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -819,8 +825,8 @@ object Similarity {
     * corpora overflowing a real 1024-cap, where neighbors ARE close on
     * any fixed direction) is the amplified twin at the REAL cap
     * (ScaleProbe's shard-recall probe, BENCH_SCALE.json): recall@3 =
-    * 1.0 at ×8 (s=2 — ±1 covers both slabs by construction) and ~0.9997
-    * at ×32 (s≈7). The operational conclusion stands in both regimes:
+    * 1.0 at ×8 (s=2 — ±1 covers both slabs by construction) and
+    * 191979/192000 = 0.99989 at ×32 (s≈7). The operational conclusion stands in both regimes:
     * sub-sharding is the SAFETY VALVE that keeps the plan linear when
     * cells overflow the cap — at production scale the codebook should
     * still grow with the corpus (k ∝ n/cap) so s stays 1 — but with
