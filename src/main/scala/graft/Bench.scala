@@ -209,14 +209,19 @@ object Bench {
     // every apparent round-over-round delta ships with its own clean
     // number. Previous sweep parsed from the committed artifact (entries
     // are flat "name":num pairs, no nesting); parse failure degrades to
-    // no extra names, never to a sweep failure.
+    // no extra names, never to a sweep failure. The artifact's "sf" must
+    // match this run's — comparing an sf0.01 sweep against a committed
+    // sf0.1 artifact would flag essentially every query as a mover and
+    // burn the re-measure budget on pure scale deltas.
     val prevQueries: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+        val sfm = java.util.regex.Pattern.compile("\"sf\":\"([^\"]*)\"")
+          .matcher(txt)
         val m = java.util.regex.Pattern.compile("\"queries\":\\{([^}]*)\\}")
           .matcher(txt)
-        if (!m.find()) Map.empty
+        if (!sfm.find() || sfm.group(1) != sfDir || !m.find()) Map.empty
         else m.group(1).split(',').iterator.flatMap { kv =>
           kv.split(':') match {
             case Array(k, v) =>

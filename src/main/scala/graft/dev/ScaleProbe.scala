@@ -109,10 +109,14 @@ object ScaleProbe {
     val recalls = Seq(8, 32).map { k =>
       val d = dirs(k)
       spark.catalog.clearCache()
+      // one codebook fit + assignment checkpoint feeds both chains
+      val assign = graft.operators.Similarity.ivfAssignDf(spark, d)
+        .localCheckpoint()
       val exact = graft.operators.Similarity
-        .knnRankedDf(spark, d, cap = 1000000000L)
+        .knnRankedDf(spark, d, cap = 1000000000L, sharedAssign = Some(assign))
         .filter(col("rn") <= 3).select("src", "dst")
-      val sharded = graft.operators.Similarity.knnRankedDf(spark, d)
+      val sharded = graft.operators.Similarity
+        .knnRankedDf(spark, d, sharedAssign = Some(assign))
         .filter(col("rn") <= 3).select("src", "dst")
       val row = exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(exact.join(sharded, Seq("src", "dst"))

@@ -49,11 +49,19 @@ object StreamLatencyProbe {
 
   /** Runs `feeds` against a started query (each feed = one addData; one
     * processAllAvailable per feed → one data micro-batch each) and
-    * extracts trigger-duration stats from recentProgress. */
-  def run(q: StreamingQuery, feeds: Seq[() => Unit]): Stats = {
+    * extracts trigger-duration stats from recentProgress.
+    * `dropLastSentinel`: the sessionize harness appends a 1-row
+    * watermark-flush sentinel feed — it must be PROCESSED (it is what
+    * closes the open sessions) but it is not a representative batch, so
+    * it is excluded from the warm percentile/rows-per-sec population
+    * (left in, its 1-row fast batch pulls the asserted median down). */
+  def run(q: StreamingQuery, feeds: Seq[() => Unit],
+      dropLastSentinel: Boolean = false): Stats = {
     feeds.foreach { f => f(); q.processAllAvailable() }
-    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val progAll = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     q.stop()
+    val prog = if (dropLastSentinel && progAll.size > 1) progAll.dropRight(1)
+      else progAll
     val durs = prog.map(p => p.durationMs.get("triggerExecution").longValue())
     val rows = prog.map(_.numInputRows).sum
     require(durs.nonEmpty, "no data batches recorded")
@@ -65,6 +73,13 @@ object StreamLatencyProbe {
     val rps = warmRows.toDouble / (warm.sum.toDouble / 1000.0)
     Stats(durs.size, rows, durs.head, pct(0.5), pct(0.95), rps)
   }
+
+  /** Ceil-division slicer: exactly ≤ nBatches groups. (`length /
+    * nBatches` floor-divides, which yields nBatches+1 groups — the last
+    * a tiny remainder batch — whenever the count isn't divisible, so a
+    * probe labeled nBatches=10 would measure 11 micro-batches.) */
+  private def slices[T](xs: Seq[T], nBatches: Int): Seq[Seq[T]] =
+    xs.grouped(math.max(1, (xs.length + nBatches - 1) / nBatches)).toSeq
 
   /** Curation e2e: nBatches equal doc_id-ordered slices of the documents
     * table through ingest → dedup → decontam → budget sink. */
@@ -85,7 +100,7 @@ object StreamLatencyProbe {
     val q = Jobs.curationSink(Jobs.curationStream(shaped, evalSet),
         budget = Long.MaxValue / 4) { (sel, _) => sel.count(); () }
       .option("checkpointLocation", ckpt).start()
-    val feeds = docs.grouped(math.max(1, docs.length / nBatches)).toSeq
+    val feeds = slices(docs.toSeq, nBatches)
       .map(g => () => { mem.addData(g.map { case (id, t) => (id, t, t0) }.toIndexedSeq: _*); () })
     run(q, feeds)
   }
@@ -108,7 +123,7 @@ object StreamLatencyProbe {
     val mem = MemoryStream[(Long, Array[Float])]
     val q = Jobs.annServe(mem.toDF().toDF("vec_id", "embedding"),
         index, labels, cents) { b => b.count(); () }.start()
-    val feeds = qRows.grouped(math.max(1, qRows.length / nBatches)).toSeq
+    val feeds = slices(qRows.toSeq, nBatches)
       .map(g => () => { mem.addData(g.toIndexedSeq: _*); () })
     run(q, feeds)
   }
@@ -125,10 +140,10 @@ object StreamLatencyProbe {
     val mem = MemoryStream[Jobs.Event]
     val q = Jobs.sessionize(mem.toDS()).writeStream.format("noop")
       .outputMode("append").start()
-    val feeds = events.grouped(math.max(1, events.length / nBatches)).toSeq
+    val feeds = slices(events.toSeq, nBatches)
       .map(g => () => { mem.addData(g.toIndexedSeq: _*); () }) :+
       (() => { mem.addData(Jobs.Event(-1L, maxTs + 100L * 60 * 1000000, 0.0)); () })
-    run(q, feeds)
+    run(q, feeds, dropLastSentinel = true)
   }
 
   def main(args: Array[String]): Unit = {

@@ -135,15 +135,29 @@ object QuarterPrediction {
 
   /** On-disk home of the compiled-forest oracle SQL: training is seeded
     * and the training frame is deterministic per sfDir, so a persisted
-    * compilation is byte-identical to a fresh one for the same sfDir —
-    * a pure cache, keyed by the full (sanitized) sfDir path. Overridable
-    * for test isolation. */
+    * compilation is byte-identical to a fresh one for the same sfDir
+    * AND the same trainer — a pure cache keyed by the full (sanitized)
+    * sfDir path plus [[TrainerLayoutVersion]]. Overridable for test
+    * isolation. */
   private def persistRoot: String =
     sys.env.getOrElse("GRAFT_ML_STATE", "ml-state")
+
+  /** Version stamp of everything the fitted forest depends on: the
+    * key-sample rule, the repartition/sort layout pin, the seed, and the
+    * [[RfSqlCompiler]] output format. BUMP THIS whenever any of those
+    * change — a persisted compilation from an older trainer replays a
+    * forest the current code no longer fits, and a cold-start Verify
+    * would trust it and hash-mismatch a CORRECT result (exactly what the
+    * round-10 coalesce(4)→repartition(4) layout pin would have done to
+    * any pre-existing ml-state file; the version key makes such files
+    * invisible instead). */
+  private val TrainerLayoutVersion = 2
   private def sfKey(sfDir: String): String =
     new java.io.File(sfDir).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def oracleFile(key: String) =
+    s"rf_oracle_v${TrainerLayoutVersion}_$key.sql"
   private def oraclePath(key: String) =
-    java.nio.file.Paths.get(persistRoot, s"rf_oracle_$key.sql")
+    java.nio.file.Paths.get(persistRoot, oracleFile(key))
 
   /** Compiles the fitted pipeline's forest into the full `ml_rf_score`
     * oracle SQL. See [[RfSqlCompiler]] for the replay contract. */
@@ -166,25 +180,20 @@ object QuarterPrediction {
   }
 
   /** Cold-start fallback: the persisted compilation, but ONLY when the
-    * right sfDir is unambiguous — the env hint (`SPARK_GRAFT_SF_DIR`,
-    * which Bench always has) or a persistRoot holding exactly one key.
-    * Ambiguity degrades to None (the rows-only check), never to a
-    * wrong-sfDir oracle that would hash-mismatch a correct result. */
+    * right file is unambiguous — the sfDir hint (`graft.sf.dir` set by
+    * Verify, or `SPARK_GRAFT_SF_DIR` which Bench always has) naming a
+    * current-[[TrainerLayoutVersion]] file. No hint, a missing file, or
+    * a file from another trainer version all degrade to None (the
+    * rows-only check), never to a wrong-sfDir or stale-trainer oracle
+    * that would hash-mismatch a correct result. (A no-hint "exactly one
+    * file on disk" guess used to exist here; it could silently pick a
+    * file another process persisted for a DIFFERENT sfDir, so it is
+    * gone — every oracle-dumping path sets a hint.) */
   private def loadPersisted(): Option[String] = {
-    val dir = new java.io.File(persistRoot)
-    val files = Option(dir.list()).getOrElse(Array.empty[String])
-      .filter(n => n.startsWith("rf_oracle_") && n.endsWith(".sql")).sorted
     val hint = sys.props.get("graft.sf.dir") // set by Verify from its arg
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")) // set for Bench by the driver
-    val chosen = hint.map(sfKey) match {
-      case Some(k) if files.contains(s"rf_oracle_$k.sql") => Some(s"rf_oracle_$k.sql")
-      case Some(_) => None // hinted sfDir has no persisted compilation
-      case None => if (files.length == 1) Some(files.head) else None
-    }
-    chosen.map { f =>
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(persistRoot, f)), "UTF-8")
-    }
+    hint.map(k => oraclePath(sfKey(k))).filter(java.nio.file.Files.exists(_))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
   }
 
   /** Oracle SQL for `ml_rf_score`. In-JVM: available once `trainAndScore`
@@ -237,6 +246,14 @@ object QuarterPrediction {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(persistRoot))
         java.nio.file.Files.writeString(oraclePath(key), sqlText)
+        // hygiene: drop this key's files from other trainer versions
+        // (including the pre-versioning name) so stale compilations
+        // can't linger next to the live one
+        val dir = new java.io.File(persistRoot)
+        Option(dir.list()).getOrElse(Array.empty[String])
+          .filter(n => n.startsWith("rf_oracle") && n.endsWith(s"_$key.sql")
+            && n != oracleFile(key))
+          .foreach(n => new java.io.File(dir, n).delete())
       } catch { case e: Throwable =>
         System.err.println(s"[ml] rf oracle persist failed: ${e.getMessage}")
       }

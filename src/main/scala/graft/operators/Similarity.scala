@@ -714,7 +714,8 @@ object Similarity {
     * oracle SQL — whose `ksz` CTE computes s = 1 in that regime —
     * covers whichever path runs. */
   private[graft] def knnRankedDf(s: org.apache.spark.sql.SparkSession,
-      d: String, cap: Long = CellShardCap) = {
+      d: String, cap: Long = CellShardCap,
+      sharedAssign: Option[org.apache.spark.sql.DataFrame] = None) = {
     import org.apache.spark.sql.expressions.Window
     // assign is MATERIALIZED once (localCheckpoint, the ivfIndex/annGate
     // discipline): it feeds the scalar plan-choice probe, the cell-size
@@ -722,7 +723,10 @@ object Similarity {
     // consumer would recompute the codebook fit + assignment from scratch
     // (the probe alone made the r10 fast path a net LOSS in the A/B until
     // this landed). Linear state: one (vec_id, cell) row per vector.
-    val assign = ivfAssignDf(s, d).localCheckpoint()
+    // `sharedAssign` lets a caller that builds TWO chains over the same
+    // corpus (the shard-recall certificate and ScaleProbe's recall probe:
+    // exact + sharded) pay the codebook fit + checkpoint once.
+    val assign = sharedAssign.getOrElse(ivfAssignDf(s, d).localCheckpoint())
     val maxCellRow = assign.groupBy("cell").agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).first()
     val maxCell = if (maxCellRow.isNullAt(0)) 0L else maxCellRow.getLong(0)
@@ -847,9 +851,10 @@ object Similarity {
        |SELECT n_exact, n_hit,
        |       round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall_at3
        |FROM tot, hit""".stripMargin) { (s, d) =>
-    val exact = knnRankedDf(s, d, cap = NoShardCap)
+    val assign = ivfAssignDf(s, d).localCheckpoint()
+    val exact = knnRankedDf(s, d, cap = NoShardCap, sharedAssign = Some(assign))
       .filter(col("rn") <= 3).select("src", "dst")
-    val sharded = knnRankedDf(s, d, cap = ShardRecallCap)
+    val sharded = knnRankedDf(s, d, cap = ShardRecallCap, sharedAssign = Some(assign))
       .filter(col("rn") <= 3).select("src", "dst")
     val tot = exact.agg(count(lit(1)).as("n_exact"))
     val hit = exact.join(sharded, Seq("src", "dst"))
