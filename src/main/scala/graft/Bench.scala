@@ -221,7 +221,17 @@ object Bench {
           .matcher(txt)
         val m = java.util.regex.Pattern.compile("\"queries\":\\{([^}]*)\\}")
           .matcher(txt)
-        if (!sfm.find() || sfm.group(1) != sfDir || !m.find()) Map.empty
+        // canonicalize both spellings (trailing slash, relative path,
+        // symlink) — a byte-compare would silently disable the mover
+        // flag on a benign respelling of the same directory
+        def canon(p: String) =
+          try new java.io.File(p).getCanonicalPath
+          catch { case _: Throwable => p }
+        val sfMatch = sfm.find() && canon(sfm.group(1)) == canon(sfDir)
+        if (sfm.reset().find() && !sfMatch)
+          System.err.println(s"[bench] BENCH_FULL.json is for sf '${sfm.group(1)}', " +
+            s"this run is '$sfDir' — mover auto-flag disabled")
+        if (!sfMatch || !m.find()) Map.empty
         else m.group(1).split(',').iterator.flatMap { kv =>
           kv.split(':') match {
             case Array(k, v) =>

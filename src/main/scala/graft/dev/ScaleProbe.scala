@@ -112,9 +112,11 @@ object ScaleProbe {
       // one codebook fit + assignment checkpoint feeds both chains
       val assign = graft.operators.Similarity.ivfAssignDf(spark, d)
         .localCheckpoint()
+      // the exact frame feeds both the count and the hit join — pay the
+      // deliberate Σcell² ground-truth build once, not twice
       val exact = graft.operators.Similarity
         .knnRankedDf(spark, d, cap = 1000000000L, sharedAssign = Some(assign))
-        .filter(col("rn") <= 3).select("src", "dst")
+        .filter(col("rn") <= 3).select("src", "dst").localCheckpoint()
       val sharded = graft.operators.Similarity
         .knnRankedDf(spark, d, sharedAssign = Some(assign))
         .filter(col("rn") <= 3).select("src", "dst")

@@ -248,11 +248,14 @@ object QuarterPrediction {
         java.nio.file.Files.writeString(oraclePath(key), sqlText)
         // hygiene: drop this key's files from other trainer versions
         // (including the pre-versioning name) so stale compilations
-        // can't linger next to the live one
+        // can't linger next to the live one. EXACT-name match only — a
+        // suffix match could hit a different sfDir whose sanitized key
+        // happens to end with "_<key>" and delete its live cache.
+        val stale = java.util.regex.Pattern.compile(
+          "rf_oracle(_v\\d+)?_" + java.util.regex.Pattern.quote(key) + "\\.sql")
         val dir = new java.io.File(persistRoot)
         Option(dir.list()).getOrElse(Array.empty[String])
-          .filter(n => n.startsWith("rf_oracle") && n.endsWith(s"_$key.sql")
-            && n != oracleFile(key))
+          .filter(n => stale.matcher(n).matches() && n != oracleFile(key))
           .foreach(n => new java.io.File(dir, n).delete())
       } catch { case e: Throwable =>
         System.err.println(s"[ml] rf oracle persist failed: ${e.getMessage}")

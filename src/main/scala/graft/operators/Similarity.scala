@@ -852,8 +852,12 @@ object Similarity {
        |       round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall_at3
        |FROM tot, hit""".stripMargin) { (s, d) =>
     val assign = ivfAssignDf(s, d).localCheckpoint()
+    // the exact top-3 frame feeds BOTH the n_exact count and the hit
+    // join; without the checkpoint each consumer re-executes the full
+    // uncapped within-cell block join — the deliberately quadratic
+    // ground truth this certificate pays for ONCE
     val exact = knnRankedDf(s, d, cap = NoShardCap, sharedAssign = Some(assign))
-      .filter(col("rn") <= 3).select("src", "dst")
+      .filter(col("rn") <= 3).select("src", "dst").localCheckpoint()
     val sharded = knnRankedDf(s, d, cap = ShardRecallCap, sharedAssign = Some(assign))
       .filter(col("rn") <= 3).select("src", "dst")
     val tot = exact.agg(count(lit(1)).as("n_exact"))
