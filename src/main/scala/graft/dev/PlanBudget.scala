@@ -81,18 +81,57 @@ object PlanBudget {
     finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  /** Parses the budget file as committed ON DISK (the regen diff's "old"
+    * side — the classpath copy in [[load]] can lag a clean rebuild). */
+  private def loadDisk(): Map[String, Counts] = {
+    val p = java.nio.file.Paths.get(BudgetPath)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val Array(n, s, b, so, nl) = l.split('\t')
+        n -> Counts(s.toInt, b.toInt, so.toInt, nl.toInt)
+      }.toMap
+  }
+
+  /** Regenerate the committed budget — and print the old→new rows for
+    * exactly the drifted queries (round-10 VERDICT #6: an intentional
+    * plan change should be a reviewable handful of lines, not a re-read
+    * of 248 rows). `--diff` prints the drift WITHOUT rewriting the file
+    * (preview mode; exits 1 on drift so it can gate a script). Row
+    * format mirrors the file: shuffles/broadcasts/sorts/nested_loops. */
   def main(args: Array[String]): Unit = {
+    val diffOnly = args.contains("--diff")
     val spark = graft.core.Tables.localSession("plan-budget", cores = 8)
     val rows = measure(spark)
-    val header = "# query\tshuffles\tbroadcasts\tsorts\tnested_loops\n" +
-      "# generated by `sbt 'runMain graft.dev.PlanBudget'` on the sf0.001 AQE-off executedPlan; PlanBudgetSpec fails on drift\n"
-    val body = rows.map { case (n, c) => s"$n\t${c.tsv}" }.mkString("", "\n", "\n")
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get("src/test/resources"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(BudgetPath), header + body)
-    println(s"[planbudget] wrote ${rows.size} budgets to $BudgetPath")
+    val old = loadDisk()
+    val drifted = rows.filter { case (n, c) => !old.get(n).contains(c) }
+    val removed = (old.keySet -- rows.map(_._1)).toSeq.sorted
+    if (drifted.isEmpty && removed.isEmpty)
+      println("[planbudget] no drift vs committed budget")
+    else {
+      println(s"[planbudget] drift (${drifted.size} changed/new, ${removed.size} removed) — sh/bc/sort/nlj:")
+      drifted.foreach { case (n, c) =>
+        val was = old.get(n).map(_.tsv.replace('\t', '/')).getOrElse("NEW")
+        println(s"  $n: $was -> ${c.tsv.replace('\t', '/')}")
+      }
+      removed.foreach(n =>
+        println(s"  $n: ${old(n).tsv.replace('\t', '/')} -> REMOVED"))
+    }
+    if (!diffOnly) {
+      val header = "# query\tshuffles\tbroadcasts\tsorts\tnested_loops\n" +
+        "# generated by `sbt 'runMain graft.dev.PlanBudget'` on the sf0.001 AQE-off executedPlan; PlanBudgetSpec fails on drift\n" +
+        "# preview an intentional change first: sbt 'runMain graft.dev.PlanBudget --diff' prints old->new for only the drifted queries\n"
+      val body = rows.map { case (n, c) => s"$n\t${c.tsv}" }.mkString("", "\n", "\n")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("src/test/resources"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(BudgetPath), header + body)
+      println(s"[planbudget] wrote ${rows.size} budgets to $BudgetPath")
+    }
     spark.stop()
+    if (diffOnly && (drifted.nonEmpty || removed.nonEmpty)) sys.exit(1)
   }
 
   /** Parses the committed budget file (from the test classpath). */

@@ -47,6 +47,12 @@ object ScaleProbe {
     "text_bpe_apply",
     "graph_pagerank", "graph_label_prop", "emb_pca_power",
     "text_bpe_train_n5", "dedup_span_remove")
+  /** Round-10 VERDICT #4: the two highest-exponent probes (both
+    * iterative rk-edge walkers, the shapes most likely to be pre-knee
+    * rather than genuinely sub-linear) get a FOURTH size point at ×64 —
+    * one more doubling decides whether the exponent holds or drifts up
+    * once shuffle sizes cross memory thresholds. */
+  val X64Probes = Set("graph_pagerank", "graph_label_prop")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -61,8 +67,15 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev-only probe subset (comma-separated names; full runs never set it)
+    val onlyProbes = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val probes = Probes.filter(n => onlyProbes.forall(_.contains(n)))
+
     val root = java.nio.file.Files.createTempDirectory("scaleprobe").toString
-    val dirs: Map[Int, String] = Scales.map { k =>
+    val allScales = Scales ++
+      (if (probes.exists(X64Probes)) Seq(64) else Nil)
+    val dirs: Map[Int, String] = allScales.map { k =>
       k -> (if (k == 1) base else amplify(spark, base, k, s"$root/x$k"))
     }.toMap
 
@@ -78,8 +91,9 @@ object ScaleProbe {
     try graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val rows = Probes.map { name =>
-      val ts = Scales.map { k =>
+    val rows = probes.map { name =>
+      val scalesFor = if (X64Probes(name)) Scales :+ 64 else Scales
+      val ts = scalesFor.map { k =>
         val t = math.min(timeOnce(name, dirs(k)), timeOnce(name, dirs(k)))
         println(f"[scaleprobe] $name x$k%-2d: $t%.3f s")
         k -> t
@@ -90,7 +104,7 @@ object ScaleProbe {
       val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
       val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
         pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
-      name -> (ts.map(_._2), slope)
+      (name, scalesFor, ts.map(_._2), slope)
     }
 
     // SHARD-RECALL at the REAL cap (round-9 VERDICT #1, amplified twin of
@@ -106,7 +120,10 @@ object ScaleProbe {
     // The ×32 exact side is the deliberate one-off quadratic (Σ cell²
     // ground truth) the capped plan exists to avoid; it runs here, once,
     // off the sweep path, exactly like dedup's AllPairs ground truth.
-    val recalls = Seq(8, 32).map { k =>
+    // dev-subset runs skip the recall twin unless explicitly requested —
+    // its ×32 exact side is the deliberate one-off quadratic
+    val runRecalls = onlyProbes.forall(_.contains("shard_recall"))
+    val recalls = (if (runRecalls) Seq(8, 32) else Seq.empty[Int]).map { k =>
       val d = dirs(k)
       spark.catalog.clearCache()
       // one codebook fit + assignment checkpoint feeds both chains
@@ -137,13 +154,17 @@ object ScaleProbe {
     val recallJson = recalls.map { case (k, (nx, nh, rec)) =>
       s""""x$k":{"n_exact":$nx,"n_hit":$nh,"recall_at3":${jr(rec)}}"""
     }.mkString("{", ",", "}")
-    val json = rows.map { case (name, (ts, slope)) =>
-      s""""$name":{"t":[${ts.map(j).mkString(",")}],"exponent":${j(slope)}}"""
+    val json = rows.map { case (name, scalesFor, ts, slope) =>
+      s""""$name":{"scales":[${scalesFor.mkString(",")}],""" +
+        s""""t":[${ts.map(j).mkString(",")}],"exponent":${j(slope)}}"""
     }.mkString(
       s"""{"base":"$base","scales":[${Scales.mkString(",")}],"shard_recall":$recallJson,"queries":{""",
       ",", "}}")
+    // a dev-subset run must not clobber the committed full-probe artifact
+    val outPath = if (onlyProbes.isEmpty) "BENCH_SCALE.json"
+      else "BENCH_SCALE_DEV.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SCALE.json"), json + "\n")
+      java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()
   }

@@ -54,14 +54,22 @@ object StreamLatencyProbe {
     * watermark-flush sentinel feed — it must be PROCESSED (it is what
     * closes the open sessions) but it is not a representative batch, so
     * it is excluded from the warm percentile/rows-per-sec population
-    * (left in, its 1-row fast batch pulls the asserted median down). */
+    * (left in, its 1-row fast batch pulls the asserted median down).
+    * The sentinel is identified by its SIGNATURE — the trailing run of
+    * numInputRows == 1 batches — not by position (r10 ADVICE: a feed
+    * that splits into several micro-batches would otherwise exclude a
+    * representative batch or retain the sentinel). Data feeds here are
+    * hundreds-to-thousands of rows, so a trailing 1-row batch is
+    * unambiguous. */
   def run(q: StreamingQuery, feeds: Seq[() => Unit],
       dropLastSentinel: Boolean = false): Stats = {
     feeds.foreach { f => f(); q.processAllAvailable() }
     val progAll = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     q.stop()
-    val prog = if (dropLastSentinel && progAll.size > 1) progAll.dropRight(1)
-      else progAll
+    val prog = if (dropLastSentinel && progAll.size > 1) {
+      val trimmed = progAll.reverse.dropWhile(_.numInputRows == 1).reverse
+      if (trimmed.nonEmpty) trimmed else progAll
+    } else progAll
     val durs = prog.map(p => p.durationMs.get("triggerExecution").longValue())
     val rows = prog.map(_.numInputRows).sum
     require(durs.nonEmpty, "no data batches recorded")

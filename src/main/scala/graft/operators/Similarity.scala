@@ -633,9 +633,11 @@ object Similarity {
     * members ranked by their projection onto a fixed direction (the
     * first embedding component; raw float, identical ordering on both
     * engines, vec_id tie-break), slab = ⌊(rank−1)·s/size⌋ — and each
-    * vector's candidates are its own slab plus the two ADJACENT slabs (a
-    * ±1 multi-probe via a 3-row offset explode, so the join stays
-    * equi-key). With a fixed codebook, cell sizes grow linearly with the
+    * vector's candidates are its own slab plus the ADJACENT slabs: a
+    * ±1 multi-probe while s ≤ 2 (provably exact there), widening to ±2
+    * once s > 2 (round 11 — the regime where ±1's 3/s coverage was the
+    * measured organic-recall floor), via an offset explode so the join
+    * stays equi-key. With a fixed codebook, cell sizes grow linearly with the
     * corpus and the within-cell block join grows QUADRATICALLY — the
     * scale-probe measured graph_triangles' ×8→×32 segment at slope ~1.9
     * before this cap (BENCH_SCALE.json). Slab sharding bounds every
@@ -660,22 +662,44 @@ object Similarity {
   /** One within-cell top-k ranking CTE chain ending in `rk<sfx>(src, dst,
     * cos, rn)` — cap-parameterized so the shard-recall certificate can
     * instantiate a forced-low-cap chain and an effectively-uncapped chain
-    * side by side in one WITH (suffix keeps the CTE names disjoint). */
-  private def knnRankedSqlCteFor(cap: Long, sfx: String): String =
+    * side by side in one WITH (suffix keeps the CTE names disjoint), and
+    * table-parameterized so the int8 composition certificate can run the
+    * same chain over the quantization codes.
+    *
+    * ADAPTIVE PROBE WIDTH (round 11): the slab probe width w grows with
+    * the split factor s — w = 1 while s ≤ 2 (±1 provably reaches every
+    * slab of a 2-way split, so the sharded frame is exact there), w = 2
+    * for s ∈ {3,4}, w = 3 for s ≥ 5 — keeping the probe's (2w+1)/s cell
+    * coverage near 1 through the whole forced-cap regime while the block
+    * bound stays ≤ 7·cap². The ±1 probe's 3/s coverage was the measured
+    * organic-recall floor: the forced-cap certificate (s≈7) read 0.50 at
+    * ±1, 0.6967 at ±2, 0.8307 at the shipped w(s) ladder
+    * (BENCH_DEV_r11_probe_width.json; the round-10 study priced the
+    * rejected PC1-direction alternative at 0.721/±2 —
+    * BENCH_DEV_r10_slab_recall.json). The offset list stays a static
+    * 7-row VALUES and the width condition is a per-row predicate on the
+    * a-side's s, so the join stays equi-key and a pair still matches at
+    * most once (its slab delta picks the unique offset).
+    * NULLS FIRST pins DuckDB's slab ordering to Spark's ascending
+    * null-ordering default — a null/short embedding would otherwise
+    * silently diverge slab assignment between engines. */
+  private def knnRankedSqlCteFor(cap: Long, sfx: String,
+      table: String = "embeddings"): String =
     s"""ksz$sfx AS (SELECT cell, count(*) AS cnt,
        |               (count(*) + ${cap - 1}) // $cap AS s
        |        FROM assign GROUP BY cell),
-       |emb2$sfx AS (SELECT e.vec_id, e.embedding, a.cell,
-       |                ((CAST(row_number() OVER (PARTITION BY a.cell ORDER BY e.embedding[1], e.vec_id) AS BIGINT) - 1) * z.s) // z.cnt AS shard,
+       |emb2$sfx AS (SELECT e.vec_id, e.embedding, a.cell, z.s,
+       |                ((CAST(row_number() OVER (PARTITION BY a.cell ORDER BY e.embedding[1] NULLS FIRST, e.vec_id) AS BIGINT) - 1) * z.s) // z.cnt AS shard,
        |                sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-       |         FROM embeddings e JOIN assign a USING (vec_id)
+       |         FROM $table e JOIN assign a USING (vec_id)
        |         JOIN ksz$sfx z USING (cell)),
        |pr$sfx AS (SELECT a.vec_id AS src, b.vec_id AS dst,
        |              round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
        |       FROM emb2$sfx a
-       |       CROSS JOIN (VALUES (-1), (0), (1)) AS po$sfx(o)
+       |       CROSS JOIN (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS po$sfx(o)
        |       JOIN emb2$sfx b ON a.cell = b.cell AND b.shard = a.shard + po$sfx.o
-       |        AND a.vec_id <> b.vec_id),
+       |        AND a.vec_id <> b.vec_id
+       |       WHERE abs(po$sfx.o) <= (CASE WHEN a.s > 4 THEN 3 WHEN a.s > 2 THEN 2 ELSE 1 END)),
        |rk$sfx AS (SELECT src, dst, cos,
        |              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rn
        |       FROM pr$sfx)""".stripMargin
@@ -683,9 +707,9 @@ object Similarity {
   /** SQL CTE chain ending in `rk(src, dst, cos, rn)` — the within-cell
     * top-k cosine ranking shared by `sim_knn_graph` (which emits it) and
     * `graph_pagerank` (which walks it as an edge list). Candidates join
-    * on (cell, ±1 radial slab); s = 1 (single slab, exact within-cell
-    * kNN — the ±1 probe matches only offset 0) whenever the cell is
-    * within [[CellShardCap]]. */
+    * on (cell, adjacent radial slab — ±1 for s ≤ 2, ±2 above); s = 1
+    * (single slab, exact within-cell kNN — only offset 0 matches)
+    * whenever the cell is within [[CellShardCap]]. */
   private val knnRankedSqlCte: String =
     s"""$ivfAssignSqlCte,
        |${knnRankedSqlCteFor(CellShardCap, "")}""".stripMargin
@@ -703,11 +727,11 @@ object Similarity {
     *    the cell-size join + shard column are dropped from the plan
     *    entirely (they cost the three rk-chain consumers ~0.6 s flat at
     *    sf0.1 while buying nothing);
-    *  - SHARDED PATH, any cell > cap: the (cell, ±1 radial slab)
-    *    candidate join that bounds every block at 3·cap² work (the ×32
-    *    linearity fix) while keeping near neighbors co-candidate (see
-    *    [[CellShardCap]]). The a-side explodes into 3 probe rows
-    *    (slab−1, slab, slab+1) so the join stays equi-key — a pair
+    *  - SHARDED PATH, any cell > cap: the (cell, adjacent radial slab)
+    *    candidate join that bounds every block at (2w+1)·cap² work, w = 1
+    *    for s ≤ 2 and 2 above (the ×32 linearity fix) while keeping near
+    *    neighbors co-candidate (see [[CellShardCap]]). The a-side
+    *    explodes into 2w+1 probe rows so the join stays equi-key — a pair
     *    matches at most once (its slab delta picks the unique offset).
     * Both paths produce bit-identical frames when every cell ≤ cap (slab
     * is constant 0 there and only offset 0 matches), so the shared
@@ -715,8 +739,15 @@ object Similarity {
     * covers whichever path runs. */
   private[graft] def knnRankedDf(s: org.apache.spark.sql.SparkSession,
       d: String, cap: Long = CellShardCap,
-      sharedAssign: Option[org.apache.spark.sql.DataFrame] = None) = {
+      sharedAssign: Option[org.apache.spark.sql.DataFrame] = None,
+      embSource: Option[org.apache.spark.sql.DataFrame] = None) = {
     import org.apache.spark.sql.expressions.Window
+    // `embSource` swaps the (vec_id, embedding) frame the chain ranks —
+    // the int8 composition certificate passes the quantization codes so
+    // sharding loss and quantization loss are priced JOINTLY; cell
+    // assignment (`assign`) always comes from the float corpus.
+    def embs = embSource.getOrElse(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
     // assign is MATERIALIZED once (localCheckpoint, the ivfIndex/annGate
     // discipline): it feeds the scalar plan-choice probe, the cell-size
     // aggregate, and the candidate join — without the checkpoint each
@@ -737,7 +768,7 @@ object Similarity {
           round(dotCol("ea", "eb") / (col("na") * col("nb")), 4).as("cos"))
         .withColumn("rn", row_number().over(w).cast("long"))
     if (maxCell <= cap) {
-      val withCell = Tables.embeddings(s, d)
+      val withCell = embs
         .join(assign, "vec_id")
         .select(col("vec_id"), col("cell"), col("embedding"),
           sqrt(dotCol("embedding", "embedding")).as("nrm"))
@@ -762,16 +793,27 @@ object Similarity {
       // would otherwise duplicate this subtree and run the per-cell slab
       // window — a shuffle + sort over every overflowing cell — twice
       // per consumer. Linear state: one slabbed row per vector.
-      val withCell = Tables.embeddings(s, d).join(assign, "vec_id")
+      val withCell = embs.join(assign, "vec_id")
         .join(sizes, "cell")
         .withColumn("rnc", row_number().over(slabW).cast("long"))
-        .select(col("vec_id"), col("cell"),
+        .select(col("vec_id"), col("cell"), col("s"),
           expr("((rnc - 1) * s) div cnt").as("shard"),
           col("embedding"), sqrt(dotCol("embedding", "embedding")).as("nrm"))
         .localCheckpoint()
-      val a = withCell.select(col("cell"), col("shard"), col("vec_id").as("src"),
+      // adaptive probe width (round 11, mirrors the oracle CTE): w(s) =
+      // 1 for s ≤ 2 (provably exact — ±1 reaches every slab of a 2-way
+      // split), 2 for s ∈ {3,4}, 3 for s ≥ 5 — (2w+1)/s coverage stays
+      // near 1 where the fixed ±1 probe's 3/s coverage was the measured
+      // organic-recall floor. Per-cell width via a conditional array
+      // keeps the explode-then-equi-join shape; a pair still matches at
+      // most once (its slab delta picks the unique offset).
+      def offs(w: Int) = array((-w to w).map(o => lit(o.toLong)): _*)
+      val a = withCell.select(col("cell"), col("shard"), col("s"),
+        col("vec_id").as("src"),
         col("embedding").as("ea"), col("nrm").as("na"))
-        .withColumn("o", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("o", explode(when(col("s") > 4, offs(3))
+          .when(col("s") > 2, offs(2))
+          .otherwise(offs(1))))
         .select(col("cell"), (col("shard") + col("o")).as("pshard"),
           col("src"), col("ea"), col("na"))
       val b = withCell.select(col("cell"), col("shard").as("pshard"),
@@ -819,18 +861,20 @@ object Similarity {
     * division.
     *
     * READING THE NUMBER: geometric slab sharding (see [[CellShardCap]])
-    * keeps a neighbor co-candidate whenever its slab is within ±1 of the
-    * source's. This forced-cap run is the deliberately HARD case — s≈7
-    * slabs of ~7 organic vectors, so the ±1 probe sees only ~3/7 of the
-    * cell and slab width (~7 rows) is thinner than typical organic
-    * neighbor distances: measured 750/1500 = 0.50 vs the probe's 0.43
-    * coverage and vs 0.146 ≈ 1/s for the round-9 modulo split on the
-    * same data. The number that reflects production (near-dup-heavy
-    * corpora overflowing a real 1024-cap, where neighbors ARE close on
-    * any fixed direction) is the amplified twin at the REAL cap
+    * keeps a neighbor co-candidate whenever its slab is within the
+    * adaptive probe width w(s) of the source's. This forced-cap run is
+    * the deliberately HARD case — s≈7 slabs of ~7 organic vectors, so
+    * slab width (~7 rows) is thinner than typical organic neighbor
+    * distances: measured 1246/1500 = 0.8307 with the round-11 w(s)
+    * ladder (±3 live at s≈7), up from 0.50 at the round-10 fixed ±1 and
+    * 0.6967 at fixed ±2, vs 0.146 ≈ 1/s for the round-9 modulo split on
+    * the same data (selection study: BENCH_DEV_r11_probe_width.json).
+    * The number that reflects production (near-dup-heavy corpora
+    * overflowing a real 1024-cap, where neighbors ARE close on any
+    * fixed direction) is the amplified twin at the REAL cap
     * (ScaleProbe's shard-recall probe, BENCH_SCALE.json): recall@3 =
     * 1.0 at ×8 (s=2 — ±1 covers both slabs by construction) and
-    * 191979/192000 = 0.99989 at ×32 (s≈7). The operational conclusion stands in both regimes:
+    * ~1.0 at ×32 (s≈7, ±3 live). The operational conclusion stands in both regimes:
     * sub-sharding is the SAFETY VALVE that keeps the plan linear when
     * cells overflow the cap — at production scale the codebook should
     * still grow with the corpus (k ∝ n/cap) so s stays 1 — but with
@@ -2203,6 +2247,74 @@ object Similarity {
         round(col("n_int8_hits") / 10.0, 4).as("recall"))
   }
 
+  /** INT8 × SUB-SHARDING JOINT CERTIFICATE (round-10 VERDICT #5):
+    * `sim_int8_recall` prices quantization loss on the s=1 full-scan path
+    * and `sim_knn_shard_recall` prices sharding loss on the float
+    * representation — but a deployed quantized index runs BOTH at once,
+    * and their losses need not compose independently (sharding slabs on
+    * the STORED representation, so quantizing the slab coordinate can
+    * move vectors across slab boundaries). This certificate runs the
+    * within-cell kNN chain over the int8 CODES (the honest deployment
+    * shape: the index ranks and slabs what it stores) at the forced
+    * [[ShardRecallCap]], against the exact FLOAT within-cell top-3 ground
+    * truth, reporting both the quantization-only recall (int8 codes,
+    * uncapped) and the joint recall (int8 codes, sharded) side by side —
+    * so independence is a column comparison, not an assumption:
+    * recall_joint ≈ recall_int8 × (the float shard recall from
+    * `sim_knn_shard_recall`) iff the losses are independent. Cell
+    * assignment stays on the float corpus (IVF assigns before the index
+    * quantizes). Exact small-integer dots (codes ≤ 127, 64-dim → every
+    * product and partial sum < 2²⁴ is exact in double) keep both engines
+    * bit-identical; ranking on the 4-dp-rounded cosine with dst
+    * tie-break, recall in exact integer arithmetic until the final
+    * division. */
+  val simInt8ShardRecall = sql(
+    "sim_int8_shard_recall",
+    s"""WITH $ivfAssignSqlCte,
+       |$int8CodesSqlCte,
+       |qemb AS (SELECT vec_id, codes AS embedding FROM qz),
+       |${knnRankedSqlCteFor(NoShardCap, "_x")},
+       |${knnRankedSqlCteFor(NoShardCap, "_q", table = "qemb")},
+       |${knnRankedSqlCteFor(ShardRecallCap, "_j", table = "qemb")},
+       |top_x AS (SELECT src, dst FROM rk_x WHERE rn <= 3),
+       |top_q AS (SELECT src, dst FROM rk_q WHERE rn <= 3),
+       |top_j AS (SELECT src, dst FROM rk_j WHERE rn <= 3),
+       |tot AS (SELECT count(*) AS n_exact FROM top_x),
+       |hq AS (SELECT count(*) AS n_hit_int8
+       |       FROM top_x JOIN top_q USING (src, dst)),
+       |hj AS (SELECT count(*) AS n_hit_joint
+       |       FROM top_x JOIN top_j USING (src, dst))
+       |SELECT n_exact, n_hit_int8, n_hit_joint,
+       |       round(CAST(n_hit_int8 AS DOUBLE) / n_exact, 4) AS recall_int8_at3,
+       |       round(CAST(n_hit_joint AS DOUBLE) / n_exact, 4) AS recall_joint_at3
+       |FROM tot, hq, hj""".stripMargin) { (s, d) =>
+    val assign = ivfAssignDf(s, d).localCheckpoint()
+    // codes are a narrow map over the scan — cheap enough to recompute
+    // per consumer; the expensive frames below are the ones checkpointed
+    val codes = int8Codes(s, d)
+      .select(col("vec_id"), col("codes").as("embedding"))
+    // float exact ground truth feeds n_exact + BOTH hit joins: pay the
+    // deliberately-quadratic uncapped block join once (same discipline
+    // as sim_knn_shard_recall)
+    val exact = knnRankedDf(s, d, cap = NoShardCap, sharedAssign = Some(assign))
+      .filter(col("rn") <= 3).select("src", "dst").localCheckpoint()
+    val q8 = knnRankedDf(s, d, cap = NoShardCap, sharedAssign = Some(assign),
+        embSource = Some(codes))
+      .filter(col("rn") <= 3).select("src", "dst")
+    val j8 = knnRankedDf(s, d, cap = ShardRecallCap, sharedAssign = Some(assign),
+        embSource = Some(codes))
+      .filter(col("rn") <= 3).select("src", "dst")
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    val hq = exact.join(q8, Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_hit_int8"))
+    val hj = exact.join(j8, Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_hit_joint"))
+    tot.crossJoin(hq).crossJoin(hj)
+      .select(col("n_exact"), col("n_hit_int8"), col("n_hit_joint"),
+        round(col("n_hit_int8").cast("double") / col("n_exact"), 4).as("recall_int8_at3"),
+        round(col("n_hit_joint").cast("double") / col("n_exact"), 4).as("recall_joint_at3"))
+  }
+
   /** FIXED-POINT multi-iteration k-means (2 full Lloyd rounds) — the
     * codebook-training loop `sim_kmeans_step` takes one step of, made
     * BIT-REPRODUCIBLE: embeddings quantize once to 2⁻²⁰ fixed point
@@ -2735,7 +2847,7 @@ object Similarity {
     graphTriangles, simLshBuckets, simPqCodes,
     simPqAdc, simPqRecall, embInt8Quantize, simKnnAccuracy, simKmeansStep,
     simRangeSearch, simIvfBuild, simTruncRecall, simMrlAdaptive, graphPagerank, embDimStats,
-    semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall,
+    semDedup, simIvfPqAdc, simInt8Topk, simInt8Recall, simInt8ShardRecall,
     simIvfPqAdcMp, simIvfPqRecallMp, embCohortDrift, simKmeansIter,
     simKcenterInit, embOutlier, embPcaPower, embPcaVar,
     simBinaryTopk, simBinaryRecall, graphLabelProp)

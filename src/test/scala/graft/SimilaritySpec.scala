@@ -508,30 +508,39 @@ class SimilaritySpec extends AnyFunSuite {
     val unsharded = Similarity.knnRankedDf(spark, sf, cap = 1L << 40)
     assert(prod.exceptAll(unsharded).isEmpty && unsharded.exceptAll(prod).isEmpty)
 
-    // 2. forced cap=2: candidates must pair only within (cell, slab ±1) —
-    //    the geometric slab split on the first embedding component plus
-    //    the ±1 multi-probe
+    // 2. forced cap=2: candidates must pair only within (cell, adjacent
+    //    slab) — the geometric slab split on the first embedding component
+    //    plus the adaptive multi-probe: w(s) = 1 for s ≤ 2, 2 for
+    //    s ∈ {3,4}, 3 for s ≥ 5. At cap=2 every sf0.001 cell has s ≥ 5,
+    //    so the live width here is ±3.
     val capped = Similarity.knnRankedDf(spark, sf, cap = 2L)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(capped.nonEmpty)
-    // recompute cell + slab exactly as the operator does: rank within the
-    // cell by (embedding[0], vec_id), slab = (rank-1)*s div cnt
+    // recompute cell + slab + probe width exactly as the operator does:
+    // rank within the cell by (embedding[0], vec_id), slab =
+    // (rank-1)*s div cnt, width = w(s)
     val cells = Similarity.ivfAssignDf(spark, sf)
     val cellMap = cells.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val dim1 = Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).head).toMap
-    val slabOf: Map[Long, (Int, Long)] = cellMap.groupBy(_._2).flatMap {
+    val slabOf: Map[Long, (Int, Long, Long)] = cellMap.groupBy(_._2).flatMap {
       case (c, members) =>
         val ordered = members.keys.toSeq.sortBy(v => (dim1(v), v))
         val cnt = ordered.size.toLong
         val s = (cnt + 1) / 2 // ceil(cnt/cap) for cap=2
-        ordered.zipWithIndex.map { case (v, i) => v -> (c, i.toLong * s / cnt) }
+        val w = if (s > 4) 3L else if (s > 2) 2L else 1L
+        ordered.zipWithIndex.map { case (v, i) => v -> (c, i.toLong * s / cnt, w) }
     }
     capped.foreach { case (a, b) =>
-      val (ca, sa) = slabOf(a); val (cb, sb) = slabOf(b)
-      assert(ca == cb && math.abs(sa - sb) <= 1,
-        s"edge ($a,$b) outside cell/±1-slab: ($ca,$sa) vs ($cb,$sb)")
+      val (ca, sa, wa) = slabOf(a); val (cb, sb, _) = slabOf(b)
+      assert(ca == cb && math.abs(sa - sb) <= wa,
+        s"edge ($a,$b) outside cell/±$wa-slab: ($ca,$sa) vs ($cb,$sb)")
     }
+    // and the width is genuinely adaptive: some retained pair sits at
+    // slab delta exactly 3 (a fixed ±1 probe would have dropped it)
+    assert(capped.exists { case (a, b) =>
+      math.abs(slabOf(a)._2 - slabOf(b)._2) == 3
+    }, "cap=2 (s≥5) must retain some |Δslab| = 3 pair via the ±3 probe")
     // 3. the forced cap genuinely shrinks candidate sets (it did shard)
     val full = unsharded.select("src", "dst").count()
     assert(capped.length < full, "cap=2 must prune cross-shard candidates")
