@@ -162,12 +162,13 @@ object StreamLatencyProbe {
     catch { case _: Throwable => () }
 
     // curation is measured at TWO batch sizes: its per-trigger cost is
-    // dominated by fixed micro-batch machinery (state-store commits for
-    // the dedup watermark, the 2-phase cumsum's shuffles, offset/commit
-    // log fsyncs, 2-3 foreachBatch jobs), so rows/s rising with batch
-    // size is the evidence that the composition amortizes — the ingest
-    // pipeline's operating point is throughput per trigger, not
-    // single-row latency (that is annServe's job).
+    // dominated by fixed micro-batch machinery (after the round-11 cut —
+    // one upstream execution + trigger-bounded cumsum — what remains is
+    // the dedup-watermark state-store commit wave and offset/commit log
+    // writes; CurationProfile attributes it per phase), so rows/s rising
+    // with batch size is the evidence that the composition amortizes —
+    // the ingest pipeline's operating point is throughput per trigger,
+    // not single-row latency (that is annServe's job).
     val results = Seq(
       "curation_e2e" -> curation(spark, sfDir, nBatches = 10),
       "curation_e2e_big_batches" -> curation(spark, sfDir, nBatches = 3),

@@ -761,6 +761,37 @@ object Sampling {
       .drop("rb", "offset")
   }
 
+  /** TRIGGER-BOUNDED cumsum — [[docOrderedCumsum]]'s semantics for ONE
+    * streaming micro-batch (round-10 VERDICT #2: the recursive bucket
+    * machinery is corpus-scale plumbing; at micro-batch sizes its
+    * groupBy + join + window chain is pure per-trigger fixed cost,
+    * ~6 shuffle stages for a few hundred rows). The frame here is
+    * bounded by the TRIGGER — rows one micro-batch admitted, never the
+    * corpus — so the prefix runs as the explicit single-partition
+    * running sum [[bucketOffsets]] already uses for its terminal frame
+    * (repartition(1) + sort + one mapPartitions task): 1 exchange +
+    * 1 narrow stage. All arithmetic is exact longs over the same
+    * (doc_id asc) order, so the result is bit-identical to
+    * [[docOrderedCumsum]] on the same frame — the selection arithmetic
+    * cannot fork (StreamingSpec proves the composed batch/stream
+    * parity). Expects (doc_id, n_tokens); adds `cum_tokens`. */
+  private[graft] def microBatchCumsum(df: DataFrame): DataFrame = {
+    val ordered = df
+      .withColumn("__nt", col("n_tokens").cast("long"))
+      .repartition(1).sortWithinPartitions("doc_id")
+    val enc = org.apache.spark.sql.Encoders.row(
+      ordered.schema.add("cum_tokens", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val ntIdx = ordered.schema.fieldIndex("__nt")
+    ordered.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        acc += r.getLong(ntIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(enc).drop("__nt")
+  }
+
   /** PER-SOURCE CAP — the Common-Crawl-style curation rule "keep at most
     * N documents per domain, preferring quality": rank each source's docs
     * by (quality desc, n_tokens desc, doc_id) and flag the top

@@ -22,23 +22,24 @@ class StreamLatencySpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.01"
   val BudgetMs = 1000L
 
-  test("curation e2e stream holds a 3 s trigger budget at sf0.01 batches") {
-    // Measured honestly: the composed 5-stage ingest pipeline does NOT
-    // hold the reference's 1 s trigger at 100-doc micro-batches (p95
-    // ~2.5 s here) — its per-trigger cost is fixed micro-batch machinery
-    // (dedup-watermark state commits, the 2-phase cumsum's shuffles,
-    // offset/commit log writes, 2-3 foreachBatch jobs), not per-row work.
-    // That is the correct operating point for an INGEST pipeline: it runs
-    // at a 3-5 s trigger for throughput (BENCH_STREAM.json shows rows/s
-    // scaling with batch size as the fixed cost amortizes), while the
-    // latency-sensitive serving path (annServe, below) holds the 1 s
-    // budget with headroom. This test pins the 3 s ingest budget so a
-    // per-batch cost regression still fails loudly.
+  test("curation e2e stream holds a 2 s trigger budget at sf0.01 batches") {
+    // Round-11 fixed-cost cut (VERDICT #2): the sink now executes the
+    // gated upstream ONCE per trigger and runs the trigger-bounded
+    // single-task cumsum instead of docOrderedCumsum's corpus-scale
+    // bucket reduction — p50 dropped 4146→1264 ms at sf0.1 500-doc
+    // batches (BENCH_STREAM.json) and ~2500→~420 ms here at sf0.01.
+    // The remaining per-trigger cost is the dedup-watermark state-store
+    // commit wave plus offset/commit log writes. The budget is pinned at
+    // 2 s (was 3 s): the measured median has ~4× margin, wide enough
+    // that a mid-suite GC pause can't flake the gate, tight enough that
+    // reintroducing a per-trigger corpus-scale stage fails loudly. The
+    // latency-sensitive serving path (annServe, below) holds the
+    // reference's 1 s budget with headroom.
     val s = StreamLatencyProbe.curation(spark, sf, nBatches = 5)
     info(s"curation: p50 ${s.p50Ms} ms, p95 ${s.p95Ms} ms, " +
       f"${s.rowsPerSec}%.0f rows/s, headroom vs 1s ${s.headroom}%.1fx")
-    assert(s.p50Ms < 3 * BudgetMs,
-      s"curation stream median ${s.p50Ms} ms blows the 3 s ingest-trigger budget")
+    assert(s.p50Ms < 2 * BudgetMs,
+      s"curation stream median ${s.p50Ms} ms blows the 2 s ingest-trigger budget")
   }
 
   test("annServe holds the 1 s trigger budget at sf0.01 batches") {
