@@ -669,15 +669,18 @@ object Similarity {
     * ADAPTIVE PROBE WIDTH (round 11): the slab probe width w grows with
     * the split factor s — w = 1 while s ≤ 2 (±1 provably reaches every
     * slab of a 2-way split, so the sharded frame is exact there), w = 2
-    * for s ∈ {3,4}, w = 3 for s ≥ 5 — keeping the probe's (2w+1)/s cell
-    * coverage near 1 through the whole forced-cap regime while the block
-    * bound stays ≤ 7·cap². The ±1 probe's 3/s coverage was the measured
-    * organic-recall floor: the forced-cap certificate (s≈7) read 0.50 at
-    * ±1, 0.6967 at ±2, 0.8307 at the shipped w(s) ladder
-    * (BENCH_DEV_r11_probe_width.json; the round-10 study priced the
-    * rejected PC1-direction alternative at 0.721/±2 —
-    * BENCH_DEV_r10_slab_recall.json). The offset list stays a static
-    * 7-row VALUES and the width condition is a per-row predicate on the
+    * for s ≥ 3 — lifting the forced-cap organic certificate (s≈7) from
+    * the ±1 floor of 0.50 to 0.6967 while the block bound stays
+    * ≤ 5·cap². The full measured frontier is in
+    * BENCH_DEV_r11_probe_width.json: w = 3 reads 0.8307 but was REJECTED
+    * after the ×32/×64 scale probe measured its candidate-volume knee
+    * (graph_pagerank exponent 1.051 — the window shuffle over the
+    * (2w+1)/3-times-larger pair list crosses the spill threshold in
+    * exactly the overflow regime the valve exists to keep linear);
+    * PC1-direction slabs buy ~0.02-0.03 at every width but cost a
+    * power-iteration sub-chain in every rk-consumer oracle (rejected in
+    * round 10, re-confirmed). The offset list stays a static 5-row
+    * VALUES and the width condition is a per-row predicate on the
     * a-side's s, so the join stays equi-key and a pair still matches at
     * most once (its slab delta picks the unique offset).
     * NULLS FIRST pins DuckDB's slab ordering to Spark's ascending
@@ -696,10 +699,10 @@ object Similarity {
        |pr$sfx AS (SELECT a.vec_id AS src, b.vec_id AS dst,
        |              round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
        |       FROM emb2$sfx a
-       |       CROSS JOIN (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS po$sfx(o)
+       |       CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) AS po$sfx(o)
        |       JOIN emb2$sfx b ON a.cell = b.cell AND b.shard = a.shard + po$sfx.o
        |        AND a.vec_id <> b.vec_id
-       |       WHERE abs(po$sfx.o) <= (CASE WHEN a.s > 4 THEN 3 WHEN a.s > 2 THEN 2 ELSE 1 END)),
+       |       WHERE abs(po$sfx.o) <= (CASE WHEN a.s > 2 THEN 2 ELSE 1 END)),
        |rk$sfx AS (SELECT src, dst, cos,
        |              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rn
        |       FROM pr$sfx)""".stripMargin
@@ -802,17 +805,16 @@ object Similarity {
         .localCheckpoint()
       // adaptive probe width (round 11, mirrors the oracle CTE): w(s) =
       // 1 for s ≤ 2 (provably exact — ±1 reaches every slab of a 2-way
-      // split), 2 for s ∈ {3,4}, 3 for s ≥ 5 — (2w+1)/s coverage stays
-      // near 1 where the fixed ±1 probe's 3/s coverage was the measured
-      // organic-recall floor. Per-cell width via a conditional array
+      // split), 2 for s ≥ 3, where the fixed ±1 probe's 3/s coverage was
+      // the measured organic-recall floor (w = 3 measured and rejected —
+      // see [[CellShardCap]]). Per-cell width via a conditional array
       // keeps the explode-then-equi-join shape; a pair still matches at
       // most once (its slab delta picks the unique offset).
       def offs(w: Int) = array((-w to w).map(o => lit(o.toLong)): _*)
       val a = withCell.select(col("cell"), col("shard"), col("s"),
         col("vec_id").as("src"),
         col("embedding").as("ea"), col("nrm").as("na"))
-        .withColumn("o", explode(when(col("s") > 4, offs(3))
-          .when(col("s") > 2, offs(2))
+        .withColumn("o", explode(when(col("s") > 2, offs(2))
           .otherwise(offs(1))))
         .select(col("cell"), (col("shard") + col("o")).as("pshard"),
           col("src"), col("ea"), col("na"))
@@ -865,16 +867,17 @@ object Similarity {
     * adaptive probe width w(s) of the source's. This forced-cap run is
     * the deliberately HARD case — s≈7 slabs of ~7 organic vectors, so
     * slab width (~7 rows) is thinner than typical organic neighbor
-    * distances: measured 1246/1500 = 0.8307 with the round-11 w(s)
-    * ladder (±3 live at s≈7), up from 0.50 at the round-10 fixed ±1 and
-    * 0.6967 at fixed ±2, vs 0.146 ≈ 1/s for the round-9 modulo split on
-    * the same data (selection study: BENCH_DEV_r11_probe_width.json).
+    * distances: measured 1045/1500 = 0.6967 with the round-11 w(s)
+    * ladder (±2 live at s≈7), up from 0.50 at the round-10 fixed ±1, vs
+    * 0.146 ≈ 1/s for the round-9 modulo split on the same data. The
+    * wider ±3 point reads 0.8307 but was measured-and-rejected on its
+    * ×32/×64 cost (full frontier: BENCH_DEV_r11_probe_width.json).
     * The number that reflects production (near-dup-heavy corpora
     * overflowing a real 1024-cap, where neighbors ARE close on any
     * fixed direction) is the amplified twin at the REAL cap
     * (ScaleProbe's shard-recall probe, BENCH_SCALE.json): recall@3 =
     * 1.0 at ×8 (s=2 — ±1 covers both slabs by construction) and
-    * ~1.0 at ×32 (s≈7, ±3 live). The operational conclusion stands in both regimes:
+    * ~1.0 at ×32 (s≈7, ±2 live). The operational conclusion stands in both regimes:
     * sub-sharding is the SAFETY VALVE that keeps the plan linear when
     * cells overflow the cap — at production scale the codebook should
     * still grow with the corpus (k ∝ n/cap) so s stays 1 — but with
