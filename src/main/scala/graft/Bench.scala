@@ -61,6 +61,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep bounded-state top-k aggregates in the hash path (see
+      // Tables.localSession for the full rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       // Long-sweep hygiene. A 130-query sweep accumulates driver-side
       // state a single-query run never sees: broadcast/shuffle blocks wait
       // for a driver GC before ContextCleaner frees them (default periodic

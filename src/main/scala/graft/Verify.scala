@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep bounded-state top-k aggregates in the hash path (see
+      // Tables.localSession for the full rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // see Bench: the pinned aggregate-bounded windows are guard-proven

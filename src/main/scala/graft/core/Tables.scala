@@ -86,6 +86,15 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bounded-state aggregates (CollectTopK top-k heaps: ≤k tiny rows
+      // per key) must stay in the hash path — the default threshold
+      // (128 KEYS) would flip ObjectHashAggregate to sort-based
+      // aggregation on any real group count, re-paying the full-input
+      // sort the aggregate exists to avoid. Per-partition state here is
+      // keys × k × ~100 B — megabytes at millions of keys — so a high
+      // key threshold is safe; a 100 TB deployment sets the same conf.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

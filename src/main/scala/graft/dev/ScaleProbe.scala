@@ -64,6 +64,10 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // keep bounded-state top-k aggregates in the hash path (see
+      // Tables.localSession for the full rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -132,11 +136,12 @@ object ScaleProbe {
       // the exact frame feeds both the count and the hit join — pay the
       // deliberate Σcell² ground-truth build once, not twice
       val exact = graft.operators.Similarity
-        .knnRankedDf(spark, d, cap = 1000000000L, sharedAssign = Some(assign))
-        .filter(col("rn") <= 3).select("src", "dst").localCheckpoint()
+        .knnRankedDf(spark, d, cap = 1000000000L, sharedAssign = Some(assign),
+          topK = Some(3))
+        .select("src", "dst").localCheckpoint()
       val sharded = graft.operators.Similarity
-        .knnRankedDf(spark, d, sharedAssign = Some(assign))
-        .filter(col("rn") <= 3).select("src", "dst")
+        .knnRankedDf(spark, d, sharedAssign = Some(assign), topK = Some(3))
+        .select("src", "dst")
       val row = exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(exact.join(sharded, Seq("src", "dst"))
           .agg(count(lit(1)).as("n_hit")))

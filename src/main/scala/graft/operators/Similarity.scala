@@ -743,12 +743,29 @@ object Similarity {
   private[graft] def knnRankedDf(s: org.apache.spark.sql.SparkSession,
       d: String, cap: Long = CellShardCap,
       sharedAssign: Option[org.apache.spark.sql.DataFrame] = None,
-      embSource: Option[org.apache.spark.sql.DataFrame] = None) = {
+      embSource: Option[org.apache.spark.sql.DataFrame] = None,
+      topK: Option[Int] = None) = {
     import org.apache.spark.sql.expressions.Window
     // `embSource` swaps the (vec_id, embedding) frame the chain ranks —
     // the int8 composition certificate passes the quantization codes so
     // sharding loss and quantization loss are priced JOINTLY; cell
     // assignment (`assign`) always comes from the float corpus.
+    //
+    // `topK = Some(k)` (round 11): the consumer only reads rn ≤ k, so
+    // the per-src ranking runs as a BOUNDED-HEAP AGGREGATE
+    // (CollectTopK: partial state ≤k rows per src, ObjectHashAggregate,
+    // map-side combine on the join's (cell[,slab]) partitioning) instead
+    // of the rank window — whose WindowGroupLimit still SORTS the full
+    // candidate pair list map-side before pruning, the measured
+    // shuffle-spill knee of the ×32 amplified runs (the full list is
+    // Σ(2w+1)·cap·cell rows; the aggregate never materializes or sorts
+    // it, and the shuffle carries k rows per src instead). Emitted
+    // (src, dst, cos, rn ≤ k) is bit-identical to the window path
+    // filtered to rn ≤ k: the heap orders by the same 4-dp-rounded
+    // (cos desc, dst asc) key (negated rounded cos is exact), and
+    // SimilaritySpec pins the equality on both the fast and sharded
+    // paths. `None` keeps the full ranked frame (sim_hard_negatives
+    // consumes ranks and counts over the whole candidate list).
     def embs = embSource.getOrElse(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
     // assign is MATERIALIZED once (localCheckpoint, the ivfIndex/annGate
@@ -765,11 +782,27 @@ object Similarity {
       .agg(max(col("__n"))).first()
     val maxCell = if (maxCellRow.isNullAt(0)) 0L else maxCellRow.getLong(0)
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    def rankPairs(joined: org.apache.spark.sql.DataFrame) =
-      joined.filter(col("src") =!= col("dst"))
+    def rankPairs(joined: org.apache.spark.sql.DataFrame) = {
+      val scored = joined.filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
           round(dotCol("ea", "eb") / (col("na") * col("nb")), 4).as("cos"))
-        .withColumn("rn", row_number().over(w).cast("long"))
+      topK match {
+        case Some(k) =>
+          // heap key: ascending (−cos, dst) ≡ (cos desc, dst asc);
+          // reverse = true keeps the k smallest and emits them ascending,
+          // so array position IS the rank
+          val key = struct((-col("cos")).as("nc"), col("dst").as("dst"),
+            col("cos").as("cos"))
+          scored.groupBy("src")
+            .agg(org.apache.spark.sql.GraftSqlBridge
+              .collectTopK(key, k, reverse = true).as("tk"))
+            .select(col("src"), posexplode(col("tk")))
+            .select(col("src"), col("col.dst").as("dst"),
+              col("col.cos").as("cos"), (col("pos") + 1).cast("long").as("rn"))
+        case None =>
+          scored.withColumn("rn", row_number().over(w).cast("long"))
+      }
+    }
     if (maxCell <= cap) {
       val withCell = embs
         .join(assign, "vec_id")
@@ -836,7 +869,7 @@ object Similarity {
     s"""WITH $knnRankedSqlCte
        |SELECT src, dst, cos, rn FROM rk WHERE rn <= 3
        |ORDER BY src, dst""".stripMargin) { (s, d) =>
-    knnRankedDf(s, d).filter(col("rn") <= 3).orderBy("src", "dst")
+    knnRankedDf(s, d, topK = Some(3)).orderBy("src", "dst")
   }
 
   /** Forced-low cap for the shard-recall certificate: driver cells run
@@ -903,10 +936,12 @@ object Similarity {
     // join; without the checkpoint each consumer re-executes the full
     // uncapped within-cell block join — the deliberately quadratic
     // ground truth this certificate pays for ONCE
-    val exact = knnRankedDf(s, d, cap = NoShardCap, sharedAssign = Some(assign))
-      .filter(col("rn") <= 3).select("src", "dst").localCheckpoint()
-    val sharded = knnRankedDf(s, d, cap = ShardRecallCap, sharedAssign = Some(assign))
-      .filter(col("rn") <= 3).select("src", "dst")
+    val exact = knnRankedDf(s, d, cap = NoShardCap, sharedAssign = Some(assign),
+        topK = Some(3))
+      .select("src", "dst").localCheckpoint()
+    val sharded = knnRankedDf(s, d, cap = ShardRecallCap, sharedAssign = Some(assign),
+        topK = Some(3))
+      .select("src", "dst")
     val tot = exact.agg(count(lit(1)).as("n_exact"))
     val hit = exact.join(sharded, Seq("src", "dst"))
       .agg(count(lit(1)).as("n_hit"))
@@ -1109,7 +1144,7 @@ object Similarity {
        |       CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg
        |FROM p3 LEFT JOIN deg d ON d.src = p3.vec_id
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val e = knnRankedDf(s, d).filter(col("rn") <= 3)
+    val e = knnRankedDf(s, d, topK = Some(3))
       .select("src", "dst").cache()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(deg, "src")
@@ -1171,7 +1206,7 @@ object Similarity {
        |SELECT n_vertices, n_edges, n_wedges, n_triangles,
        |       round(3.0 * n_triangles / n_wedges, 4) AS gcc
        |FROM tot CROSS JOIN ne CROSS JOIN tri""".stripMargin) { (s, d) =>
-    val rk = knnRankedDf(s, d).filter(col("rn") <= 3)
+    val rk = knnRankedDf(s, d, topK = Some(3))
     val e = rk.select(least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct().cache()
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
@@ -1238,7 +1273,7 @@ object Similarity {
          |ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val e = knnRankedDf(s, d).filter(col("rn") <= 3)
+    val e = knnRankedDf(s, d, topK = Some(3))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
     val ee = e.select(col("a").as("v"), col("b").as("u"))
@@ -2299,14 +2334,15 @@ object Similarity {
     // float exact ground truth feeds n_exact + BOTH hit joins: pay the
     // deliberately-quadratic uncapped block join once (same discipline
     // as sim_knn_shard_recall)
-    val exact = knnRankedDf(s, d, cap = NoShardCap, sharedAssign = Some(assign))
-      .filter(col("rn") <= 3).select("src", "dst").localCheckpoint()
+    val exact = knnRankedDf(s, d, cap = NoShardCap, sharedAssign = Some(assign),
+        topK = Some(3))
+      .select("src", "dst").localCheckpoint()
     val q8 = knnRankedDf(s, d, cap = NoShardCap, sharedAssign = Some(assign),
-        embSource = Some(codes))
-      .filter(col("rn") <= 3).select("src", "dst")
+        embSource = Some(codes), topK = Some(3))
+      .select("src", "dst")
     val j8 = knnRankedDf(s, d, cap = ShardRecallCap, sharedAssign = Some(assign),
-        embSource = Some(codes))
-      .filter(col("rn") <= 3).select("src", "dst")
+        embSource = Some(codes), topK = Some(3))
+      .select("src", "dst")
     val tot = exact.agg(count(lit(1)).as("n_exact"))
     val hq = exact.join(q8, Seq("src", "dst"))
       .agg(count(lit(1)).as("n_hit_int8"))

@@ -10,6 +10,23 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Bounded-heap top-k aggregate (`CollectTopK`, the engine-internal
+    * aggregate behind pandas-on-Spark nlargest): partial state is a
+    * ≤k-element priority queue per group, so a top-k-per-key reduction
+    * runs as an ObjectHashAggregate with NO sort of the input and a
+    * shuffle of only k rows per key — the scale fix for rank-window
+    * shapes whose WindowGroupLimit still map-side SORTS the full
+    * candidate list before pruning. `reverse = true` keeps the k
+    * SMALLEST by the child's natural ordering and emits them ascending.
+    * NOTE: ObjectHashAggregateExec falls back to sort-based aggregation
+    * once a partition's hash map exceeds
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` KEYS
+    * (default 128 — far below any real per-partition group count);
+    * sessions using this must raise it (see Tables.localSession). */
+  def collectTopK(e: Column, k: Int, reverse: Boolean): Column =
+    column(catalyst.expressions.aggregate.GraftTopKBridge
+      .collectTopK(expression(e), k, reverse))
+
   /** Strip ONE top-level global Sort from a DataFrame's plan, if present.
     *
     * Every declared query ends in a deterministic ORDER BY solely for the

@@ -555,6 +555,23 @@ class SimilaritySpec extends AnyFunSuite {
       "s<=2 sharded frame must equal the exact within-cell kNN")
   }
 
+  test("knnRankedDf topK path equals the rank-window path on both plan branches") {
+    import org.apache.spark.sql.functions._
+    // the bounded-heap CollectTopK aggregate (round 11) must emit the
+    // bit-identical (src, dst, cos, rn<=3) frame as the rank window it
+    // replaces for the top-k consumers — on the s=1 fast path AND the
+    // forced sharded path (the heap orders by the same 4-dp (cos desc,
+    // dst asc) key; negating the rounded cos is exact)
+    val win3 = Similarity.knnRankedDf(spark, sf).filter(col("rn") <= 3)
+    val agg3 = Similarity.knnRankedDf(spark, sf, topK = Some(3))
+    assert(agg3.exceptAll(win3).isEmpty && win3.exceptAll(agg3).isEmpty,
+      "fast-path topK aggregate forked from the window ranking")
+    val winS = Similarity.knnRankedDf(spark, sf, cap = 2L).filter(col("rn") <= 3)
+    val aggS = Similarity.knnRankedDf(spark, sf, cap = 2L, topK = Some(3))
+    assert(aggS.exceptAll(winS).isEmpty && winS.exceptAll(aggS).isEmpty,
+      "sharded-path topK aggregate forked from the window ranking")
+  }
+
   test("sim_mrl_adaptive: funnel equals a driver-side replay; loss is the priced trade") {
     // internal correctness: the funnel output must equal rerank-by-full-cos
     // of the truncated-16 top-50, replayed driver-side from raw vectors
