@@ -15,12 +15,11 @@ import org.apache.spark.sql.SparkSession
   * `"raw"`, so a contended run is self-evident from the artifact alone —
   * per-query spread plus `"wall_sec"` (sweep wall-clock) vs `"value"`
   * (sum of best-of timings) expose environment noise without a re-run.
-  * Every query runs THREE passes and reports the min (one GC/compile
-  * outlier can't masquerade as the query's cost, and round artifacts
-  * stay comparable run-over-run); passes are interleaved round-robin
-  * within 6-query blocks so one contended host window can't hit all
-  * three passes of the same query (see the inline note for why the
-  * block stays smaller than the codegen cache).
+  * Every query runs THREE back-to-back passes and reports the min (one
+  * GC/compile outlier can't masquerade as the query's cost, and round
+  * artifacts stay comparable run-over-run; a block-interleaved pass
+  * order was tried and measured as a regression — see the inline
+  * note).
   *
   * Artifact capture: the driver keeps only the LAST ~2000 chars of stdout
   * and json-parses what it finds there — a line longer than the window is
@@ -118,19 +117,21 @@ object Bench {
     }
 
     val wall0 = System.nanoTime()
-    // Min-of-THREE passes per query, interleaved ROUND-ROBIN within small
-    // blocks (round-10 VERDICT #7): passes run A-B-…-F, A-B-…-F, A-B-…-F
-    // over a 6-query block instead of A-A-A, B-B-B — a contended host
-    // window now lands on ONE pass of six different queries instead of
-    // all three passes of the same query, so `min` converges with fewer
-    // spread flags and re-measures. The block is kept SMALL on purpose:
-    // Spark's codegen cache holds only 100 classes, so a whole-sweep
-    // round-robin (pass 2 arriving 246 queries later) would evict
-    // everything between passes and every pass would re-pay Janino
-    // compile; within a 6-query block the cache stays warm and passes
-    // 2-3 still measure steady-state cost. Failure semantics unchanged:
-    // a query throwing in either of its first two passes is FAILED, a
-    // third-pass throw degrades to min-of-two.
+    // Best-of-N per query, passes BACK-TO-BACK. Round 11 TRIED the
+    // round-10 VERDICT #7 suggestion (passes interleaved round-robin in
+    // 6-query blocks so a contended window lands on one pass of six
+    // queries instead of all passes of one) and MEASURED it as a
+    // regression: one heavy block-mate (corpus_curation_e2e) pollutes
+    // every pass of its five neighbors — GC/heap/broadcast garbage sits
+    // between each of the light query's passes, so min-of-3 can't escape
+    // it. The interleaved sweep recorded a1_median raw [3.5, 3.3, 1.9]
+    // vs 0.14 clean and a 312 s total vs 204 s; back-to-back, a query's
+    // only pollution is the previous query once, and passes 2-3 are
+    // clean. (Internal block pollution measured >> the external
+    // contention the interleave was meant to spread; the clean
+    // re-measure + mover machinery below remains the contention answer.)
+    // Back-to-back also keeps the 100-entry codegen cache warm between
+    // a query's passes.
     val raw = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Dev-only subset filter (comma-separated names): isolates a query's
@@ -138,33 +139,24 @@ object Bench {
     // always cover the full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val PassBlock = 6
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .grouped(PassBlock).flatMap { blk =>
-        val p1 = blk.map { case (_, fn) => timeOnce(fn) }
-        val p2 = blk.map { case (_, fn) => timeOnce(fn) }
-        // pass 3 only for queries whose first two passes both succeeded
-        // (the others are already failed; don't spend a pass on them)
-        val p3 = blk.zipWithIndex.map { case ((_, fn), i) =>
-          if (p1(i).isRight && p2(i).isRight) timeOnce(fn)
-          else Left("skipped")
-        }
-        blk.zipWithIndex.flatMap { case ((name, _), i) =>
-          (p1(i), p2(i)) match {
-            case (Right(a), Right(b)) =>
-              val ts = p3(i).fold(_ => List(a, b), c => List(a, b, c))
-              raw(name) = ts
-              Some(name -> ts.min)
-            case (ra, rb) =>
-              val err = ra.left.toOption.orElse(rb.left.toOption).get
-              System.err.println(s"[bench] $name FAILED: $err")
-              failed(name) = err
-              raw(name) = List(ra, rb).flatMap(_.toOption)
-              None
-          }
-        }
-      }.toSeq
+      .flatMap { case (name, fn) =>
+      (timeOnce(fn), timeOnce(fn)) match {
+        case (Right(a), Right(b)) =>
+          // A third-pass throw degrades to min-of-two rather than failing
+          // a query that already ran twice.
+          val ts = timeOnce(fn).fold(_ => List(a, b), c => List(a, b, c))
+          raw(name) = ts
+          Some(name -> ts.min)
+        case (ra, rb) =>
+          val err = ra.left.toOption.orElse(rb.left.toOption).get
+          System.err.println(s"[bench] $name FAILED: $err")
+          failed(name) = err
+          raw(name) = List(ra, rb).flatMap(_.toOption)
+          None
+      }
+    }
     val wallSec = (System.nanoTime() - wall0) / 1e9
 
     // Locale.ROOT: a comma-decimal default locale would render 1.234 as
