@@ -93,6 +93,12 @@ object Tables {
       // sort the aggregate exists to avoid. Per-partition state here is
       // keys × k × ~100 B — megabytes at millions of keys — so a high
       // key threshold is safe; a 100 TB deployment sets the same conf.
+      // Session-wide, this also disables the valve for every OTHER
+      // ObjectHashAggregate; audited safe: every collect_list in the
+      // suite is bounded per key by construction (vector dim,
+      // paragraphs-per-doc, events-per-session) and every `percentile`
+      // groups by ≤ tens of keys — no unbounded-per-key object-hash
+      // aggregate runs at high key counts in these sessions.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
       .getOrCreate()

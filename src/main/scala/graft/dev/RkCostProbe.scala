@@ -1,7 +1,5 @@
 package graft.dev
 
-import org.apache.spark.sql.functions._
-
 import graft.core.Tables
 
 /** One-off decision harness for the round-11 probe-width frontier: times
@@ -19,7 +17,7 @@ object RkCostProbe {
     val amp = args.lift(1).getOrElse("/tmp/graft-amp32")
     val spark = Tables.localSession("rk-cost-probe", cores = 32)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$amp/embeddings.parquet"))) {
-      AmplifyBridge.amplify(spark, base, 32, amp)
+      ScaleProbe.amplify(spark, base, 32, amp)
       println(s"[rkcost] amplified x32 into $amp")
     }
     def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
@@ -37,16 +35,5 @@ object RkCostProbe {
         "graph_label_prop"))
     qs.foreach { q => time(q)(graft.SparkEntry.queries(q)(spark, amp)) }
     spark.stop()
-  }
-}
-
-/** Exposes ScaleProbe's private amplifier to the cost probe. */
-object AmplifyBridge {
-  def amplify(spark: org.apache.spark.sql.SparkSession, base: String,
-      k: Int, out: String): String = {
-    val m = ScaleProbe.getClass.getDeclaredMethods
-      .find(_.getName == "amplify").get
-    m.setAccessible(true)
-    m.invoke(ScaleProbe, spark, base, Int.box(k), out).asInstanceOf[String]
   }
 }

@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   *    replicas scatter around the original manifold instead of stacking
   *    onto it (stacked copies would make every kNN list degenerate).
   *
-  * Output: BENCH_SCALE.json — per query t×1/t×8/t×32 (min-of-2 seconds)
-  * and the fitted exponent.
+  * Output: BENCH_SCALE.json — per query t×1/t×8/t×32[/t×64]
+  * (steady-state min-of-[[Repeats]] seconds) and the fitted exponent.
   *
   * Usage: runMain graft.dev.ScaleProbe [baseSfDir]
   */
@@ -47,12 +47,24 @@ object ScaleProbe {
     "text_bpe_apply",
     "graph_pagerank", "graph_label_prop", "emb_pca_power",
     "text_bpe_train_n5", "dedup_span_remove")
-  /** Round-10 VERDICT #4: the two highest-exponent probes (both
-    * iterative rk-edge walkers, the shapes most likely to be pre-knee
-    * rather than genuinely sub-linear) get a FOURTH size point at ×64 —
-    * one more doubling decides whether the exponent holds or drifts up
-    * once shuffle sizes cross memory thresholds. */
-  val X64Probes = Set("graph_pagerank", "graph_label_prop")
+  /** Round-10 VERDICT #4 (+ round-11 #6): the highest-exponent probes
+    * (the shapes most likely to be pre-knee rather than genuinely
+    * sub-linear) get a FOURTH size point at ×64 — one more doubling
+    * decides whether the exponent holds or drifts up once shuffle sizes
+    * cross memory thresholds. dedup_allpairs joined in round 12: its ×32
+    * point (63.9 s from 6.9 at ×8) looked like a fresh knee crossing. */
+  val X64Probes = Set("graph_pagerank", "graph_label_prop", "dedup_allpairs")
+
+  /** Timed repeats per (query, scale); min is recorded. Round 11's
+    * probe-width decision was only trustworthy because RkCostProbe ran
+    * STEADY-STATE repeats (this host swings 2–4× between identical runs;
+    * the first-in-session execution pays ~100 s of page-cache/JIT warmup
+    * — one session measured 47.6/107/174.6 s for three repeats of ONE
+    * query). Promoted here (round-11 VERDICT #8) so every future
+    * exponent recording inherits min-of-N instead of min-of-2:
+    * `SCALE_PROBE_REPEATS` overrides (≥2; full runs keep the default). */
+  val Repeats: Int =
+    math.max(2, sys.env.get("SCALE_PROBE_REPEATS").map(_.toInt).getOrElse(3))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -98,8 +110,8 @@ object ScaleProbe {
     val rows = probes.map { name =>
       val scalesFor = if (X64Probes(name)) Scales :+ 64 else Scales
       val ts = scalesFor.map { k =>
-        val t = math.min(timeOnce(name, dirs(k)), timeOnce(name, dirs(k)))
-        println(f"[scaleprobe] $name x$k%-2d: $t%.3f s")
+        val t = (1 to Repeats).map(_ => timeOnce(name, dirs(k))).min
+        println(f"[scaleprobe] $name x$k%-2d: $t%.3f s (min of $Repeats)")
         k -> t
       }
       // least-squares slope of ln t on ln k
@@ -185,7 +197,7 @@ object ScaleProbe {
     * id-keyed policy. */
   private val IdOffset = 100000007L
 
-  private def amplify(spark: SparkSession, base: String, k: Int,
+  private[dev] def amplify(spark: SparkSession, base: String, k: Int,
       out: String): String = {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val amplDocs = (0 until k).map { r =>

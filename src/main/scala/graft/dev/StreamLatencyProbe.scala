@@ -55,21 +55,22 @@ object StreamLatencyProbe {
     * closes the open sessions) but it is not a representative batch, so
     * it is excluded from the warm percentile/rows-per-sec population
     * (left in, its 1-row fast batch pulls the asserted median down).
-    * The sentinel is identified by its SIGNATURE — the trailing run of
-    * numInputRows == 1 batches — not by position (r10 ADVICE: a feed
-    * that splits into several micro-batches would otherwise exclude a
-    * representative batch or retain the sentinel). Data feeds here are
-    * hundreds-to-thousands of rows, so a trailing 1-row batch is
-    * unambiguous. */
+    * The sentinel is identified by its SIGNATURE — the single trailing
+    * numInputRows == 1 batch (a 1-row feed produces exactly one
+    * micro-batch) — not by position alone: at most ONE trailing 1-row
+    * batch is dropped, so a legitimate 1-row data batch earlier in a
+    * trailing run is never excluded (r11 ADVICE). */
   def run(q: StreamingQuery, feeds: Seq[() => Unit],
       dropLastSentinel: Boolean = false): Stats = {
     feeds.foreach { f => f(); q.processAllAvailable() }
     val progAll = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     q.stop()
-    val prog = if (dropLastSentinel && progAll.size > 1) {
-      val trimmed = progAll.reverse.dropWhile(_.numInputRows == 1).reverse
-      if (trimmed.nonEmpty) trimmed else progAll
-    } else progAll
+    // The sentinel feed is 1 row → exactly ONE micro-batch; drop at most
+    // one trailing 1-row batch so a legitimate 1-row data batch earlier
+    // in a trailing run is never silently excluded (r11 ADVICE).
+    val prog = if (dropLastSentinel && progAll.size > 1 &&
+        progAll.last.numInputRows == 1) progAll.dropRight(1)
+    else progAll
     val durs = prog.map(p => p.durationMs.get("triggerExecution").longValue())
     val rows = prog.map(_.numInputRows).sum
     require(durs.nonEmpty, "no data batches recorded")

@@ -786,7 +786,9 @@ object Sampling {
     ordered.mapPartitions { it =>
       var acc = 0L
       it.map { r =>
-        acc += r.getLong(ntIdx)
+        // null-tolerant like the sum(coalesce) path it replaced: a null
+        // n_tokens doc contributes 0 instead of NPE-killing the stream
+        if (!r.isNullAt(ntIdx)) acc += r.getLong(ntIdx)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
       }
     }(enc).drop("__nt")

@@ -744,7 +744,7 @@ object Similarity {
       d: String, cap: Long = CellShardCap,
       sharedAssign: Option[org.apache.spark.sql.DataFrame] = None,
       embSource: Option[org.apache.spark.sql.DataFrame] = None,
-      topK: Option[Int] = None) = {
+      topK: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // `embSource` swaps the (vec_id, embedding) frame the chain ranks —
     // the int8 composition certificate passes the quantization codes so
@@ -764,8 +764,46 @@ object Similarity {
     // filtered to rn ≤ k: the heap orders by the same 4-dp-rounded
     // (cos desc, dst asc) key (negated rounded cos is exact), and
     // SimilaritySpec pins the equality on both the fast and sharded
-    // paths. `None` keeps the full ranked frame (sim_hard_negatives
-    // consumes ranks and counts over the whole candidate list).
+    // paths. `None` keeps the full ranked frame (consumers that read
+    // unbounded ranks; since round 12 no registered query does —
+    // sim_hard_negatives aggregates [[knnScoredDf]] directly).
+    val scored = knnScoredDf(s, d, cap, sharedAssign, embSource)
+    topK match {
+      case Some(k) =>
+        // heap key: ascending (−cos, dst) ≡ (cos desc, dst asc);
+        // reverse = true keeps the k smallest and emits them ascending,
+        // so array position IS the rank
+        val key = struct((-col("cos")).as("nc"), col("dst").as("dst"),
+          col("cos").as("cos"))
+        scored.groupBy("src")
+          .agg(org.apache.spark.sql.GraftSqlBridge
+            .collectTopK(key, k, reverse = true).as("tk"))
+          .select(col("src"), posexplode(col("tk")))
+          .select(col("src"), col("col.dst").as("dst"),
+            col("col.cos").as("cos"), (col("pos") + 1).cast("long").as("rn"))
+      case None =>
+        val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+    }
+  }
+
+  /** The UNRANKED scored candidate pairs `(src, dst, cos)` behind
+    * [[knnRankedDf]] — same fast/sharded plan choice, no per-src ranking.
+    * Consumers whose per-src answer is a bounded AGGREGATE of the
+    * candidate list (a count, an arg-max — `sim_hard_negatives`) read
+    * this directly and skip both the rank window and the top-k heap:
+    * their state is then O(1) per src and the shuffle after the candidate
+    * join carries partial aggregates, never the full pair list. */
+  private[graft] def knnScoredDf(s: org.apache.spark.sql.SparkSession,
+      d: String, cap: Long = CellShardCap,
+      sharedAssign: Option[org.apache.spark.sql.DataFrame] = None,
+      embSource: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // `embSource` swaps the (vec_id, embedding) frame the chain scores —
+    // the int8 composition certificate passes the quantization codes so
+    // sharding loss and quantization loss are priced JOINTLY; cell
+    // assignment (`assign`) always comes from the float corpus.
     def embs = embSource.getOrElse(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
     // assign is MATERIALIZED once (localCheckpoint, the ivfIndex/annGate
@@ -781,28 +819,10 @@ object Similarity {
     val maxCellRow = assign.groupBy("cell").agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).first()
     val maxCell = if (maxCellRow.isNullAt(0)) 0L else maxCellRow.getLong(0)
-    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    def rankPairs(joined: org.apache.spark.sql.DataFrame) = {
-      val scored = joined.filter(col("src") =!= col("dst"))
+    def score(joined: org.apache.spark.sql.DataFrame) =
+      joined.filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
           round(dotCol("ea", "eb") / (col("na") * col("nb")), 4).as("cos"))
-      topK match {
-        case Some(k) =>
-          // heap key: ascending (−cos, dst) ≡ (cos desc, dst asc);
-          // reverse = true keeps the k smallest and emits them ascending,
-          // so array position IS the rank
-          val key = struct((-col("cos")).as("nc"), col("dst").as("dst"),
-            col("cos").as("cos"))
-          scored.groupBy("src")
-            .agg(org.apache.spark.sql.GraftSqlBridge
-              .collectTopK(key, k, reverse = true).as("tk"))
-            .select(col("src"), posexplode(col("tk")))
-            .select(col("src"), col("col.dst").as("dst"),
-              col("col.cos").as("cos"), (col("pos") + 1).cast("long").as("rn"))
-        case None =>
-          scored.withColumn("rn", row_number().over(w).cast("long"))
-      }
-    }
     if (maxCell <= cap) {
       val withCell = embs
         .join(assign, "vec_id")
@@ -812,7 +832,7 @@ object Similarity {
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = withCell.select(col("cell"), col("vec_id").as("dst"),
         col("embedding").as("eb"), col("nrm").as("nb"))
-      rankPairs(a.join(b, Seq("cell")))
+      score(a.join(b, Seq("cell")))
     } else {
       val sizes = assign.groupBy("cell")
         .agg(count(lit(1)).as("cnt"))
@@ -853,7 +873,7 @@ object Similarity {
           col("src"), col("ea"), col("na"))
       val b = withCell.select(col("cell"), col("shard").as("pshard"),
         col("vec_id").as("dst"), col("embedding").as("eb"), col("nrm").as("nb"))
-      rankPairs(a.join(b, Seq("cell", "pshard")))
+      score(a.join(b, Seq("cell", "pshard")))
     }
   }
 
@@ -961,11 +981,21 @@ object Similarity {
     * alone in its cell) emits NULLs rather than vanishing — the honest
     * "no negative available here" signal a batch builder needs.
     *
-    * Scale shape: inherits `rk`'s within-cell block join (Σ cell², never
-    * corpus²); the re-rank window is per-src over the already-ranked
-    * bounded candidate list; selection/count are partial-aggregable.
-    * Ranking is on the 4-dp-rounded cosine with dst tie-break, so both
-    * engines pick bit-identical negatives. */
+    * Scale shape (round 12 — the last full-candidate-list rank window in
+    * the rk family, restructured): the oracle CTE phrases the miner as
+    * "first-by-rank among cos < thr", but rank order within that filter
+    * IS (cos desc, dst asc) — so the answer per src is one conditional
+    * COUNT plus one conditional ARG-MAX, i.e. ONE hash aggregate over
+    * [[knnScoredDf]] with O(1) state per src (`min(struct(-cos, dst))`
+    * picks the identical row the window's hrn = 1 picked). No rank
+    * window, no top-k heap: the shuffle after the candidate join carries
+    * partial aggregates (2 tiny values per src per map partition), never
+    * the Σ(2w+1)·cap·cell pair list the window map-side sorted — the
+    * 130 s ×32 steady-state knee RkCostProbe measured in round 11.
+    * Arg-max key is the 4-dp-rounded cosine with dst tie-break (`-cos`
+    * normalized `0.0 - cos` so a rounded −0.0 can't order against +0.0
+    * differently than the window's sort did), so both engines pick
+    * bit-identical negatives. */
   val simHardNegatives = sql(
     "sim_hard_negatives",
     s"""WITH $knnRankedSqlCte,
@@ -982,21 +1012,20 @@ object Similarity {
        |  ON h.src = e.vec_id
        |LEFT JOIN pos p ON p.src = e.vec_id
        |ORDER BY src""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val rk = knnRankedDf(s, d)
-    val w = Window.partitionBy("src").orderBy("rn")
-    val hn = rk.filter(col("cos") < CosineNearDupThreshold)
-      .withColumn("hrn", row_number().over(w))
-      .filter(col("hrn") === 1)
-      .select(col("src"), col("dst").as("hard_neg"),
-        col("cos").as("hard_neg_cos"))
-    val pos = rk.filter(col("cos") >= CosineNearDupThreshold)
-      .groupBy("src").agg(count(lit(1)).as("n_pos"))
+    // ONE aggregate over the unranked candidate pairs: conditional count
+    // of positives + conditional arg-max hard negative (min over the
+    // ascending (0.0 - cos, dst) struct ≡ the window's cos desc, dst asc;
+    // `min` skips the NULLs the `when` leaves on positive rows)
+    val best = struct((lit(0.0) - col("cos")).as("nc"), col("dst").as("dst"),
+      col("cos").as("cos"))
+    val agg = knnScoredDf(s, d).groupBy("src").agg(
+      sum(when(col("cos") >= CosineNearDupThreshold, 1L).otherwise(0L))
+        .as("n_pos"),
+      min(when(col("cos") < CosineNearDupThreshold, best)).as("bst"))
     Tables.embeddings(s, d).select(col("vec_id").as("src"))
-      .join(pos, Seq("src"), "left")
-      .join(hn, Seq("src"), "left")
+      .join(agg, Seq("src"), "left")
       .select(col("src"), coalesce(col("n_pos"), lit(0L)).as("n_positives"),
-        col("hard_neg"), col("hard_neg_cos"))
+        col("bst.dst").as("hard_neg"), col("bst.cos").as("hard_neg_cos"))
       .orderBy("src")
   }
 

@@ -193,15 +193,18 @@ object TextOps {
     * `sizes(doc_id, n)` + `pairs(da, db, common)`, and the matching Spark
     * builder. One definition so the cap/shingle-universe semantics cannot
     * fork between the two metrics. */
-  private val cappedPairsSqlCte: String =
-    s"""$shinglesSql,
-       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+  private val cappedPairsFromShSqlCte: String =
+    s"""df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
        |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
        |        WHERE df.df <= $ShingleDfCap),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
        |          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
+
+  private val cappedPairsSqlCte: String =
+    s"""$shinglesSql,
+       |$cappedPairsFromShSqlCte""".stripMargin
 
   /** Spark side of the scaffolding: `pairs(da, db, common)` joined with the
     * per-doc sizes as `na`/`nb`. The sizes aggregate is per-doc (NOT
@@ -211,8 +214,13 @@ object TextOps {
     * Spark-side definition of the capped shingle universe (cached:
     * consumers read it several ways). */
   private def cappedShingleIndex(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val raw = shingles(s, d).cache() // read twice: df aggregation + anti join
+      d: String,
+      shIn: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    // `shIn` lets the df-cap recall certificate share ONE cached raw
+    // shingle scan between the capped chain and its exact ground truth
+    val raw = shIn.getOrElse(
+      shingles(s, d).cache()) // read twice: df aggregation + anti join
     val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select("sh")
     // left_anti keeps the hot-key list out of the big join's key space
@@ -225,9 +233,12 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     val sh = shcIn.getOrElse(cappedShingleIndex(s, d))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // distinct key names per side: relying on Spark's ambiguous-self-join
+    // rewrite (a("sh") === b("sh") over one cached frame) emits a
+    // trivially-true-equals WARN and is fragile against analyzer changes
     val a = sh.select(col("doc_id").as("da"), col("sh"))
-    val b = sh.select(col("doc_id").as("db"), col("sh"))
-    a.join(b, a("sh") === b("sh") && col("da") < col("db"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
+    a.join(b, col("sh") === col("shb") && col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("common"))
       .join(sizes.toDF("doc_id", "na"), col("da") === col("doc_id")).drop("doc_id")
       .join(sizes.toDF("doc_id", "nb"), col("db") === col("doc_id")).drop("doc_id")
@@ -349,6 +360,50 @@ object TextOps {
       .select(col("da"), col("db"), col("common"),
         round(col("common") * lit(1.0) / col("un"), 4).as("jaccard"))
       .orderBy("da", "db")
+  }
+
+  /** DF-CAP RECALL CERTIFICATE (round-11 VERDICT #7) — the hot-shingle
+    * df-cap bounds [[dedupNgramJaccard]]'s pair join (no single join key
+    * can go quadratic), but it silently forfeits any true near-dup pair
+    * whose ONLY shared shingles are hot — the same asserted-not-measured
+    * trade the kNN sharding and LSH banding carried before their recall
+    * certificates. This query PRICES it: the exact full-universe τ=0.8
+    * pair set (the AllPairs prefix-filter chain — `dedup_allpairs`'s own
+    * ground truth, paid once here off the steady-state path) joined
+    * against the capped chain's ≥ 0.8 pairs. `n_capped` also exposes the
+    * other face of the trade (capping can ADD pairs: dropping hot
+    * shingles shared by neither side shrinks the union and can lift a
+    * borderline Jaccard over the threshold). One corpus-shared shingle
+    * scan feeds both chains. */
+  val dedupDfcapRecall = sql(
+    "dedup_dfcap_recall",
+    s"""WITH $shinglesSql,
+       |$allpairsFromShSqlCte,
+       |$cappedPairsFromShSqlCte,
+       |cp AS (SELECT da, db FROM pairs
+       |       JOIN sizes sa ON sa.doc_id = da
+       |       JOIN sizes sb ON sb.doc_id = db
+       |       WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8),
+       |tot AS (SELECT count(*) AS n_exact FROM apairs),
+       |ncp AS (SELECT count(*) AS n_capped FROM cp),
+       |hit AS (SELECT count(*) AS n_hit FROM apairs JOIN cp USING (da, db))
+       |SELECT n_exact, n_capped, n_hit,
+       |       round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall_at08
+       |FROM tot, ncp, hit""".stripMargin) { (s, d) =>
+    val shb = shingles(s, d).cache() // ONE scan feeds exact + capped chains
+    val exact = allpairsOver(shb).select("da", "db").localCheckpoint()
+    val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+    val capped = cappedPairsWithSizes(s, d,
+        Some(cappedShingleIndex(s, d, Some(shb))))
+      .filter(jac >= 0.8).select("da", "db")
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    val ncp = capped.agg(count(lit(1)).as("n_capped"))
+    val hit = exact.join(capped, Seq("da", "db"))
+      .agg(count(lit(1)).as("n_hit"))
+    tot.crossJoin(ncp).crossJoin(hit)
+      .select(col("n_exact"), col("n_capped"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 4)
+          .as("recall_at08"))
   }
 
   /** Spark side of `apairs`: the exact τ=0.8 pair set (da, db, common, un). */
@@ -4226,7 +4281,7 @@ object TextOps {
     textRollingHash, textTfidf, textQuality, textQualityAblation, textVocabTopk, textOovRate,
     textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
-    dedupContainment, dedupAllpairs, dedupMinhashRecall,
+    dedupContainment, dedupAllpairs, dedupDfcapRecall, dedupMinhashRecall,
     dedupMinhashRecallMaterialized, dedupSimhashRecall,
     dedupSimhashRecallMaterialized, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
