@@ -19,6 +19,17 @@ object CurationProfile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = Tables.localSession("curation-profile", cores = 32)
+    // A/B conf harness: CURPROF_CONF="k=v;k=v" applies session-level
+    // overrides (shuffle partitions, state-store provider, …) so a
+    // candidate fix is priced before it ships into the probe/spec
+    // sessions. Streaming-relevant confs are read at query START, so
+    // setting them here (before .start()) is sufficient.
+    sys.env.get("CURPROF_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+        println(s"[curprof] conf override: ${k.trim}=${v.trim}")
+      })
     import spark.implicits._
     implicit val sq = spark.sqlContext
     try graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -43,13 +54,20 @@ object CurationProfile {
       mem.addData(g.map { case (id, t) => (id, t, t0) }.toIndexedSeq: _*)
       q.processAllAvailable()
     }
-    q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    prog.foreach { p =>
       println(s"batch=${p.batchId} rows=${p.numInputRows} " +
         s"durationMs=${p.durationMs} " +
         p.stateOperators.map(so =>
           s"state[commit=${so.commitTimeMs}ms rows=${so.numRowsTotal} " +
           s"mem=${so.memoryUsedBytes}]").mkString(" "))
     }
+    // warm p50 (first batch excluded — codegen compile), one line for A/B
+    val warm = prog.drop(1)
+      .map(_.durationMs.get("triggerExecution").longValue()).sorted
+    if (warm.nonEmpty)
+      println(s"[curprof] warm p50 ${warm(warm.size / 2)} ms over " +
+        s"${warm.size} batches")
     q.stop()
     spark.stop()
   }

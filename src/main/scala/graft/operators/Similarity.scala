@@ -634,14 +634,14 @@ object Similarity {
     * first embedding component; raw float, identical ordering on both
     * engines, vec_id tie-break), slab = ⌊(rank−1)·s/size⌋ — and each
     * vector's candidates are its own slab plus the ADJACENT slabs: a
-    * ±1 multi-probe while s ≤ 2 (provably exact there), widening to ±2
-    * once s > 2 (round 11 — the regime where ±1's 3/s coverage was the
-    * measured organic-recall floor), via an offset explode so the join
+    * ±min(s−1, 3) multi-probe (round 12 — provably exact through s = 4,
+    * ±3 beyond; round 11's ±2 cap existed only to protect the
+    * since-removed rank-window sort), via an offset explode so the join
     * stays equi-key. With a fixed codebook, cell sizes grow linearly with the
     * corpus and the within-cell block join grows QUADRATICALLY — the
     * scale-probe measured graph_triangles' ×8→×32 segment at slope ~1.9
     * before this cap (BENCH_SCALE.json). Slab sharding bounds every
-    * block at 3·cap² work, restoring linear total cost, and — unlike the
+    * block at 7·cap² work, restoring linear total cost, and — unlike the
     * round-9 `vec_id % s` split, whose recall collapsed to the 1/s floor
     * it predicts (measured 0.16 at ×32) — keeps near neighbors
     * co-candidate: |proj(a) − proj(b)| ≤ ‖a−b‖ for any unit direction,
@@ -666,23 +666,23 @@ object Similarity {
     * table-parameterized so the int8 composition certificate can run the
     * same chain over the quantization codes.
     *
-    * ADAPTIVE PROBE WIDTH (round 11): the slab probe width w grows with
-    * the split factor s — w = 1 while s ≤ 2 (±1 provably reaches every
-    * slab of a 2-way split, so the sharded frame is exact there), w = 2
-    * for s ≥ 3 — lifting the forced-cap organic certificate (s≈7) from
-    * the ±1 floor of 0.50 to 0.6967 while the block bound stays
-    * ≤ 5·cap². The full measured frontier is in
-    * BENCH_DEV_r11_probe_width.json: w = 3 reads 0.8307 but was REJECTED
-    * after the ×32/×64 scale probe measured its candidate-volume knee
-    * (graph_pagerank exponent 1.051 — the window shuffle over the
-    * (2w+1)/3-times-larger pair list crosses the spill threshold in
-    * exactly the overflow regime the valve exists to keep linear);
-    * PC1-direction slabs buy ~0.02-0.03 at every width but cost a
-    * power-iteration sub-chain in every rk-consumer oracle (rejected in
-    * round 10, re-confirmed). The offset list stays a static 5-row
-    * VALUES and the width condition is a per-row predicate on the
-    * a-side's s, so the join stays equi-key and a pair still matches at
-    * most once (its slab delta picks the unique offset).
+    * ADAPTIVE PROBE WIDTH (round 12 ladder): w(s) = min(s − 1, 3) — ±w
+    * reaches every slab of a (w+1)-way split, so the sharded frame is
+    * provably EXACT through s = 4, lifting the forced-cap organic
+    * certificate (s≈7, ±3 live) to 0.8307 from round 11's 0.6967 at ±2
+    * and round 10's 0.50 at fixed ±1, with the block bound ≤ 7·cap².
+    * Round 11 REJECTED w = 3 because its (2w+1)/5-larger candidate list
+    * pushed the rank window's map-side full-list sort past the ×32
+    * shuffle-spill knee (graph_pagerank exponent 1.051) — but that sort
+    * was then removed (CollectTopK / single-aggregate consumers), and
+    * the round-12 re-priced ladder measured w = 3 sub-linear through
+    * ×64 (BENCH_DEV_r12_probe_width.json); PC1-direction slabs buy
+    * ~0.02-0.03 at every width but cost a power-iteration sub-chain in
+    * every rk-consumer oracle (rejected in round 10, re-confirmed).
+    * The offset list stays a static 7-row VALUES and the width
+    * condition is a per-row predicate on the a-side's s, so the join
+    * stays equi-key and a pair still matches at most once (its slab
+    * delta picks the unique offset).
     * NULLS FIRST pins DuckDB's slab ordering to Spark's ascending
     * null-ordering default — a null/short embedding would otherwise
     * silently diverge slab assignment between engines. */
@@ -699,10 +699,10 @@ object Similarity {
        |pr$sfx AS (SELECT a.vec_id AS src, b.vec_id AS dst,
        |              round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
        |       FROM emb2$sfx a
-       |       CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) AS po$sfx(o)
+       |       CROSS JOIN (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS po$sfx(o)
        |       JOIN emb2$sfx b ON a.cell = b.cell AND b.shard = a.shard + po$sfx.o
        |        AND a.vec_id <> b.vec_id
-       |       WHERE abs(po$sfx.o) <= (CASE WHEN a.s > 2 THEN 2 ELSE 1 END)),
+       |       WHERE abs(po$sfx.o) <= least(a.s - 1, 3)),
        |rk$sfx AS (SELECT src, dst, cos,
        |              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rn
        |       FROM pr$sfx)""".stripMargin
@@ -710,7 +710,7 @@ object Similarity {
   /** SQL CTE chain ending in `rk(src, dst, cos, rn)` — the within-cell
     * top-k cosine ranking shared by `sim_knn_graph` (which emits it) and
     * `graph_pagerank` (which walks it as an edge list). Candidates join
-    * on (cell, adjacent radial slab — ±1 for s ≤ 2, ±2 above); s = 1
+    * on (cell, adjacent radial slab — ±min(s−1, 3)); s = 1
     * (single slab, exact within-cell kNN — only offset 0 matches)
     * whenever the cell is within [[CellShardCap]]. */
   private val knnRankedSqlCte: String =
@@ -731,9 +731,9 @@ object Similarity {
     *    entirely (they cost the three rk-chain consumers ~0.6 s flat at
     *    sf0.1 while buying nothing);
     *  - SHARDED PATH, any cell > cap: the (cell, adjacent radial slab)
-    *    candidate join that bounds every block at (2w+1)·cap² work, w = 1
-    *    for s ≤ 2 and 2 above (the ×32 linearity fix) while keeping near
-    *    neighbors co-candidate (see [[CellShardCap]]). The a-side
+    *    candidate join that bounds every block at (2w+1)·cap² work,
+    *    w = min(s−1, 3) (exact through s = 4; see [[CellShardCap]])
+    *    while keeping near neighbors co-candidate. The a-side
     *    explodes into 2w+1 probe rows so the join stays equi-key — a pair
     *    matches at most once (its slab delta picks the unique offset).
     * Both paths produce bit-identical frames when every cell ≤ cap (slab
@@ -856,19 +856,24 @@ object Similarity {
           expr("((rnc - 1) * s) div cnt").as("shard"),
           col("embedding"), sqrt(dotCol("embedding", "embedding")).as("nrm"))
         .localCheckpoint()
-      // adaptive probe width (round 11, mirrors the oracle CTE): w(s) =
-      // 1 for s ≤ 2 (provably exact — ±1 reaches every slab of a 2-way
-      // split), 2 for s ≥ 3, where the fixed ±1 probe's 3/s coverage was
-      // the measured organic-recall floor (w = 3 measured and rejected —
-      // see [[CellShardCap]]). Per-cell width via a conditional array
-      // keeps the explode-then-equi-join shape; a pair still matches at
-      // most once (its slab delta picks the unique offset).
+      // adaptive probe width (round 12 ladder, mirrors the oracle CTE):
+      // w(s) = min(s − 1, 3) — ±w reaches every slab of an (w+1)-way
+      // split, so the sharded frame is provably EXACT through s = 4 and
+      // probes ±3 beyond. Round 11 had capped the ladder at ±2 because
+      // w = 3's larger candidate list pushed the rank window's map-side
+      // full-list sort past the ×32 shuffle-spill knee — that sort no
+      // longer exists (CollectTopK for the rn≤3 consumers, one hash
+      // aggregate for sim_hard_negatives), and the re-priced ladder
+      // measured w = 3 sub-linear (BENCH_DEV_r12_probe_width.json).
+      // Per-row width via explode-then-filter keeps the equi-join shape;
+      // a pair still matches at most once (its slab delta picks the
+      // unique offset).
       def offs(w: Int) = array((-w to w).map(o => lit(o.toLong)): _*)
       val a = withCell.select(col("cell"), col("shard"), col("s"),
         col("vec_id").as("src"),
         col("embedding").as("ea"), col("nrm").as("na"))
-        .withColumn("o", explode(when(col("s") > 2, offs(2))
-          .otherwise(offs(1))))
+        .withColumn("o", explode(offs(3)))
+        .filter(abs(col("o")) <= least(col("s") - 1, lit(3L)))
         .select(col("cell"), (col("shard") + col("o")).as("pshard"),
           col("src"), col("ea"), col("na"))
       val b = withCell.select(col("cell"), col("shard").as("pshard"),
@@ -920,17 +925,19 @@ object Similarity {
     * adaptive probe width w(s) of the source's. This forced-cap run is
     * the deliberately HARD case — s≈7 slabs of ~7 organic vectors, so
     * slab width (~7 rows) is thinner than typical organic neighbor
-    * distances: measured 1045/1500 = 0.6967 with the round-11 w(s)
-    * ladder (±2 live at s≈7), up from 0.50 at the round-10 fixed ±1, vs
-    * 0.146 ≈ 1/s for the round-9 modulo split on the same data. The
-    * wider ±3 point reads 0.8307 but was measured-and-rejected on its
-    * ×32/×64 cost (full frontier: BENCH_DEV_r11_probe_width.json).
-    * The number that reflects production (near-dup-heavy corpora
-    * overflowing a real 1024-cap, where neighbors ARE close on any
-    * fixed direction) is the amplified twin at the REAL cap
-    * (ScaleProbe's shard-recall probe, BENCH_SCALE.json): recall@3 =
-    * 1.0 at ×8 (s=2 — ±1 covers both slabs by construction) and
-    * ~1.0 at ×32 (s≈7, ±2 live). The operational conclusion stands in both regimes:
+    * distances: measured 1246/1500 = 0.8307 with the round-12
+    * w(s) = min(s−1, 3) ladder (±3 live at s≈7), up from 0.6967 at
+    * round 11's ±2 cap, 0.50 at the round-10 fixed ±1, and
+    * 0.146 ≈ 1/s for the round-9 modulo split on the same data. ±3 had
+    * been rejected in round 11 on the rank window's ×32 sort knee; the
+    * knee's removal re-opened it (re-priced ladder:
+    * BENCH_DEV_r12_probe_width.json). The number that reflects
+    * production (near-dup-heavy corpora overflowing a real 1024-cap,
+    * where neighbors ARE close on any fixed direction) is the amplified
+    * twin at the REAL cap (ScaleProbe's shard-recall probe,
+    * BENCH_SCALE.json): recall@3 = 1.0 at ×8 (s=2 — ±1 covers both
+    * slabs by construction) and
+    * ~1.0 at ×32 (s≈7, ±3 live). The operational conclusion stands in both regimes:
     * sub-sharding is the SAFETY VALVE that keeps the plan linear when
     * cells overflow the cap — at production scale the codebook should
     * still grow with the corpus (k ∝ n/cap) so s stays 1 — but with

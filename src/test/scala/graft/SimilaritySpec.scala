@@ -510,8 +510,8 @@ class SimilaritySpec extends AnyFunSuite {
 
     // 2. forced cap=2: candidates must pair only within (cell, adjacent
     //    slab) — the geometric slab split on the first embedding component
-    //    plus the adaptive multi-probe: w(s) = 1 for s ≤ 2, 2 for s ≥ 3.
-    //    At cap=2 every sf0.001 cell has s ≥ 3, so the live width is ±2.
+    //    plus the adaptive multi-probe: w(s) = min(s − 1, 3).
+    //    At cap=2 every sf0.001 cell has s ≥ 4, so the live width is ±3.
     val capped = Similarity.knnRankedDf(spark, sf, cap = 2L)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(capped.nonEmpty)
@@ -527,7 +527,7 @@ class SimilaritySpec extends AnyFunSuite {
         val ordered = members.keys.toSeq.sortBy(v => (dim1(v), v))
         val cnt = ordered.size.toLong
         val s = (cnt + 1) / 2 // ceil(cnt/cap) for cap=2
-        val w = if (s > 2) 2L else 1L
+        val w = math.min(s - 1, 3L)
         ordered.zipWithIndex.map { case (v, i) => v -> (c, i.toLong * s / cnt, w) }
     }
     capped.foreach { case (a, b) =>
@@ -536,10 +536,10 @@ class SimilaritySpec extends AnyFunSuite {
         s"edge ($a,$b) outside cell/±$wa-slab: ($ca,$sa) vs ($cb,$sb)")
     }
     // and the width is genuinely adaptive: some retained pair sits at
-    // slab delta exactly 2 (a fixed ±1 probe would have dropped it)
+    // slab delta exactly 3 (the round-11 ±2 ladder would have dropped it)
     assert(capped.exists { case (a, b) =>
-      math.abs(slabOf(a)._2 - slabOf(b)._2) == 2
-    }, "cap=2 (s≥3) must retain some |Δslab| = 2 pair via the ±2 probe")
+      math.abs(slabOf(a)._2 - slabOf(b)._2) == 3
+    }, "cap=2 (s≥4) must retain some |Δslab| = 3 pair via the ±3 probe")
     // 3. the forced cap genuinely shrinks candidate sets (it did shard)
     val full = unsharded.select("src", "dst").count()
     assert(capped.length < full, "cap=2 must prune cross-shard candidates")
