@@ -19,6 +19,9 @@ object CurationProfile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = Tables.localSession("curation-profile", cores = 32)
+    // shipped ingest sizing (see StreamLatencyProbe) — CURPROF_CONF
+    // below can override it for A/B runs
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     // A/B conf harness: CURPROF_CONF="k=v;k=v" applies session-level
     // overrides (shuffle partitions, state-store provider, …) so a
     // candidate fix is priced before it ships into the probe/spec

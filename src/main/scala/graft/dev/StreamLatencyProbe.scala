@@ -158,6 +158,14 @@ object StreamLatencyProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Tables.localSession("stream-latency", cores = 32)
+    // Stateful-stream sizing (round-12 VERDICT #3; see StreamLatencySpec
+    // for the full rationale): state-store partition count is pinned
+    // from this conf at query start, and each store's delta commit is an
+    // fsync-bound fixed cost — right-size to the per-trigger volume
+    // instead of inheriting the batch-analytics 32. Measured at sf0.1
+    // 500-doc batches: p50 1239 ms @ 32 → 628-700 ms @ 8 (CurationProfile
+    // A/B; RocksDB+changelog 10.5 s, measured and rejected).
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     // one warmup batch job to absorb session/codegen startup
     try graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }

@@ -18,28 +18,41 @@ import graft.dev.StreamLatencyProbe
   * no story at production ingest rates.
   */
 class StreamLatencySpec extends AnyFunSuite {
-  lazy val spark = Tables.localSession("stream-latency-spec", cores = 8)
+  lazy val spark = {
+    val s = Tables.localSession("stream-latency-spec", cores = 8)
+    // Stateful-stream sizing (round-12 VERDICT #3): Spark pins a stream's
+    // state-store partition count from spark.sql.shuffle.partitions at
+    // FIRST start, and each store's per-trigger delta commit is an
+    // fsync-bound fixed cost (~150-500 ms wall measured on this host's
+    // filesystem) — 32 stores for a few-hundred-row micro-batch is pure
+    // commit-wave tax. The ingest harness right-sizes to 8, the same
+    // sizing a production deployment does per expected per-trigger
+    // volume (a 1000-executor firehose sets thousands). Measured at
+    // sf0.1 500-doc batches: p50 1239 ms @ 32 → 628-700 ms @ 8
+    // (CurationProfile A/B; RocksDB+changelog measured 10.5 s and
+    // rejected — 32 instance commits dwarf the HDFS-store deltas here).
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
   val sf = "/root/testdata/sf0.01"
   val BudgetMs = 1000L
 
-  test("curation e2e stream holds a 2 s trigger budget at sf0.01 batches") {
-    // Round-11 fixed-cost cut (VERDICT #2): the sink now executes the
-    // gated upstream ONCE per trigger and runs the trigger-bounded
-    // single-task cumsum instead of docOrderedCumsum's corpus-scale
-    // bucket reduction — p50 dropped 4146→1264 ms at sf0.1 500-doc
-    // batches (BENCH_STREAM.json) and ~2500→~420 ms here at sf0.01.
-    // The remaining per-trigger cost is the dedup-watermark state-store
-    // commit wave plus offset/commit log writes. The budget is pinned at
-    // 2 s (was 3 s): the measured median has ~4× margin, wide enough
-    // that a mid-suite GC pause can't flake the gate, tight enough that
-    // reintroducing a per-trigger corpus-scale stage fails loudly. The
-    // latency-sensitive serving path (annServe, below) holds the
-    // reference's 1 s budget with headroom.
+  test("curation e2e stream holds the 1 s trigger budget at sf0.01 batches") {
+    // Round-11 cut the per-trigger fixed cost 3.3× (one upstream
+    // execution + trigger-bounded cumsum: p50 4146→1264 ms at sf0.1
+    // 500-doc batches); round 12 closed the rest — the profiled
+    // remainder was the dedup-watermark state-store commit wave, cut by
+    // right-sizing the state partition count (see the session builder
+    // above): p50 628-700 ms at sf0.1, ~0.3 s here at sf0.01. The
+    // budget is now the reference's own 1 s trigger (ml_k_to_ss.py:61)
+    // — the LAST streaming job to reach it — so reintroducing either a
+    // per-trigger corpus-scale stage or an oversized commit wave fails
+    // loudly.
     val s = StreamLatencyProbe.curation(spark, sf, nBatches = 5)
     info(s"curation: p50 ${s.p50Ms} ms, p95 ${s.p95Ms} ms, " +
       f"${s.rowsPerSec}%.0f rows/s, headroom vs 1s ${s.headroom}%.1fx")
-    assert(s.p50Ms < 2 * BudgetMs,
-      s"curation stream median ${s.p50Ms} ms blows the 2 s ingest-trigger budget")
+    assert(s.p50Ms < BudgetMs,
+      s"curation stream median ${s.p50Ms} ms blows the 1 s ingest-trigger budget")
   }
 
   test("annServe holds the 1 s trigger budget at sf0.01 batches") {
