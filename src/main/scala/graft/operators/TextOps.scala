@@ -390,7 +390,9 @@ object TextOps {
        |SELECT n_exact, n_capped, n_hit,
        |       round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall_at08
        |FROM tot, ncp, hit""".stripMargin) { (s, d) =>
-    val shb = shingles(s, d).cache() // ONE scan feeds exact + capped chains
+    // ONE scan feeds exact + capped chains (allpairsOver caches it;
+    // caching here too would double-persist and WARN)
+    val shb = shingles(s, d)
     val exact = allpairsOver(shb).select("da", "db").localCheckpoint()
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
     val capped = cappedPairsWithSizes(s, d,
