@@ -1059,23 +1059,25 @@ object Similarity {
     * predicate `200·cos·cf·cb ≥ 105·(fsum·cb + bsum·cf)` — no float
     * compare anywhere.
     *
-    * Scale shape: inherits the within-cell block join (Σ |cellA|·|cellB|,
-    * never corpus²) — at 100 TB this is exactly the FAISS-sharded mining
-    * loop, one shard pair per cell; fwd/bwd averages are per-vector
-    * windows over the bounded candidate list; selection is one more
-    * per-src window. No broadcast beyond the codebook, no global sort. */
+    * Scale shape (round 12): the candidate join IS [[knnScoredDf]] with
+    * a parity filter — so it inherits the slab-sharding safety valve
+    * (blocks ≤ 7·cap² even when a cell overflows; this was the last
+    * within-cell block join without the cap), the s=1 fast path, and
+    * the materialized assignment. At 100 TB this is exactly the
+    * FAISS-sharded mining loop, one shard pair per cell. fwd/bwd top-4
+    * sums run as bounded-heap `CollectTopK` aggregates (≤4 longs of
+    * state per side key) and the rs=1/rd=1 selections as per-key
+    * arg-max aggregates — no window ever sorts the full pair list. No
+    * broadcast beyond the codebook, no global sort. */
   val simMarginMine = sql(
     "sim_margin_mine",
     s"""WITH $ivfAssignSqlCte,
-       |emb2 AS (SELECT e.vec_id, e.embedding, a.cell,
-       |                sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
-       |         FROM embeddings e JOIN assign a USING (vec_id)),
-       |xp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |              CAST(round(round(${dotSql("a.embedding", "b.embedding")}
-       |                               / (a.nrm * b.nrm), 4) * 10000, 0) AS BIGINT) AS ci
-       |       FROM emb2 a JOIN emb2 b ON a.cell = b.cell
-       |        AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
-       |xpp AS (SELECT * FROM xp WHERE ci > 0),
+       |${knnRankedSqlCteFor(CellShardCap, "mm")},
+       |xpp AS (SELECT src, dst,
+       |               CAST(round(cos * 10000, 0) AS BIGINT) AS ci
+       |        FROM prmm
+       |        WHERE src % 2 = 0 AND dst % 2 = 1
+       |          AND CAST(round(cos * 10000, 0) AS BIGINT) > 0),
        |fwd AS (SELECT src, sum(ci) AS fsum, count(*) AS fcnt FROM (
        |          SELECT src, ci, row_number() OVER (PARTITION BY src
        |                            ORDER BY ci DESC, dst) AS rn FROM xpp)
@@ -1096,37 +1098,69 @@ object Similarity {
        |FROM rk
        |WHERE rs = 1 AND 200 * ci * fcnt * bcnt >= 105 * (fsum * bcnt + bsum * fcnt)
        |ORDER BY src""".stripMargin) { (s, d) =>
-    val withCell = Tables.embeddings(s, d).join(ivfAssignDf(s, d), "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"),
-        sqrt(dotCol("embedding", "embedding")).as("nrm"))
-    val a = withCell.filter(col("vec_id") % 2 === 0).select(col("cell"),
-      col("vec_id").as("src"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withCell.filter(col("vec_id") % 2 === 1).select(col("cell"),
-      col("vec_id").as("dst"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val xpp = a.join(b, Seq("cell"))
+    // Candidate pairs come straight from [[knnScoredDf]] (round 12): the
+    // mining `ci` is exactly round(cos·10⁴) of the scored pair, so the
+    // cross-side join inherits the slab-sharding safety valve, the s=1
+    // fast path, and the materialized assignment — this was the LAST
+    // within-cell block join without the cap. Parity filters select the
+    // cross-side direction; at s=1 the population is bit-identical to
+    // the uncapped cell join (the oracle CTE mirrors via the same
+    // shared `pr` chain).
+    val xpp = knnScoredDf(s, d)
+      .filter(col("src") % 2 === 0 && col("dst") % 2 === 1)
       .select(col("src"), col("dst"),
-        round(round(dotCol("ea", "eb") / (col("na") * col("nb")), 4) * 10000, 0)
-          .cast("long").as("ci"))
+        round(col("cos") * 10000, 0).cast("long").as("ci"))
       .filter(col("ci") > 0)
-    val wf = Window.partitionBy("src").orderBy(col("ci").desc, col("dst"))
-    val wb = Window.partitionBy("dst").orderBy(col("ci").desc, col("src"))
-    val fwd = xpp.withColumn("rn", row_number().over(wf)).filter(col("rn") <= 4)
-      .groupBy("src").agg(sum("ci").as("fsum"), count(lit(1)).as("fcnt"))
-    val bwd = xpp.withColumn("rn", row_number().over(wb)).filter(col("rn") <= 4)
-      .groupBy("dst").agg(sum("ci").as("bsum"), count(lit(1)).as("bcnt"))
+    // BOUNDED-STATE ranking (round 12, the sim_hard_negatives discipline
+    // applied to all four of this query's windows): the oracle phrases
+    // fwd/bwd as rank-windows + rn<=4, but top-4-by-(ci desc, tie) is the
+    // CollectTopK heap (<=4 longs of state per side key, no full-list
+    // sort), and the avgK sums fall out of the kept array; rs=1 / rd=1
+    // are per-key ARG-MAXES of the margin, i.e. one min(struct) aggregate
+    // each (md > 0 always — ci > 0 and the denominators are positive
+    // sums — so negating it cannot hit the ±0.0 total-order edge). The
+    // shuffles after the candidate join now carry partial aggregates,
+    // never the full cross-side pair list the windows map-side sorted.
+    def topSums(keyCol: String, tieCol: String, sumName: String,
+        cntName: String) = {
+      val key = struct((-col("ci")).as("nc"), col(tieCol).as("tie"),
+        col("ci").as("ci"))
+      xpp.groupBy(keyCol)
+        .agg(org.apache.spark.sql.GraftSqlBridge
+          .collectTopK(key, 4, reverse = true).as("tk"))
+        .select(col(keyCol),
+          expr("aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + x.ci)")
+            .as(sumName),
+          size(col("tk")).cast("long").as(cntName))
+    }
+    val fwd = topSums("src", "dst", "fsum", "fcnt")
+    val bwd = topSums("dst", "src", "bsum", "bcnt")
     val sc = xpp.join(fwd, "src").join(bwd, "dst")
       .withColumn("md", (lit(2) * col("ci") * col("fcnt") * col("bcnt")).cast("double")
         / (col("fsum") * col("bcnt") + col("bsum") * col("fcnt")).cast("double"))
-    val ws = Window.partitionBy("src").orderBy(col("md").desc, col("dst"))
-    val wd = Window.partitionBy("dst").orderBy(col("md").desc, col("src"))
-    sc.withColumn("rs", row_number().over(ws))
-      .withColumn("rd", row_number().over(wd))
-      .filter(col("rs") === 1 &&
-        lit(200) * col("ci") * col("fcnt") * col("bcnt")
-          >= lit(105) * (col("fsum") * col("bcnt") + col("bsum") * col("fcnt")))
+    // per-dst best partner (the rd = 1 fact), as an argmax aggregate
+    val dstBest = sc.groupBy("dst")
+      .agg(min(struct((lit(0.0) - col("md")).as("nm"), col("src").as("src")))
+        .as("db"))
+      .select(col("dst"), col("db.src").as("best_src"))
+    // per-src best row (the rs = 1 selection) carries the full pair
+    val srcBest = sc.groupBy("src")
+      .agg(min(struct((lit(0.0) - col("md")).as("nm"), col("dst").as("dst"),
+        col("ci").as("ci"), col("fsum").as("fsum"), col("fcnt").as("fcnt"),
+        col("bsum").as("bsum"), col("bcnt").as("bcnt"), col("md").as("md")))
+        .as("sb"))
+      .select(col("src"), col("sb.dst").as("dst"), col("sb.ci").as("ci"),
+        col("sb.fsum").as("fsum"), col("sb.fcnt").as("fcnt"),
+        col("sb.bsum").as("bsum"), col("sb.bcnt").as("bcnt"),
+        col("sb.md").as("md"))
+    srcBest
+      .filter(lit(200) * col("ci") * col("fcnt") * col("bcnt")
+        >= lit(105) * (col("fsum") * col("bcnt") + col("bsum") * col("fcnt")))
+      .join(dstBest, Seq("dst"))
       .select(col("src"), col("dst"),
         round(col("ci") / lit(10000.0), 4).as("cos"),
-        round(col("md"), 4).as("margin"), (col("rd") === 1).as("mutual"))
+        round(col("md"), 4).as("margin"),
+        (col("best_src") === col("src")).as("mutual"))
       .orderBy("src")
   }
 
