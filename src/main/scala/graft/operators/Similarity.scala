@@ -268,8 +268,9 @@ object Similarity {
     * cell) frame; the corpus joins it on the cell key, so each corpus
     * vector is scored only against the queries probing its cell — total
     * work Σ|probed cell| across queries, never |queries|×|corpus|. Per-
-    * query ranking is a window partitioned by query_id over the bounded
-    * cell candidates (top-3 each, 4-dp cosine, candidate-id tie-break).
+    * query top-3 runs as a bounded-heap CollectTopK aggregate (round 12
+    * — a rank window would map-side sort each query's CELL-sized
+    * candidate list; 4-dp cosine, candidate-id tie-break).
     * At 100 TB this is the micro-batch of `Jobs.embeddingRouter`'s ingest
     * side: the one scan amortizes across the whole query batch — the
     * entire point of batching an ANN service. */
@@ -293,7 +294,6 @@ object Similarity {
        |       FROM cand)
        |SELECT query_id, vec_id, rnk, cos FROM rk WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
     val assign = ivfAssignDf(s, d)
     val qs = emb.filter(col("vec_id") < 10).join(assign, "vec_id")
@@ -306,12 +306,20 @@ object Similarity {
         round(dotCol("embedding", "qv")
           / (sqrt(dotCol("embedding", "embedding")) * sqrt(dotCol("qv", "qv"))), 4)
           .as("cos"))
-    cand
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id")))
-        .cast("long"))
-      .filter(col("rnk") <= 3)
-      .select("query_id", "vec_id", "rnk", "cos")
+    // bounded-heap top-3 per query (round 12): the rank window's
+    // WindowGroupLimit map-side sorts the per-query candidate list —
+    // which is CELL-sized and grows with the corpus in the overflow
+    // regime — while CollectTopK keeps ≤3 rows of state per query and
+    // shuffles only those (same key, bit-identical; the knnRankedDf
+    // topK discipline)
+    val key = struct((-col("cos")).as("nc"), col("vec_id").as("vec_id"),
+      col("cos").as("cos"))
+    cand.groupBy("query_id")
+      .agg(org.apache.spark.sql.GraftSqlBridge
+        .collectTopK(key, 3, reverse = true).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.vec_id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rnk"), col("col.cos").as("cos"))
       .orderBy("query_id", "rnk")
   }
 
@@ -1342,23 +1350,26 @@ object Similarity {
          |FROM l3 f JOIN cs ON cs.community = f.l
          |ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val e = knnRankedDf(s, d, topK = Some(3))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
     val ee = e.select(col("a").as("v"), col("b").as("u"))
       .unionAll(e.select(col("b").as("v"), col("a").as("u")))
       .cache() // one edge list, read every round
-    val w = Window.partitionBy("v").orderBy(col("c").desc, col("l"))
     // each round reads the previous label frame TWICE (vote side +
     // join-back side), so un-truncated lineage doubles per round (2^k
     // subtree copies of the kNN chain) — localCheckpoint per round keeps
-    // the state vertex-sized and the plan flat, the BPE/CC discipline
+    // the state vertex-sized and the plan flat, the BPE/CC discipline.
+    // The majority pick is an ARG-MAX aggregate (round 12): min over
+    // the ascending (−votes, label) struct ≡ the ORDER BY c DESC, l
+    // pick — one hash aggregate per round instead of a per-vertex rank
+    // window's exchange + sort (exact long negation, O(1) state per v).
     def step(lab: org.apache.spark.sql.DataFrame) = {
       val pick = ee.join(lab.withColumnRenamed("vec_id", "u"), "u")
         .groupBy("v", "l").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("v").as("vec_id"), col("l").as("nl"))
+        .groupBy("v")
+        .agg(min(struct((-col("c")).as("nc"), col("l").as("l"))).as("m"))
+        .select(col("v").as("vec_id"), col("m.l").as("nl"))
       lab.join(pick, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("nl"), col("l")).as("l"))
         .localCheckpoint(true)
@@ -2047,15 +2058,26 @@ object Similarity {
       .select(col("pid"), col("plabel"), col("vec_id"), col("label"),
         round(dotCol("embedding", "pv") / (col("nrm") * col("pnrm")), 4)
           .as("cos"))
-    val wTop = Window.partitionBy("pid").orderBy(col("cos").desc, col("vec_id"))
-    val votes = pairs.withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 10)
-      .groupBy("pid", "plabel", "label").agg(count(lit(1)).as("c"))
-    val wVote = Window.partitionBy("pid").orderBy(col("c").desc, col("label"))
-    val pred = votes.withColumn("vr", row_number().over(wVote))
-      .filter(col("vr") === 1)
+    // bounded state per probe (round 12): the top-10 rank window would
+    // map-side sort each probe's CORPUS-sized candidate list — the
+    // single worst window in the file at 100 TB — while CollectTopK
+    // keeps ≤10 rows of state per pid; the majority vote is then an
+    // arg-max aggregate over the ≤10 exploded neighbors (min over the
+    // ascending (−votes, label) struct ≡ ORDER BY c DESC, label; the
+    // heap key normalizes −0.0 via 0.0 − cos so a rounded negative zero
+    // cannot order differently than the window's sort did)
+    val key = struct((lit(0.0) - col("cos")).as("nc"),
+      col("vec_id").as("vec_id"), col("label").as("label"))
+    val votes = pairs.groupBy("pid", "plabel")
+      .agg(org.apache.spark.sql.GraftSqlBridge
+        .collectTopK(key, 10, reverse = true).as("tk"))
+      .select(col("pid"), col("plabel"), explode(col("tk")).as("x"))
+      .groupBy(col("pid"), col("plabel"), col("x.label").as("label"))
+      .agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy("pid", "plabel")
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("label"))).as("m"))
       .select(col("pid"), col("plabel"),
-        (col("label") === col("plabel")).cast("long").as("hit"))
+        (col("m.label") === col("plabel")).cast("long").as("hit"))
     pred.groupBy(col("plabel").as("label"))
       .agg(count(lit(1)).as("n_probes"), sum("hit").as("n_correct"),
         round(sum("hit") * lit(1.0) / count(lit(1)), 4).as("accuracy"))
