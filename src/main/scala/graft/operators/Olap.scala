@@ -2066,11 +2066,16 @@ object Olap {
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("t_us"), expr("t_us div 86400000000").as("day")) // exact int div
     val d0 = ev.agg(min("day").as("d0"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("t_us").desc, col("event_id").desc)
+    // last-event-per-user as an ARG-MAX aggregate (round 12): the rank
+    // window would sort each user's FULL event history per side; min
+    // over the ascending (−t_us, −event_id) struct picks the identical
+    // row (both longs positive — exact negation) with O(1) state per
+    // user and a partial-aggregable shuffle.
     def lastState(half: org.apache.spark.sql.DataFrame, as: String) =
-      half.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type").as(as))
+      half.groupBy("user_id")
+        .agg(min(struct((-col("t_us")).as("nt"), (-col("event_id")).as("ne"),
+          col("event_type").as("et"))).as("m"))
+        .select(col("user_id"), col("m.et").as(as))
     val withD0 = ev.crossJoin(broadcast(d0))
     val olda = lastState(withD0.filter(col("day") < col("d0") + 15), "ost")
     val newb = lastState(withD0.filter(col("day") >= col("d0") + 15), "nst")

@@ -753,11 +753,21 @@ object Relational {
       |                                ORDER BY c_acctbal DESC, c_custkey) AS rn
       |      FROM customer)
       |WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("c_mktsegment", "c_custkey", "c_acctbal")
+    // top-3 per segment as a bounded-heap CollectTopK aggregate
+    // (round 12): a rank window would map-side sort each segment's
+    // CORPUS-sized customer list; the heap keeps 3 rows of state per
+    // segment and the shuffle carries only those. Key (0.0 − acctbal,
+    // custkey) ≡ ORDER BY c_acctbal DESC, c_custkey (the 0.0− form
+    // normalizes a negative zero so it cannot order against +0.0
+    // differently than the window's sort).
+    val key = struct((lit(0.0) - col("c_acctbal")).as("nb"),
+      col("c_custkey").as("c_custkey"), col("c_acctbal").as("c_acctbal"))
+    Tables.customer(s, d).groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.GraftSqlBridge
+        .collectTopK(key, 3, reverse = true).as("tk"))
+      .select(col("c_mktsegment"), explode(col("tk")).as("x"))
+      .select(col("c_mktsegment"), col("x.c_custkey").as("c_custkey"),
+        col("x.c_acctbal").as("c_acctbal"))
       .orderBy("c_mktsegment", "c_custkey")
   }
 
