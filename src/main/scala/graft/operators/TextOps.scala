@@ -375,8 +375,7 @@ object TextOps {
     * shingles shared by neither side shrinks the union and can lift a
     * borderline Jaccard over the threshold). One corpus-shared shingle
     * scan feeds both chains. */
-  val dedupDfcapRecall = sql(
-    "dedup_dfcap_recall",
+  private val dfcapRecallOracleSql: String =
     s"""WITH $shinglesSql,
        |$allpairsFromShSqlCte,
        |$cappedPairsFromShSqlCte,
@@ -389,15 +388,12 @@ object TextOps {
        |hit AS (SELECT count(*) AS n_hit FROM apairs JOIN cp USING (da, db))
        |SELECT n_exact, n_capped, n_hit,
        |       round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall_at08
-       |FROM tot, ncp, hit""".stripMargin) { (s, d) =>
-    // ONE scan feeds exact + capped chains (allpairsOver caches it;
-    // caching here too would double-persist and WARN)
-    val shb = shingles(s, d)
-    val exact = allpairsOver(shb).select("da", "db").localCheckpoint()
-    val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
-    val capped = cappedPairsWithSizes(s, d,
-        Some(cappedShingleIndex(s, d, Some(shb))))
-      .filter(jac >= 0.8).select("da", "db")
+       |FROM tot, ncp, hit""".stripMargin
+
+  /** Shared certificate tail: exact pair set x capped >=0.8 pair set ->
+    * the one-row (n_exact, n_capped, n_hit, recall) readout. */
+  private def dfcapRecallOver(exact: org.apache.spark.sql.DataFrame,
+      capped: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tot = exact.agg(count(lit(1)).as("n_exact"))
     val ncp = capped.agg(count(lit(1)).as("n_capped"))
     val hit = exact.join(capped, Seq("da", "db"))
@@ -406,6 +402,39 @@ object TextOps {
       .select(col("n_exact"), col("n_capped"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact"), 4)
           .as("recall_at08"))
+  }
+
+  private def cappedPairsAt08(s: org.apache.spark.sql.SparkSession,
+      d: String, shc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+    cappedPairsWithSizes(s, d, Some(shc)).filter(jac >= 0.8).select("da", "db")
+  }
+
+  val dedupDfcapRecall = sql(
+    "dedup_dfcap_recall", dfcapRecallOracleSql) { (s, d) =>
+    // ONE scan feeds exact + capped chains (allpairsOver caches it;
+    // caching here too would double-persist and WARN)
+    val shb = shingles(s, d)
+    val exact = allpairsOver(shb).select("da", "db").localCheckpoint()
+    dfcapRecallOver(exact,
+      cappedPairsAt08(s, d, cappedShingleIndex(s, d, Some(shb))))
+  }
+
+  /** The MATERIALIZED twin of `dedup_dfcap_recall` — certificate re-runs
+    * (cap sweeps) read the SHARED `shingle-index` / `allpairs-exact`
+    * snapshots (the same ones the minhash/simhash recall twins write:
+    * whichever certificate runs first pays the ground-truth build, every
+    * other gets a parquet read) and re-run only the capped chain. Same
+    * oracle SQL as the recompute twin, so the driver's hash compare IS
+    * the bit-identity proof. */
+  val dedupDfcapRecallMaterialized = sql(
+    "dedup_dfcap_recall_materialized", dfcapRecallOracleSql) { (s, d) =>
+    val sh = snapshotOnce(s, d, "shingle-index")(
+      shingles(s, d).repartition(col("doc_id")))
+    val exact = snapshotOnce(s, d, "allpairs-exact")(
+      allpairsOver(sh).select("da", "db").repartition(col("da")))
+    dfcapRecallOver(exact, cappedPairsAt08(s, d, cappedShingleIndex(s, d, Some(sh))))
   }
 
   /** Spark side of `apairs`: the exact τ=0.8 pair set (da, db, common, un). */
@@ -4283,7 +4312,8 @@ object TextOps {
     textRollingHash, textTfidf, textQuality, textQualityAblation, textVocabTopk, textOovRate,
     textLengthStats,
     textRepetition, corpusMix, textUnigramLogprob,
-    dedupContainment, dedupAllpairs, dedupDfcapRecall, dedupMinhashRecall,
+    dedupContainment, dedupAllpairs, dedupDfcapRecall,
+    dedupDfcapRecallMaterialized, dedupMinhashRecall,
     dedupMinhashRecallMaterialized, dedupSimhashRecall,
     dedupSimhashRecallMaterialized, textBigramTopk, corpusDupStats,
     dedupSpanStats, textNovelty, textPiiRedact, textParagraphDedup,
