@@ -9,16 +9,17 @@ import graft.core.Tables
   * shuffle, or the iterative walkers on top — instead of inferred from
   * whole-query deltas. Dev tool, not part of the driver contract.
   *
-  * Usage: runMain graft.dev.RkCostProbe [baseSfDir] [ampDir]
+  * Usage: runMain graft.dev.RkCostProbe [baseSfDir] [ampDir] [factor]
   */
 object RkCostProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val amp = args.lift(1).getOrElse("/tmp/graft-amp32")
+    val factor = args.lift(2).map(_.toInt).getOrElse(32)
     val spark = Tables.localSession("rk-cost-probe", cores = 32)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$amp/embeddings.parquet"))) {
-      ScaleProbe.amplify(spark, base, 32, amp)
-      println(s"[rkcost] amplified x32 into $amp")
+      ScaleProbe.amplify(spark, base, factor, amp)
+      println(s"[rkcost] amplified x$factor into $amp")
     }
     def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       spark.catalog.clearCache()
