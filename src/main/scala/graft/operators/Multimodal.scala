@@ -387,6 +387,7 @@ object Multimodal {
     val fr = sampleFrames(media, k = 3).toDF()
       .select(col("id"), md5(col("frame")).as("fh"))
       .distinct()
+      .cache() // df-cap fit + both self-join sides read it
     val hot = fr.groupBy("fh").agg(count(lit(1)).as("c"))
       .filter(col("c") > 50).select("fh")
     val frc = fr.join(hot, Seq("fh"), "left_anti")
@@ -491,6 +492,7 @@ object Multimodal {
           """transform(sequence(0, greatest(1, length(text) div 16) - 1),
             |  f -> md5(substr(text, f * 16 + 1, 16)))""".stripMargin)).as("fh"))
       .distinct()
+      .cache() // first-occurrence fit + join probe both read it
     val fst = fr.groupBy("fh").agg(min("id").as("first_id"))
     val novel = when(col("first_id") === col("id"), 1L).otherwise(0L)
     fr.join(fst, "fh")
@@ -561,7 +563,10 @@ object Multimodal {
       |FROM nf LEFT JOIN vs ON nf.id = vs.id
       |ORDER BY nf.id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val en = frameEnergies(s, d)
+    // cached: the voiced-segment chain and the per-item frame count both
+    // read the contour — un-cached, the per-character energy fold (the
+    // chain's dominant CPU) ran twice (r13, §2.4)
+    val en = frameEnergies(s, d).cache()
     val wId = Window.partitionBy("id").orderBy("fi")
     val sl = en.filter(col("energy") >= 12000L)
       .withColumn("grp", col("fi") - row_number().over(wId))

@@ -759,7 +759,12 @@ object Relational {
     // segment and the shuffle carries only those. Key (0.0 − acctbal,
     // custkey) ≡ ORDER BY c_acctbal DESC, c_custkey (the 0.0− form
     // normalizes a negative zero so it cannot order against +0.0
-    // differently than the window's sort).
+    // differently than the window's sort). NULL-ordering asymmetry
+    // (latent, r12 ADVICE): the ascending struct compare ranks a NULL
+    // key component FIRST, whereas the window's `c_acctbal DESC` default
+    // is NULLS LAST — c_acctbal is non-null on every TPC-H corpus, but a
+    // future nullable consumer of this pattern must coalesce the key
+    // (NULL → −infinity) or pre-filter nulls to keep window parity.
     val key = struct((lit(0.0) - col("c_acctbal")).as("nb"),
       col("c_custkey").as("c_custkey"), col("c_acctbal").as("c_acctbal"))
     Tables.customer(s, d).groupBy("c_mktsegment")

@@ -1062,17 +1062,22 @@ object Sampling {
     * rows by construction. Exposed (package-wide) because this IS the
     * deployable model: the streaming ingest gate broadcasts a frozen copy
     * of exactly this frame ([[graft.streaming.Jobs.dsirGate]]). */
-  private[graft] def dsirLambda(s: SparkSession, d: String): DataFrame = {
-    val feats = dsirFeatures(s, d)
-    val rc = feats.groupBy("b").agg(count(lit(1)).as("rc"))
-    val tc = feats.filter(col("source") === DsirTarget)
-      .groupBy("b").agg(count(lit(1)).as("tc"))
-    val rt = rc.agg(sum("rc").as("rtot"))
-    val tt = tc.agg(sum("tc").as("ttot"))
-    rc.join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+  private[graft] def dsirLambda(s: SparkSession, d: String): DataFrame =
+    dsirLambdaOver(dsirFeatures(s, d))
+
+  /** λ table from an existing feature frame. ONE aggregation pass computes
+    * both the raw and target bucket counts (r13, guide §2.3: the separate
+    * rc/tc aggregates each re-ran the n-gram explode — the chain's
+    * dominant CPU — and their left join re-assembled what one conditional
+    * count produces directly; `tc = 0` for target-absent buckets ≡ the old
+    * `coalesce(tc, 0)`, so λ is value-identical). */
+  private def dsirLambdaOver(feats: DataFrame): DataFrame = {
+    val counts = feats.groupBy("b").agg(count(lit(1)).as("rc"),
+      sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("tc"))
+    val tots = counts.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
+    counts.crossJoin(broadcast(tots))
       .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)) + 1) * lit(1.0)
+        (log((col("tc") + 1) * lit(1.0)
           / (col("ttot") + DsirBuckets))
           - log((col("rc") + 1) * lit(1.0) / (col("rtot") + DsirBuckets)))
           .as("lam"))
@@ -1092,7 +1097,11 @@ object Sampling {
         (hexBucketCol(col("g")) % DsirBuckets).as("b"))
 
   private def dsirWeights(s: SparkSession, d: String): DataFrame = {
-    dsirFeatures(s, d).join(broadcast(dsirLambda(s, d)), "b")
+    // cached: the λ fit and the broadcast-join probe side both read the
+    // exploded feature stream — un-cached, each re-ran the per-gram md5
+    // explode (r13; the frame is (long, short string, int) — narrow)
+    val feats = dsirFeatures(s, d).cache()
+    feats.join(broadcast(dsirLambdaOver(feats)), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_feats"),
         round(sum("lam"), 4).as("logw"))

@@ -312,7 +312,7 @@ object Similarity {
     // regime — while CollectTopK keeps ≤3 rows of state per query and
     // shuffles only those (same key, bit-identical; the knnRankedDf
     // topK discipline)
-    val key = struct((-col("cos")).as("nc"), col("vec_id").as("vec_id"),
+    val key = struct((lit(0.0) - col("cos")).as("nc"), col("vec_id").as("vec_id"),
       col("cos").as("cos"))
     cand.groupBy("query_id")
       .agg(org.apache.spark.sql.GraftSqlBridge
@@ -667,6 +667,21 @@ object Similarity {
     * residual trade. */
   private[graft] val CellShardCap = 1024L
 
+  /** Edge-count threshold above which the iterative graph queries
+    * (`graph_pagerank`, `graph_label_prop`) materialize their edge list
+    * ONCE, hash-partitioned on the per-round join key, instead of
+    * re-exchanging it from cache every round (r13, guide §2.4). At or
+    * below it the whole graph is a few MB and three per-round exchanges
+    * cost less than the two extra materialization jobs (measured +0.6-0.9 s
+    * at sf0.1's 6 k-edge graphs); above it the per-round exchange grows
+    * linearly with the corpus while the materialization stays two jobs —
+    * the r12 scale ladders (exponents 0.838/0.774, BENCH_SCALE.json) are
+    * dominated by exactly that re-exchange. The count-then-branch is the
+    * same adaptivity pattern as [[graft.operators.TextOps]]'
+    * SmallGraphEdgeLimit; both paths feed identical frames to identical
+    * operators, so results are path-invariant by construction. */
+  private[graft] val GraphPrepartitionEdges = 30000L
+
   /** One within-cell top-k ranking CTE chain ending in `rk<sfx>(src, dst,
     * cos, rn)` — cap-parameterized so the shard-recall certificate can
     * instantiate a forced-low-cap chain and an effectively-uncapped chain
@@ -780,8 +795,10 @@ object Similarity {
       case Some(k) =>
         // heap key: ascending (−cos, dst) ≡ (cos desc, dst asc);
         // reverse = true keeps the k smallest and emits them ascending,
-        // so array position IS the rank
-        val key = struct((-col("cos")).as("nc"), col("dst").as("dst"),
+        // so array position IS the rank (`lit(0.0) - cos`, not unary
+        // minus, so a −0.0 key can never order differently than the
+        // window sort it replaced — the file-wide normalization rule)
+        val key = struct((lit(0.0) - col("cos")).as("nc"), col("dst").as("dst"),
           col("cos").as("cos"))
         scored.groupBy("src")
           .agg(org.apache.spark.sql.GraftSqlBridge
@@ -1222,11 +1239,26 @@ object Similarity {
        |       CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg
        |FROM p3 LEFT JOIN deg d ON d.src = p3.vec_id
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val e = knnRankedDf(s, d, topK = Some(3))
+    // Edge frame (r13, guide §2.4): above [[GraphPrepartitionEdges]] the
+    // edge list is materialized ONCE, hash-partitioned by src — the
+    // cached-view form re-read the cache AND re-exchanged the edge list
+    // by src inside every one of the 3 unrolled rounds (the steepest
+    // ladder in BENCH_SCALE r12, exponent 0.838, was driven by exactly
+    // that per-round reshuffle). With the layout established once, each
+    // round's edge⋈score join reuses it and only the vertex-sized score
+    // frames move; deg derives from the same partitioning exchange-free.
+    // At or below the threshold the plain cached path runs — the same
+    // count-then-branch adaptivity as labelsFromPairs (results are
+    // path-invariant: both feed identical frames to identical operators).
+    val eRaw = knnRankedDf(s, d, topK = Some(3))
       .select("src", "dst").cache()
+    val big = eRaw.count() > GraphPrepartitionEdges
+    val e = if (big) eRaw.repartition(col("src")).localCheckpoint(true)
+      else eRaw
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, "src")
+    val withDeg0 = e.join(deg, "src")
       .withColumn("w", expr("102 div outdeg")) // exact: outdeg | 102
+    val withDeg = if (big) withDeg0.localCheckpoint(true) else withDeg0
     val v = Tables.embeddings(s, d).select("vec_id")
     def step(prev: org.apache.spark.sql.DataFrame, base: Long) = {
       val contrib = withDeg
@@ -1353,9 +1385,19 @@ object Similarity {
     val e = knnRankedDf(s, d, topK = Some(3))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
-    val ee = e.select(col("a").as("v"), col("b").as("u"))
+      .cache() // both union directions read it — one kNN chain, not two
+    // Above [[GraphPrepartitionEdges]], materialized ONCE hash-partitioned
+    // by the vote-join key u (r13, guide §2.4): the cached form
+    // re-exchanged the full edge list by u in every round (BENCH_SCALE
+    // r12 exponent 0.774, per-round edge reshuffle); with the layout
+    // pinned, each round's edge⋈label join moves only the vertex-sized
+    // label frame. Small graphs keep the plain cached path (same
+    // count-then-branch adaptivity as pagerank / labelsFromPairs).
+    val eeRaw = e.select(col("a").as("v"), col("b").as("u"))
       .unionAll(e.select(col("b").as("v"), col("a").as("u")))
-      .cache() // one edge list, read every round
+      .cache()
+    val ee = if (eeRaw.count() > GraphPrepartitionEdges)
+      eeRaw.repartition(col("u")).localCheckpoint(true) else eeRaw
     // each round reads the previous label frame TWICE (vote side +
     // join-back side), so un-truncated lineage doubles per round (2^k
     // subtree copies of the kNN chain) — localCheckpoint per round keeps
@@ -1749,6 +1791,11 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"),
         expr("zip_with(embedding, cvec, (a, b) -> CAST(a AS DOUBLE) - b)")
           .as("rvec"))
+      // cached: the sub-codebook fit and the per-vector subvector explode
+      // (and the ADC queries' own rsub probes) all read the residual frame
+      // — un-cached, each consumer re-ran the assign join + zip_with
+      // (r13, §2.4; the frame is corpus × 64 doubles, linear)
+      .cache()
     // residual sub-codebook: per-(label, sub) 16-dim means, 4 dp, packed
     val rcb = resid
       .select(col("label"), posexplode(col("rvec")).as(Seq("pos0", "r")))
@@ -2748,9 +2795,18 @@ object Similarity {
         round(col("xf").cast("double") * PcaFp, 0).cast("long").as("xv"))
     val mu = x.groupBy("pos")
       .agg(floor(sum("xv").cast("double") / count(lit(1))).cast("long").as("mu"))
+    // cc is read TWICE PER ROUND (score + back-projection) plus by the
+    // variance tail — un-materialized, each read re-scanned the corpus and
+    // re-ran the mu aggregation (~13 corpus passes per query, measured
+    // r13). One eager localCheckpoint makes every later read a block scan;
+    // state is the exploded (n×d) frame — linear in the corpus, the same
+    // shape the dedup/kNN chains already materialize (guide §5: cache what
+    // is reused; §2.4: don't re-run passes the plan can keep).
     val cc = x.join(broadcast(mu), "pos")
       .select(col("vec_id"), col("pos"), (col("xv") - col("mu")).as("cx"))
-    var v = mu.select(col("pos"), lit(PcaFp).as("vv")).localCheckpoint(true)
+      .localCheckpoint(true)
+    var v = cc.select(col("pos")).distinct()
+      .select(col("pos"), lit(PcaFp).as("vv")).localCheckpoint(true)
     for (_ <- 1 to PcaRounds) {
       val sc = cc.join(broadcast(v), "pos")
         .groupBy("vec_id").agg(sum(col("cx") * col("vv")).as("s"))

@@ -215,13 +215,15 @@ object TextOps {
     * consumers read it several ways). */
   private def cappedShingleIndex(s: org.apache.spark.sql.SparkSession,
       d: String,
-      shIn: Option[org.apache.spark.sql.DataFrame] = None)
+      shIn: Option[org.apache.spark.sql.DataFrame] = None,
+      dfIn: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     // `shIn` lets the df-cap recall certificate share ONE cached raw
     // shingle scan between the capped chain and its exact ground truth
     val raw = shIn.getOrElse(
       shingles(s, d).cache()) // read twice: df aggregation + anti join
-    val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hot = dfIn.getOrElse(
+        raw.groupBy("sh").agg(count(lit(1)).as("df")))
       .filter(col("df") > ShingleDfCap).select("sh")
     // left_anti keeps the hot-key list out of the big join's key space
     raw.join(hot, Seq("sh"), "left_anti").cache()
@@ -414,11 +416,18 @@ object TextOps {
   val dedupDfcapRecall = sql(
     "dedup_dfcap_recall", dfcapRecallOracleSql) { (s, d) =>
     // ONE scan feeds exact + capped chains (allpairsOver caches it;
-    // caching here too would double-persist and WARN)
+    // caching here too would double-persist and WARN), and ONE shingle-df
+    // aggregate feeds both the AllPairs prefix rank and the hot-shingle
+    // cap (r13, guide §2.4: the two chains each re-aggregated the same
+    // cached index by sh — identical frames in separate jobs, so exchange
+    // reuse could never dedupe them; materialized once here instead)
     val shb = shingles(s, d)
-    val exact = allpairsOver(shb).select("da", "db").localCheckpoint()
+    val dff = shb.groupBy("sh").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val exact = allpairsOver(shb, dfIn = Some(dff))
+      .select("da", "db").localCheckpoint()
     dfcapRecallOver(exact,
-      cappedPairsAt08(s, d, cappedShingleIndex(s, d, Some(shb))))
+      cappedPairsAt08(s, d, cappedShingleIndex(s, d, Some(shb), Some(dff))))
   }
 
   /** The MATERIALIZED twin of `dedup_dfcap_recall` — certificate re-runs
@@ -444,14 +453,21 @@ object TextOps {
   /** The AllPairs chain over ANY (doc_id, sh) inverted index — the
     * production path computes the index inline; the `_materialized`
     * certificate twin reads the parquet snapshot. */
-  private def allpairsOver(sh: org.apache.spark.sql.DataFrame) = {
+  private def allpairsOver(sh: org.apache.spark.sql.DataFrame,
+      dfIn: Option[org.apache.spark.sql.DataFrame] = None) = {
     import org.apache.spark.sql.expressions.Window
-    val shb = sh.cache() // df count, sizes, ranking, 2 verify sides
-    val dff = shb.groupBy("sh").agg(count(lit(1)).as("df"))
-    val sizes = shb.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pref = shb.join(dff, "sh").join(sizes, "doc_id")
+    val shb = sh.cache() // df count, ranking, 2 verify sides
+    val dff = dfIn.getOrElse(shb.groupBy("sh").agg(count(lit(1)).as("df")))
+    // per-doc set size as a COUNT WINDOW sharing the ranking window's
+    // hash(doc_id) exchange (r13, guide §2.4): the separate `sizes`
+    // aggregate + join cost one more full-index exchange for the same
+    // number — the inner df join preserves row count, so count over the
+    // doc partition ≡ the old groupBy(doc_id) count exactly.
+    val wDoc = Window.partitionBy("doc_id")
+    val pref = shb.join(dff, "sh")
+      .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+        wDoc.orderBy(col("df"), col("sh"))))
       .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
       .select(col("doc_id"), col("sh"), col("n"))
     val a = pref.select(col("doc_id").as("da"), col("sh"), col("n").as("na"))
@@ -614,7 +630,10 @@ object TextOps {
          |       round(n_caught * 1.0 / n_true, 4) AS recall
          |FROM tot CROSS JOIN nc CROSS JOIN caught""".stripMargin
     }) { (s, d) =>
-    val exact = allpairsDf(s, d).select("da", "db")
+    // checkpointed: tot + caught both read the exact pair set — without
+    // it the whole AllPairs chain (rank window + verify joins) runs twice,
+    // once per 1-row aggregate (r13; the dfcap sibling already did this)
+    val exact = allpairsDf(s, d).select("da", "db").localCheckpoint()
     val mp = minhashBandPairs(s, d)
     val caught = exact.join(mp, Seq("da", "db"), "left_semi")
       .agg(count(lit(1)).as("n_caught"))
@@ -961,7 +980,11 @@ object TextOps {
 
   val dedupIncremental = sql("dedup_incremental", incrementalOracleSql) {
     (s, d) =>
-      incrementalVerdicts(minhashBandPairs(s, d), incrementalSide(s, d))
+      // cached: the verdict logic reads the pair set twice (both union
+      // directions) — un-cached, the whole shingle→MinHash→band chain ran
+      // twice (r13, §2.4; plan showed zero ReusedExchange across the
+      // union); the materialized twin already reads a parquet snapshot
+      incrementalVerdicts(minhashBandPairs(s, d).cache(), incrementalSide(s, d))
   }
 
   /** THE materialize-once discipline shared by every `_materialized`
@@ -1441,7 +1464,8 @@ object TextOps {
        |       CAST(n_caught AS BIGINT) AS n_caught,
        |       round(n_caught * 1.0 / n_true, 4) AS recall
        |FROM tot CROSS JOIN nc CROSS JOIN caught""".stripMargin) { (s, d) =>
-    val exact = allpairsDf(s, d).select("da", "db")
+    // checkpointed for the same two-consumer reason as the minhash twin
+    val exact = allpairsDf(s, d).select("da", "db").localCheckpoint()
     val sp = simhashPairsDf(s, d).select("da", "db")
     val caught = exact.join(sp, Seq("da", "db"), "left_semi")
       .agg(count(lit(1)).as("n_caught"))
@@ -1570,11 +1594,17 @@ object TextOps {
   private def nbLangidScores(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val dcnt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    // cached: the class-conditional count fit and the scoring probe both
+    // read the (doc, tok) count frame — un-cached, each re-ran the
+    // tokenize + explode + first-level aggregate (r13, §2.4); vocab size
+    // then derives from the same frame (distinct tok over dcnt ≡ distinct
+    // tok over the raw token stream — every token occurs in some doc),
+    // saving a third full explode.
+    val dcnt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c")).cache()
     val ct = dcnt.join(docs.select("doc_id", "lang"), "doc_id")
       .groupBy("lang", "tok").agg(sum("c").as("ct"))
     val tot = ct.groupBy("lang").agg(sum("ct").as("t"))
-    val v = toks.agg(countDistinct("tok").as("vsz"))
+    val v = dcnt.agg(countDistinct("tok").as("vsz"))
     val pri = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
     val n = docs.agg(count(lit(1)).as("ndocs"))
     val ll = dcnt.crossJoin(broadcast(pri.select("lang")))
@@ -2569,7 +2599,10 @@ object TextOps {
     // shared helpers guarantee the certificate's universe can never fork
     // from the queries it certifies
     val shc = cappedShingleIndex(s, d)
-    val sig = sigOver(shc)
+    // cached: the a-side and b-side joins each read the signature frame —
+    // un-cached, each re-ran the 8-way min aggregate over the whole capped
+    // index (r13, §2.4); the frame itself is doc-sized (9 columns)
+    val sig = sigOver(shc).cache()
     def sigAs(p: String) = sig.select(
       col("doc_id").as(s"${p}_id") +:
         (0 until NumHashes).map(j => col(s"mh$j").as(s"${p}$j")): _*)
@@ -2753,8 +2786,14 @@ object TextOps {
           |         slice(toks, 2, greatest(size(toks) - 1, 0)),
           |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // cached: the count fit and the scoring probe both read the bigram
+      // stream — un-cached, each re-ran the zip_with explode (r13, §2.4)
+      .cache()
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val cx = bg.groupBy("w1").agg(count(lit(1)).as("ctx"))
+    // ctx derives from the bigram-TYPE counts (Σ_w2 c12 ≡ the bigram
+    // instance count per w1) — aggregating |types| rows instead of
+    // re-aggregating the full instance stream (r13, §2.3)
+    val cx = bc.groupBy("w1").agg(sum("c12").as("ctx"))
     val vs = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct("tok").as("v"))
@@ -2843,7 +2882,9 @@ object TextOps {
           |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val cx = bg.groupBy("w1").agg(count(lit(1)).as("ctx"))
+    // ctx from the bigram-type counts (Σ_w2 c12; r13, §2.3) — the doc
+    // bigram stream is now read exactly once (the bc fit)
+    val cx = bc.groupBy("w1").agg(sum("c12").as("ctx"))
     val vs = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct("tok").as("v"))
@@ -3225,13 +3266,22 @@ object TextOps {
   private def substringRuns(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // h is the 16-BYTE digest, not the 32-char hex string (r13, §2.3:
+    // the gram key is only ever an equality key — unhex halves the df
+    // aggregation's and candidate join's shuffle width; output columns
+    // carry only doc ids/positions, so equality classes are all that
+    // matters and the oracle's hex-string keys cannot fork). The frame is
+    // CACHED: the df aggregate and the index join both read it, and
+    // un-cached each re-ran the per-gram md5 explode — the chain's
+    // dominant CPU (§2.4: don't recompute what two consumers share).
     val g = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(t) - 8), i -> md5(array_join(slice(t, i + 1, 8), ' ')))"))
+        "transform(sequence(0, size(t) - 8), i -> unhex(md5(array_join(slice(t, i + 1, 8), ' '))))"))
         .as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      .cache()
     val keep = g.groupBy("h").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd").between(2, 50)).select("h")
     val gk = g.join(keep, "h")
@@ -3303,10 +3353,16 @@ object TextOps {
       |       md5(coalesce(k.txt, '')) AS kept_md5
       |FROM documents d LEFT JOIN sel k ON k.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    // cov is pinned to hash(doc_id) — a PREFIX of the anti-join keys — so
+    // the join co-partitions BOTH sides on doc_id alone (SPARK-35703
+    // subset-key co-partitioning) and the groupBy(doc_id) below inherits
+    // the layout instead of re-exchanging the full kept-token frame
+    // (r13, §2.4: two operations keyed the same way share one exchange).
     val cov = substringRuns(s, d)
       .select(col("db").as("doc_id"),
         explode(expr("sequence(start_b, start_b + run_tokens - 1)")).as("pos"))
       .distinct()
+      .repartition(col("doc_id"))
     val tl = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
@@ -3649,34 +3705,50 @@ object TextOps {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wWord = Window.partitionBy("word").orderBy("i")
-    val right = seg.select(col("word").as("w2"), col("i").as("i2"),
-      col("sym").as("b"))
-    val pr = seg.join(right,
-        col("word") === col("w2") && col("i2") === col("i") + 1)
+    val wRun = wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Adjacent pairs via lead(): i is DENSE 1..len within each word (seg1
+    // builds it that way, every round's row_number restores it), so
+    // lead(sym) IS the i+1 symbol — one word-partitioned window pass
+    // instead of the (word, i+1) self-join that exchanged the
+    // segmentation twice per round (r13, guide §2.4).
+    val pr = seg
+      .withColumn("b", lead("sym", 1).over(wWord))
+      .filter(col("b").isNotNull)
       .select(col("word"), col("n"), col("i"), col("sym").as("a"), col("b"))
     val bt = pr.groupBy("a", "b").agg(sum("n").as("c"))
       .agg(min(struct((-col("c")).as("nc"), col("a"), col("b"))).as("m"))
       .select(col("m.a").as("a"), col("m.b").as("b"), (-col("m.nc")).as("c"))
-    val mp = pr.join(broadcast(bt.select(col("a").as("ba"), col("b").as("bb"))),
-        col("a") === col("ba") && col("b") === col("bb"))
-      .select(col("word"), col("i"))
-    val sl = mp
-      .withColumn("grp", col("i") - row_number().over(wWord))
-      .withColumn("off",
-        col("i") - min("i").over(Window.partitionBy("word", "grp")))
-      .filter(col("off") % 2 === 0)
-      .select(col("word"), col("i"))
-    val rb = seg.crossJoin(broadcast(bt))
-      .join(sl.select(col("word").as("sw1"), col("i").as("si1")),
-        col("word") === col("sw1") && col("i") === col("si1"), "left")
-      .join(sl.select(col("word").as("sw2"), col("i").as("si2")),
-        col("word") === col("sw2") && col("i") === col("si2") + 1, "left")
+    // Greedy-leftmost application in ONE word-partitioned window chain
+    // (r13; replaces the mp/sl/rb join cascade — ~6 exchanges per round
+    // down to the single word exchange, which later rounds skip entirely
+    // because the checkpointed segmentation already carries the (word)
+    // partitioning + (word, i) ordering). Semantics are unchanged:
+    //   m        — position starts a matched pair (sym = a, next = b)
+    //   runStart — first position of the CONSECUTIVE match run (adjacent
+    //              matches only occur when a = b; islands ≡ the old grp)
+    //   kept     — even offset within its run = the greedy leftmost picks
+    //              (the old sl parity rule)
+    //   dropped  — previous position kept ⇒ this row was consumed as its
+    //              pair's b (the old si2 left-join)
+    // TextOpsSpec's planted repeated-letter fixture and the oracle hash
+    // pin the equivalence ("aaaa" → [aa][aa], "aaa" → [aa][a]).
+    val m0 = col("sym") === col("a") &&
+      coalesce(lead("sym", 1).over(wWord) === col("b"), lit(false))
+    val rebuilt = seg.crossJoin(broadcast(bt))
+      .withColumn("m", m0)
+      .withColumn("st",
+        when(col("m") && !coalesce(lag("m", 1).over(wWord), lit(false)),
+          col("i")))
+      .withColumn("runStart", max("st").over(wRun))
+      .withColumn("kept",
+        col("m") && (col("i") - col("runStart")) % 2 === 0)
+      .withColumn("dropped",
+        coalesce(lag("kept", 1).over(wWord), lit(false)))
+      .filter(!col("dropped"))
       .select(col("word"), col("n"), col("i"),
-        when(col("si1").isNotNull, concat(col("a"), col("b")))
-          .when(col("si2").isNotNull, lit(null))
+        when(col("kept"), concat(col("a"), col("b")))
           .otherwise(col("sym")).as("sym"))
-      .filter(col("sym").isNotNull)
-    val next = rb.withColumn("i", row_number().over(wWord).cast("long"))
+    val next = rebuilt.withColumn("i", row_number().over(wWord).cast("long"))
       .select("word", "n", "i", "sym")
     (next, bt)
   }
@@ -3854,6 +3926,10 @@ object TextOps {
     val wc = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      // cached: read by the candidate explode here AND by the caller's
+      // admissible/wnp frames — un-cached, the corpus tokenize + word
+      // count re-ran per consumer (r13, §2.4)
+      .cache()
     val admissible = wc.filter(length(col("w")) <= WpMaxWord)
     val cand = admissible
       // sequence(1, 0) is DESCENDING for the empty-string word (Spark
@@ -3865,7 +3941,9 @@ object TextOps {
         explode(array((1 to WpMaxPiece).map(lit): _*)).as("l"))
       .filter(col("i") + col("l") <= length(col("w")) + 1)
       .withColumn("p", expr("substr(w, i, l)"))
+      .cache() // piece-count fit + max-match join both read the spans
     val wcnt = cand.groupBy("p").agg(sum("c").as("cnt"))
+      .cache() // piece-type-sized; the vocab cut reads it twice
     val vocab = wcnt.orderBy(col("cnt").desc, col("p")).limit(WpVocab)
       .union(wcnt.filter(length(col("p")) === 1))
       .distinct()
@@ -3998,6 +4076,7 @@ object TextOps {
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      .cache() // frequency fit + keep-gate probe both read the token stream
     val fr = tk.groupBy("w").agg(count(lit(1)).as("c"))
     val tt = fr.agg(sum("c").as("t"))
     val f = col("c") * lit(1.0) / col("t")
@@ -4014,6 +4093,9 @@ object TextOps {
       .withColumn("r", row_number().over(wr))
       .select(col("doc_id"), col("w"),
         lead(col("w"), 1).over(wl).as("l1"), lead(col("w"), 2).over(wl).as("l2"))
+      // cached: all four union branches below read this frame — un-cached,
+      // the gate join + compaction windows ran four times (r13, §2.4)
+      .cache()
     val pr = ld.filter(col("l1").isNotNull)
       .select(col("w").as("center"), col("l1").as("context"))
       .unionAll(ld.filter(col("l1").isNotNull)

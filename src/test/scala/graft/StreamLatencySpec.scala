@@ -1,5 +1,6 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Tables
 import graft.dev.StreamLatencyProbe
@@ -17,9 +18,14 @@ import graft.dev.StreamLatencyProbe
   * whose MEDIAN 100-doc micro-batch can't clear 1 s on 8 local cores has
   * no story at production ingest rates.
   */
-class StreamLatencySpec extends AnyFunSuite {
+class StreamLatencySpec extends AnyFunSuite with BeforeAndAfterAll {
+  // the 8-partition override below mutates the SHARED getOrCreate session;
+  // capture the prior value and restore it in afterAll so suite order
+  // can't leak a 4× parallelism cut into later batch specs (r12 ADVICE)
+  private var priorShufflePartitions: Option[String] = None
   lazy val spark = {
     val s = Tables.localSession("stream-latency-spec", cores = 8)
+    priorShufflePartitions = Some(s.conf.get("spark.sql.shuffle.partitions"))
     // Stateful-stream sizing (round-12 VERDICT #3): Spark pins a stream's
     // state-store partition count from spark.sql.shuffle.partitions at
     // FIRST start, and each store's per-trigger delta commit is an
@@ -33,6 +39,14 @@ class StreamLatencySpec extends AnyFunSuite {
     // rejected — 32 instance commits dwarf the HDFS-store deltas here).
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s
+  }
+  override def afterAll(): Unit = {
+    // only restore when a test actually forced the lazy session (and thus
+    // applied the override); forcing it here otherwise would be a no-op
+    // session spin-up
+    priorShufflePartitions.foreach(v =>
+      spark.conf.set("spark.sql.shuffle.partitions", v))
+    super.afterAll()
   }
   val sf = "/root/testdata/sf0.01"
   val BudgetMs = 1000L
